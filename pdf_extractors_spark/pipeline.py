@@ -1,0 +1,175 @@
+"""The Spark extraction pipeline: transcripts → extracted.
+
+Shape (SURVEY.md §3 "general pattern", re-expressed Spark-first)::
+
+    scan (parquet/Iceberg, pruned) →
+    [optional salted repartition]  →
+    mapInPandas(extract_batch)     →  one narrow Arrow-batched stage
+    sortWithinPartitions(conv_id, turn_idx) → write
+
+Zero per-row Python at the Spark level: the Python worker receives Arrow
+batches of whole documents; the per-document state machines (M1-M10) run
+inside the batch, vectorized across documents. There is no wide dependency
+anywhere in the extraction itself — per-turn payloads are self-contained —
+so throughput scales linearly with cores/executors (the north rule's
+N→4N ≥ 0.8 efficiency criterion).
+
+Cross-turn operators (conv-level forward-fill M8, conv-level stats) are
+provided as separate window/aggregate stages below, grouped by conv_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .extractors import dispatch
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("label", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("value", StringType()),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("extracted_text", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("records", StringType()),
+        StructField("parse_errors", IntegerType()),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The Arrow-batched extraction kernel. Runs once per Arrow batch
+    (≤ spark.sql.execution.arrow.maxRecordsPerBatch rows); per-document
+    loops only, no per-row Spark-side Python."""
+    for pdf in batches:
+        rows = [
+            dispatch.to_row(c, int(t), k, x)
+            for c, t, k, x in zip(pdf["conv_id"], pdf["turn_idx"], pdf["tool"], pdf["text"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in EXTRACTED_SCHEMA.fields],
+        )
+
+
+def extract_transcripts(
+    transcripts: DataFrame,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → extracted.
+
+    ``repartition_to``: explicit parallelism for the extraction stage.
+    Default: no shuffle at all — parquet/Iceberg split planning already
+    yields balanced input splits, and since extraction is per-turn there
+    is no key skew to correct (a long conversation is just more rows,
+    spread across splits). Salting (operators/salting.py) is only needed
+    for the conv-level stages below.
+    """
+    df = transcripts
+    if repartition_to:
+        # round-robin, not hash: the stage is stateless per turn, so we
+        # only want even card counts, never key co-location.
+        df = df.repartition(repartition_to)
+    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def write_extracted(extracted: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Ordered write: stable (conv_id, turn_idx) order *within* partitions
+    (A6) — the per-turn equality criterion is keyed, so a global sort is
+    unnecessary at 10^12 rows (SURVEY.md §7 hard parts)."""
+    (
+        extracted.sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+# ------------------------------------------------------------ conv-level ops
+
+def conv_forward_fill(extracted: DataFrame, field: str = "delivery_date") -> DataFrame:
+    """Cross-turn forward-fill (M8 at conversation granularity,
+    nordic-invoice.py:94-100 generalized): the last non-null regex-extracted
+    field value from any earlier turn of the same conversation fills later
+    turns. Pure window fill-down — `last(ignorenulls)` over
+    (conv_id ordered by turn_idx), no UDF."""
+    pattern = {
+        "delivery_date": r"Delivery date\s*(\d{2}\.\d{2}\.\d{4})",
+        "invoice": r"Invoice\s(\d+)",
+    }[field]
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    value = F.nullif(F.regexp_extract("extracted_text", pattern, 1), F.lit(""))
+    return extracted.withColumn(
+        f"{field}_filled", F.last(value, ignorenulls=True).over(w)
+    )
+
+
+def conv_stats(extracted: DataFrame) -> DataFrame:
+    """Per-conversation rollup (A3/X18 analogues) — partial aggregation
+    (map-side combine) comes free from groupBy on typed columns."""
+    return extracted.groupBy("conv_id").agg(
+        F.count("*").alias("turns"),
+        F.sum(F.length("extracted_text")).alias("extracted_chars"),
+        F.sum("parse_errors").alias("parse_errors"),
+        F.sum(F.size("spans")).alias("n_spans"),
+    )
+
+
+def session_assign(events: DataFrame, key_col: str, ts_col: str, marker_col: str) -> DataFrame:
+    """The pure-Spark form of the M1 record segmenter (SURVEY.md §2.4 M1
+    'fill-down then sessionize'): a running count of marker rows assigns
+    each row to the record opened by the latest marker."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.withColumn(
+        "record_id", F.sum(F.col(marker_col).cast("long")).over(w)
+    )
+
+
+def explode_turn_lines(transcripts: DataFrame) -> DataFrame:
+    """S4/M9 as a pure-Spark op: payload → ordered lines via
+    posexplode(split()), preserving reading order without any UDF."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+
+
+def boilerplate_filter(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """F1 as a native predicate (household.py:95-96) — stays inside
+    whole-stage codegen, pushes down to the scan when applied pre-explode."""
+    return lines.filter(
+        ~F.col(line_col).rlike(
+            r"^(Cambridge Books|https://|Catalogue of census declarations)"
+        )
+        & (F.col(line_col) != "")
+    )
