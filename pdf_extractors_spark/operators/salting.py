@@ -1,0 +1,89 @@
+"""Salted skew handling for conversation-level aggregation.
+
+A 10^12-turn transcripts table has power-law conversation lengths
+(FIXTURES.md §1): a plain ``groupBy(conv_id)`` puts a 5000-turn
+conversation's rows in one reducer while most reducers get a handful.
+AQE's skew handling only splits *join* partitions, not aggregations, so
+salting is custom (SURVEY.md §4).
+
+Pattern: two-level aggregation.
+
+1. detect heavy hitters by sampling (cheap approximate counts),
+2. salt only the heavy keys — ``salt = pmod(hash(conv_id, turn_idx), S)``
+   for heavy conv_ids, 0 otherwise,
+3. partial aggregate on (conv_id, salt)  — spreads each heavy key over S
+   reducers,
+4. final aggregate on conv_id            — combines ≤ S partial rows per
+   heavy key, a trivially small shuffle.
+
+The per-turn extraction stage itself never needs salting: it is stateless
+per turn, so round-robin input splits already balance it (pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str = "conv_id",
+    threshold: int = 1000,
+    sample_fraction: float = 0.01,
+) -> list[str]:
+    """Approximate heavy-key detection via uniform sampling: a key with
+    ≥ threshold rows appears ≥ threshold*fraction times in the sample in
+    expectation. Deterministic seed for reproducible plans."""
+    min_sampled = max(1, int(threshold * sample_fraction / 2))
+    rows = (
+        df.sample(fraction=sample_fraction, seed=42)
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") >= min_sampled)
+        .select(key)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def with_salt(
+    df: DataFrame,
+    heavy_keys: list[str],
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Add a ``_salt`` column: 0 for normal keys, hash-spread for heavy
+    ones. Deterministic (derived from data, not partition order)."""
+    is_heavy = F.col(key).isin(heavy_keys) if heavy_keys else F.lit(False)
+    return df.withColumn(
+        "_salt",
+        F.when(is_heavy, F.pmod(F.xxhash64(key, order_col), F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def salted_conv_stats(
+    extracted: DataFrame,
+    heavy_keys: list[str] | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-conversation stats with salted two-level aggregation — same
+    result as pipeline.conv_stats, skew-immune plan. All aggregates used
+    are algebraic (count/sum), so partials combine exactly."""
+    if heavy_keys is None:
+        heavy_keys = heavy_hitters(extracted)
+    salted = with_salt(extracted, heavy_keys, n_salts=n_salts)
+    partial = salted.groupBy("conv_id", "_salt").agg(
+        F.count("*").alias("turns"),
+        F.sum(F.length("extracted_text")).alias("extracted_chars"),
+        F.sum("parse_errors").alias("parse_errors"),
+        F.sum(F.size("spans")).alias("n_spans"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("turns").alias("turns"),
+        F.sum("extracted_chars").alias("extracted_chars"),
+        F.sum("parse_errors").alias("parse_errors"),
+        F.sum("n_spans").alias("n_spans"),
+    )
