@@ -1,0 +1,191 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, all shuffle-conscious:
+
+* **exact** — hash-groupBy on md5(text). One shuffle on a 16-byte key;
+  at 100 TB this is the cheapest possible dedup (shuffle carries hashes
+  + ids, never payloads).
+* **MinHash + LSH** — word-shingle → k min-hashes → band buckets →
+  candidate pairs from bucket joins only (never all-pairs), verified by
+  true Jaccard. Signature build is one explode + one groupBy(doc) with
+  map-side combine; banding joins are equi-joins on (band, bucket-hash),
+  AQE-splittable.
+* **SimHash** — 16-bit sign-vote fingerprint; near-dups share the
+  fingerprint (or a Hamming-adjacent one). Pure column math, one shuffle.
+* **n-gram Jaccard** — exact similarity for candidate pairs sharing a
+  shingle; the join is on shingle (pre-filtered by document frequency so
+  stop-shingles don't explode the join — the classic hot-key guard).
+
+All hashing is the portable md5-bigint (hashing.py) so DuckDB oracles can
+replay every step bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .hashing import md5_bigint, seeded
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace — the canonical form all dedup
+    strategies share."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct normalized
+    text. Returns (hash, n_dups, keep_id)."""
+    return (
+        df.select(
+            md5_bigint(normalize_text(F.col(text_col))).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, as (id, shingle).
+    Built with native higher-order functions (transform over a range) —
+    no UDF, stays in codegen."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, k: int = 8,
+) -> DataFrame:
+    """k-permutation MinHash signature per document: one explode + one
+    groupBy(id) computing all k minima simultaneously (single shuffle,
+    partial aggregation map-side)."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [F.min(seeded(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2,
+) -> DataFrame:
+    """LSH banding: documents whose signature agrees on all rows of some
+    band become a candidate pair. Join is per-band on the band key —
+    never an all-pairs product."""
+    k = bands * rows
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the self-join — the hot-key guard that keeps the
+    join from exploding on boilerplate shingles at scale.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    rare = (
+        sh.join(
+            sh.groupBy("shingle").agg(F.count("*").alias("df_count")),
+            "shingle",
+        )
+        .filter(F.col("df_count") <= max_shingle_df)
+        .select(id_col, "shingle")
+    )
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_shingles": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_shingles": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
+) -> DataFrame:
+    """16-bit SimHash fingerprint: per bit, sign-vote over token hashes.
+    Pure column math over the token array — no explode, no UDF."""
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    hashes = F.transform(tokens, lambda t: md5_bigint(t))
+    bit_terms = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(bits)
+    ]
+    fingerprint = bit_terms[0]
+    for t in bit_terms[1:]:
+        fingerprint = fingerprint + t
+    return df.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by identical SimHash (near-dup buckets)."""
+    return (
+        simhash(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,111 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure column expressions — whole-stage
+codegen, no UDF — and all replayable in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import md5_bigint, seeded
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic —
+# deliberately small and fixed so the oracle SQL can inline them
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "de", "que", "los", "es", "una", "por"],
+}
+
+_WS_SPLIT = r"\s+"
+# BPE-ish token regex: words, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col):
+    return F.split(F.trim(F.lower(col)), _WS_SPLIT)
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a single
+    composite score in [0,1]."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    en = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0) * 0.4
+        + F.when(
+            n_chars > 0, 1.0 - F.least(punct / n_chars * 5.0, F.lit(1.0))
+        ).otherwise(0.0)
+        * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        punct.alias("punct_chars"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: the language whose stopword list hits
+    the most tokens wins; ties broken by language code order; no hits →
+    'und' (undetermined)."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(sw))).alias(f"hits_{lang}")
+        for lang, sw in STOPWORDS.items()
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 4, n_mins: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``n_mins`` smallest
+    hashes of the k-gram (word) set, concatenated. Robust to small edits
+    anywhere outside the minimizing grams (the rolling-hash fingerprint
+    family, cf. Schleimer et al. winnowing)."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    hashes = F.transform(F.array_distinct(grams), lambda g: md5_bigint(g))
+    mins = F.slice(F.array_sort(hashes), 1, n_mins)
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.transform(mins, lambda h: h.cast("string")), "-").alias(
+            "fingerprint"
+        ),
+    )

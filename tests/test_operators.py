@@ -1,0 +1,250 @@
+"""Tests for the training-data operators (dedup / similarity / text stats /
+multimodal), cross-checked against DuckDB where a SQL oracle exists."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractors_spark.operators import (
+    dedup,
+    multimodal,
+    salting,
+    similarity,
+    text_stats,
+)
+from pdf_extractors_spark.operators.hashing import md5_bigint_py
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------- hashing
+
+
+def test_md5_bigint_portable(spark):
+    from pdf_extractors_spark.operators.hashing import md5_bigint
+
+    df = spark.createDataFrame([("hello",), ("world",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", md5_bigint(F.col("s")).alias("h")).collect()}
+    duck = dict(
+        duckdb.sql(
+            "select s, cast(concat('0x', substr(md5(s),1,8)) as bigint) from (values ('hello'),('world')) t(s)"
+        ).fetchall()
+    )
+    py = {s: md5_bigint_py(s) for s in ("hello", "world")}
+    assert got == duck == py
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_matches_duckdb(spark, documents):
+    got = {
+        r["text_hash"]: (r["n_dups"], r["keep_id"])
+        for r in dedup.exact_dedup(documents).collect()
+    }
+    duck = {
+        h: (n, k)
+        for h, n, k in duckdb.sql(
+            f"""
+            select cast(concat('0x', substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),1,8)) as bigint) as th,
+                   count(*) as n, min(doc_id) as k
+            from '{SF_DIR}/documents.parquet' group by th
+            """
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_minhash_signatures_match_duckdb(spark, documents):
+    got = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(4))
+        for r in dedup.minhash_signatures(documents, k=4).collect()
+    }
+    duck = {
+        row[0]: tuple(row[1:])
+        for row in duckdb.sql(
+            f"""
+            with t as (
+              select doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as w
+              from '{SF_DIR}/documents.parquet'
+            ), sh as (
+              select doc_id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(w) - 3, 0) + 2),
+                        i -> array_to_string(w[i:i+2], ' ')))) as shingle
+              from t
+            )
+            select doc_id,
+              min(cast(concat('0x', substr(md5(concat('0:', shingle)),1,8)) as bigint)) as h0,
+              min(cast(concat('0x', substr(md5(concat('1:', shingle)),1,8)) as bigint)) as h1,
+              min(cast(concat('0x', substr(md5(concat('2:', shingle)),1,8)) as bigint)) as h2,
+              min(cast(concat('0x', substr(md5(concat('3:', shingle)),1,8)) as bigint)) as h3
+            from sh group by doc_id
+            """
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_lsh_candidates_include_exact_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, k=8)
+    cands = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidates(sigs, bands=4, rows=2).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_ngram_jaccard(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "a b c d e f x y"),
+        (4, "q r s t u v w z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs  # no shared shingle
+
+
+def test_simhash_identical_and_different(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "completely unrelated tokens xyzzy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[3]
+    groups = dedup.simhash_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_matches_duckdb(spark, embeddings):
+    queries = (
+        embeddings.filter("vec_id < 3")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cos"])
+        for r in similarity.brute_force_topk(embeddings, queries, k=3).collect()
+    }
+    duck = {
+        (q, rk): (v, c)
+        for q, v, c, rk in duckdb.sql(
+            f"""
+            with e as (select vec_id, cast(embedding as double[]) as embedding
+                       from '{SF_DIR}/embeddings.parquet'),
+            q as (select vec_id as query_id, embedding as qe from e where vec_id < 3)
+            select query_id, vec_id,
+                   round(list_cosine_similarity(qe, embedding), 4) as cos,
+                   row_number() over (partition by query_id
+                                      order by round(list_cosine_similarity(qe, embedding),4) desc, vec_id) as rk
+            from q, e where vec_id != query_id
+            qualify rk <= 3
+            """
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_ivf_topk_reasonable_recall(spark, embeddings):
+    queries = (
+        embeddings.filter("vec_id >= 100 and vec_id < 110")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cents = similarity.take_centroids(embeddings, n=8)
+    exact = similarity.brute_force_topk(embeddings, queries, k=5)
+    approx = similarity.ivf_topk(embeddings, queries, cents, k=5, n_probe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # ANN with 3/8 cells probed on random vectors
+
+
+# -------------------------------------------------------------- text stats
+
+
+def test_token_count_matches_duckdb(spark, documents):
+    got = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in text_stats.token_count(documents).collect()
+    }
+    duck = {
+        d: (w, b)
+        for d, w, b in duckdb.sql(
+            f"""
+            select doc_id,
+                   len(string_split_regex(trim(lower(text)), '\\s+')) as ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bpe
+            from '{SF_DIR}/documents.parquet'
+            """
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_quality_and_langid_run(spark, documents):
+    q = text_stats.quality_score(documents)
+    rows = q.collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    li = text_stats.lang_id(documents)
+    preds = {r["lang_pred"] for r in li.collect()}
+    assert preds <= {"en", "de", "fr", "es", "und"}
+
+
+def test_fingerprint_stability(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "entirely different content with no overlap whatsoever in grams"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in text_stats.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    # frame-sample plan fan-out
+    frames = multimodal.frame_sample_plan(media, every_ms=5000)
+    assert frames.count() > 0
+    assert frames.filter("frame_ts_ms % 5000 != 0").count() == 0
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"bytes", "image", fake=False)
