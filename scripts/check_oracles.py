@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and, where an
+``oracle_sql()`` entry exists, the SQL on DuckDB over the same parquet
+tables; compare row count, column names, and an order-insensitive value
+hash (columns sorted by name, every value stringified).
+
+Usage: python3 scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_value(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ""
+        return f"{v:.6g}"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], columns: list[str]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(_norm_value(row[i]) for i in order) for row in rows
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pdf_extractors_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check-oracles", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"create view {t} as select * from '{path}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        spark_secs = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows={len(rows):6d}  (rows-only) {spark_secs:5.1f}s")
+            if len(rows) == 0:
+                failures.append((name, "zero rows"))
+            continue
+        res = con.execute(oracles[name])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        ok_cols = sorted(cols) == sorted(duck_cols)
+        ok_count = len(rows) == len(duck_rows)
+        ok_hash = value_hash(rows, cols) == value_hash(duck_rows, duck_cols)
+        status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        print(
+            f"  {name:28s} rows={len(rows):6d} cols={'OK' if ok_cols else sorted(cols)!r:}"
+            f" count={'OK' if ok_count else len(duck_rows)} hash={'OK' if ok_hash else 'MISMATCH'}"
+            f"  [{status}] {spark_secs:5.1f}s"
+        )
+        if status != "OK ":
+            failures.append((name, f"cols={ok_cols} count={ok_count} hash={ok_hash}"))
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all oracle checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
