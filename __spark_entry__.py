@@ -63,9 +63,11 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_extractors_spark.fixtures import gen
 
     _ship_package(spark)
+    from pdf_extractors_spark.fixtures.payloads import FIXTURE_VERSION
+
     name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
     n_convs = _TRANSCRIPT_CONVS.get(name, 150)
-    path = f"/tmp/spark_graft_transcripts_{name}_{n_convs}"
+    path = f"/tmp/spark_graft_transcripts_{name}_{n_convs}_v{FIXTURE_VERSION}"
     gen.materialize(spark, path, n_convs=n_convs, max_turns=200)
     return spark.read.parquet(path)
 
@@ -323,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_ruled_table"] = _family("ruled_table")          # S3/S6/X1/M5/F10
     q["extract_fixedwidth_table"] = _family("fixedwidth_table")  # M6/F7/F8/X13
     q["extract_html_main_content"] = _family("html_page")      # north-rule F1 generalization
+    q["extract_form_fields"] = _family("form_page")            # S10 + question mapping
 
     def q_conv_stats(spark, sf):
         """A3 + salted two-level aggregation over the extracted table."""

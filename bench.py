@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the transcript-extraction stage (the north-rule pipeline) and
+reports turns/sec. ``--extract-only`` times just the extraction job (used
+by scripts/bench_scaling.py for the N vs 4N cores scaling evidence).
+
+The synthetic transcripts input is generated once per sf tier and cached
+under /tmp, so repeated runs (and the two scaling runs) read the exact
+same parquet bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "exact_dedup",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "simhash",
+    "cosine_topk",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "pricing_summary",
+    "broadcast_join",
+    "forward_fill",
+    "sessionize",
+    "explode_lines",
+]
+
+_BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> int:
+    extract_only = "--extract-only" in sys.argv
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from pdf_extractors_spark import pipeline
+    from pdf_extractors_spark.fixtures import gen
+    from pdf_extractors_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+        extra_conf={
+            # the bench input is many small files by construction (one
+            # file = one task = one unit of balanced work at any core
+            # count); stop Spark from packing them into few fat splits
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- transcripts input: generated once, cached, shared across runs.
+    # 256 files → 256 input splits → parallelism comes from split planning
+    # (the scale-correct path: no repartition shuffle of payload bytes).
+    name = os.path.basename(sf_dir.rstrip("/")) or "sf0.1"
+    n_convs = _BENCH_CONVS.get(name, 2000)
+    from pdf_extractors_spark.fixtures.payloads import FIXTURE_VERSION
+
+    tpath = (
+        f"/tmp/spark_graft_bench_transcripts_{name}_{n_convs}_p256_v{FIXTURE_VERSION}"
+    )
+    gen.materialize(spark, tpath, n_convs=n_convs, max_turns=200, partitions=256)
+    transcripts = spark.read.parquet(tpath)
+
+    # --extract-only (scaling mode): replicate the cached input K× with a
+    # narrow explode (no join, no shuffle; conv ids re-keyed per replica)
+    # so the timed job is tens of seconds of real work, far above Spark's
+    # fixed scheduling overhead — otherwise the 4N run measures overhead,
+    # not throughput.
+    replicate = int(
+        os.environ.get("SPARK_GRAFT_REPLICATE", "16" if extract_only else "1")
+    )
+    if replicate > 1:
+        transcripts = (
+            transcripts.withColumn(
+                "_rep", F.explode(F.array(*[F.lit(i) for i in range(replicate)]))
+            )
+            .withColumn("conv_id", F.concat_ws("#", "conv_id", "_rep"))
+            .drop("_rep")
+        )
+    n_turns = transcripts.count()
+
+    timings: dict[str, float] = {}
+
+    # warmup: exercise the FULL Python worker pool (one task per core)
+    # so the timed runs measure steady-state throughput, not worker
+    # spawn + pandas import
+    pipeline.extract_transcripts(
+        transcripts.limit(64 * cpus), repartition_to=cpus
+    ).count()
+
+    # ---- extraction throughput (the headline number): median of 3
+    def _one_extract_run() -> tuple[float, object]:
+        t0 = time.time()
+        agg_row = (
+            pipeline.extract_transcripts(transcripts)
+            .agg(F.count("*").alias("rows"), F.sum("parse_errors").alias("errs"))
+            .collect()[0]
+        )
+        return time.time() - t0, agg_row
+
+    n_reps = 3 if extract_only else 1
+    runs = [_one_extract_run() for _ in range(n_reps)]
+    runs.sort(key=lambda r: r[0])
+    extract_secs, agg = runs[len(runs) // 2]
+    timings["extract_transcripts"] = round(extract_secs, 3)
+    turns_per_sec = n_turns / extract_secs if extract_secs else 0.0
+
+    if not extract_only:
+        queries = entrymod.queries()
+        for qname in BENCH_QUERIES:
+            t0 = time.time()
+            queries[qname](spark, sf_dir).count()
+            timings[qname] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+                "cpus": cpus,
+                "extraction": {
+                    "turns": int(n_turns),
+                    "rows": int(agg["rows"]),
+                    "parse_errors": int(agg["errs"] or 0),
+                    "secs": round(extract_secs, 3),
+                    "turns_per_sec": round(turns_per_sec, 1),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

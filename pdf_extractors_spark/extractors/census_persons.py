@@ -25,6 +25,7 @@ so output is identical under any partitioning.
 
 from __future__ import annotations
 
+import functools
 import re
 import warnings
 
@@ -436,6 +437,7 @@ def set_personal_ids(household_id: str, declarant_ids: list[str], declarant_name
 _RE_NOS_AND = re.compile(r"(?:nos\. )(\d\?* and \d\?*)", re.IGNORECASE)
 
 
+@functools.lru_cache(maxsize=64)
 def _number_pattern(ref_no: int) -> re.Pattern[str]:
     tok = f"{ref_no}|l" if ref_no == 1 else str(ref_no)
     return re.compile(
@@ -469,10 +471,14 @@ def find_number_reference(ref_no: int, persons: list[dict]) -> list:
     return indexes
 
 
+_RE_REMOVE_NOS_AND = re.compile(r"(?:nos\. )(\d and \d)", re.IGNORECASE)
+_RE_REMOVE_NUM = re.compile(r"(nos\. [\d|l]|\[no\. *[\d|l]\?*\])", re.IGNORECASE)
+
+
 def remove_reference_num_entry(referenced_person: dict, referenced_by: dict, referenced_index: int, key: str) -> None:
     """J7 (persons.py:648-666)."""
-    number_and = re.compile(r"(?:nos\. )(\d and \d)", re.IGNORECASE)
-    number = re.compile(r"(nos\. [\d|l]|\[no\. *[\d|l]\?*\])", re.IGNORECASE)
+    number_and = _RE_REMOVE_NOS_AND
+    number = _RE_REMOVE_NUM
     for item in list(referenced_by[key]):
         m = number_and.search(item)
         if m:
@@ -592,7 +598,8 @@ _SET_REL_WORDS = (
 )
 
 
-def _rel_patterns(tok: str) -> list[re.Pattern[str]]:
+@functools.lru_cache(maxsize=64)
+def _rel_patterns(tok: str) -> tuple[re.Pattern[str], ...]:
     """The 9-pattern cascade of set_relations (persons.py:543-551)."""
     raw = [
         r",\s*(" + _SET_REL_WORDS + r")\s*of\s*[^\[]*\[*\s*nos*\.\s*(?:{0})\s*\]\?*(.*brother)*",
@@ -610,7 +617,7 @@ def _rel_patterns(tok: str) -> list[re.Pattern[str]]:
     # it; the quirk is preserved deliberately.
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", FutureWarning)
-        return [re.compile(p.format(tok), re.IGNORECASE) for p in raw]
+        return tuple(re.compile(p.format(tok), re.IGNORECASE) for p in raw)
 
 
 def set_specific_relation(referenced: dict, referenced_by: dict, relation: str, referenced_index: int, question_mark: bool = False) -> None:

@@ -17,7 +17,17 @@ from __future__ import annotations
 
 import json
 
-from . import census_household, census_persons, ffiec, fixedwidth, html_content, mobil, nordic, ruled
+from . import (
+    census_household,
+    census_persons,
+    ffiec,
+    fixedwidth,
+    form_fields,
+    html_content,
+    mobil,
+    nordic,
+    ruled,
+)
 
 
 def _extract_census(payload: str) -> dict:
@@ -39,6 +49,7 @@ EXTRACTORS = {
     "ruled_table": ruled.extract,
     "fixedwidth_table": fixedwidth.extract,
     "html_page": html_content.extract,
+    "form_page": form_fields.extract,
 }
 
 

@@ -92,15 +92,28 @@ def gen_spark(spark, n_convs: int, max_turns: int = 200, partitions: int | None 
             for conv_id in pdf["conv_id"]:
                 yield turns_for_conv(conv_id, mt)
 
-    return ids.repartition(partitions, "conv_id").mapInPandas(build, schema=schema)
+    turns = ids.repartition(partitions, "conv_id").mapInPandas(build, schema=schema)
+    # rebalance at TURN granularity: partitioning by conv_id alone leaves
+    # power-law-sized partitions (one 200-turn conversation ≫ eight
+    # short ones), which skews downstream input splits; hashing on
+    # (conv_id, turn_idx) yields uniform, deterministic files — the same
+    # write-distribution an Iceberg table would use at scale.
+    return turns.repartition(partitions, "conv_id", "turn_idx")
 
 
-def materialize(spark, path: str, n_convs: int, max_turns: int = 200, overwrite: bool = False) -> str:
+def materialize(
+    spark,
+    path: str,
+    n_convs: int,
+    max_turns: int = 200,
+    overwrite: bool = False,
+    partitions: int | None = None,
+) -> str:
     """Write the transcripts parquet once; reuse across runs (cache keyed by
     caller-chosen path). Returns the path."""
     marker = os.path.join(path, "_SUCCESS")
     if not overwrite and os.path.exists(marker):
         return path
-    df = gen_spark(spark, n_convs, max_turns)
+    df = gen_spark(spark, n_convs, max_turns, partitions=partitions)
     df.write.mode("overwrite").parquet(path)
     return path

@@ -21,6 +21,10 @@ from __future__ import annotations
 import hashlib
 import random
 
+# bump when FAMILIES or any generator changes — cache paths embed it so
+# stale /tmp fixtures are never reused across versions
+FIXTURE_VERSION = 2
+
 FAMILIES = (
     "invoice_ocr",
     "census_page",
@@ -29,6 +33,7 @@ FAMILIES = (
     "ruled_table",
     "fixedwidth_table",
     "html_page",
+    "form_page",
 )
 
 
@@ -323,6 +328,41 @@ def gen_html_page(rng: random.Random) -> str:
     )
 
 
+# ------------------------------------------------------------------ form_page
+
+_FORM_FIELDS = [
+    ("consent_done", "checkbox"),
+    ("code_text", "textbox"),
+    ("grp_a", "checkbox"),
+    ("grp_b", "checkbox"),
+    ("grp_c", "checkbox"),
+    ("int_sports", "checkbox"),
+    ("int_music", "checkbox"),
+    ("int_art", "checkbox"),
+]
+
+
+def gen_form_page(rng: random.Random) -> str:
+    """Serialized AcroForm widgets, one per line: name|value|type_code
+    (playground/pdf.py:7-27 field model)."""
+    lines = []
+    group = rng.choice(["grp_a", "grp_b", "grp_c"])
+    for name, ftype in _FORM_FIELDS:
+        if ftype == "textbox":
+            value = f"{rng.choice('ABCDEFG')}{rng.choice('HIJKLMN')}{rng.randint(10, 99)}"
+            code = 0
+        else:
+            if name.startswith("grp_"):
+                value = "Yes" if name == group else "Off"
+            else:
+                value = rng.choice(["Yes", "Off"])
+            code = 1
+        lines.append(f"{name}|{value}|{code}")
+    if rng.random() < 0.3:
+        lines.append(f"extra_button||5")
+    return "\n".join(lines)
+
+
 _GENERATORS = {
     "invoice_ocr": gen_invoice_ocr,
     "census_page": gen_census_page,
@@ -331,6 +371,7 @@ _GENERATORS = {
     "ruled_table": gen_ruled_table,
     "fixedwidth_table": gen_fixedwidth_table,
     "html_page": gen_html_page,
+    "form_page": gen_form_page,
 }
 
 

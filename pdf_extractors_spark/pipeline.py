@@ -62,15 +62,34 @@ EXTRACTED_SCHEMA = StructType(
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The Arrow-batched extraction kernel. Runs once per Arrow batch
     (≤ spark.sql.execution.arrow.maxRecordsPerBatch rows); per-document
-    loops only, no per-row Spark-side Python."""
+    loops only, no per-row Spark-side Python. Output assembled columnar
+    (lists per column), not as per-row dicts — measurably cheaper at
+    batch sizes in the thousands."""
+    import json as _json
+
     for pdf in batches:
-        rows = [
-            dispatch.to_row(c, int(t), k, x)
-            for c, t, k, x in zip(pdf["conv_id"], pdf["turn_idx"], pdf["tool"], pdf["text"])
-        ]
+        texts: list[str] = []
+        spans: list[list] = []
+        records: list[str] = []
+        errors: list[int] = []
+        for kind, payload in zip(pdf["tool"], pdf["text"]):
+            out = dispatch.extract_one(kind, payload)
+            texts.append(out["extracted_text"])
+            spans.append(out["spans"])
+            records.append(
+                _json.dumps(out["records"], ensure_ascii=False, sort_keys=True)
+            )
+            errors.append(out["parse_errors"])
         yield pd.DataFrame(
-            rows,
-            columns=[f.name for f in EXTRACTED_SCHEMA.fields],
+            {
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "kind": pdf["tool"].values,
+                "extracted_text": texts,
+                "spans": spans,
+                "records": records,
+                "parse_errors": errors,
+            }
         )
 
 
@@ -162,6 +181,32 @@ def explode_turn_lines(transcripts: DataFrame) -> DataFrame:
         "turn_idx",
         F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
     )
+
+
+def explode_multirow_cells(df: DataFrame, cols: list[str]) -> DataFrame:
+    """M9 (playground/ocr_to_csv_sak.py:127-142): cells may contain
+    embedded newlines; emit max_splits rows per input row, repeating a
+    cell's FIRST part when it has fewer parts than the widest cell.
+    Pure column math: split → greatest(size) → posexplode(sequence) →
+    coalesce(element_at(i+1), element_at(1))."""
+    parts = {c: F.split(F.col(c), "\n") for c in cols}
+    m = F.greatest(*[F.size(parts[c]) for c in cols]) if len(cols) > 1 else F.size(
+        parts[cols[0]]
+    )
+    others = [c for c in df.columns if c not in cols]
+    exploded = df.select(
+        *others,
+        *[parts[c].alias(f"_p_{c}") for c in cols],
+        F.explode(F.sequence(F.lit(0), m - 1)).alias("_i"),
+    )
+    picked = [
+        F.coalesce(
+            F.try_element_at(F.col(f"_p_{c}"), F.col("_i") + 1),
+            F.try_element_at(F.col(f"_p_{c}"), F.lit(1)),
+        ).alias(c)
+        for c in cols
+    ]
+    return exploded.select(*others, F.col("_i").alias("part_no"), *picked)
 
 
 def boilerplate_filter(lines: DataFrame, line_col: str = "line") -> DataFrame:

@@ -79,4 +79,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.addPyFile(_package_zip())
+    # Warm Spark 4's ICU collation machinery single-threaded:
+    # CollationAwareUTF8String.<clinit> (triggered by the first
+    # lower()/upper()) takes seconds, and when dozens of tasks race the
+    # class-init lock it degrades to minutes. Constant-folding this
+    # expression initializes the class on the driver thread — which in
+    # local mode is the executor JVM too.
+    spark.range(1).selectExpr("lower('ICU-WARMUP') as w").collect()
     return spark

@@ -1,0 +1,90 @@
+"""Structured Streaming front-end for the extraction stage.
+
+The reference is batch-only and the north rule is resumable batch, so
+streaming is not a required operator (SURVEY.md §2.8) — but the extraction
+stage is stateless per turn, which makes it trivially streamable: the same
+``mapInPandas`` kernel runs unchanged on a streaming DataFrame. This module
+wires that up for incremental ingestion (new transcript files appearing in
+a directory → extracted parquet, exactly-once via checkpointLocation).
+
+Late data: extraction itself needs no watermark (no cross-row state). The
+conv-level rollup example below shows the watermarked windowed-aggregation
+shape for the one stage that does aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .. import pipeline
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def extract_stream(transcripts: DataFrame) -> DataFrame:
+    """The batch extraction kernel, applied to a streaming DataFrame —
+    mapInPandas is supported in append-mode streams because it is
+    stateless."""
+    return transcripts.mapInPandas(
+        pipeline._extract_batches, schema=pipeline.EXTRACTED_SCHEMA
+    )
+
+
+def start_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental extraction job: processes whatever files exist
+    (availableNow) or runs continuously. Exactly-once through the stream
+    checkpoint — the streaming analogue of checkpoint.py's manifests."""
+    stream = extract_stream(read_transcript_stream(spark, input_dir))
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_conv_stats(transcripts: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked windowed rollup (the streaming form of conv_stats):
+    late turns beyond the watermark are dropped deterministically."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+    )

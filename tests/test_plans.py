@@ -1,0 +1,97 @@
+"""Physical-plan audits: the plans that matter at 100 TB, pinned as tests.
+
+* predicate pushdown reaches the parquet scan (F3 page-range pruning),
+* column pruning keeps the heavy payload column out of metadata queries,
+* the small dimension side of a join broadcasts (no shuffle of the big side),
+* the extraction stage itself contains no Exchange (no shuffle),
+* scalar pipelines stay inside WholeStageCodegen.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from pdf_extractors_spark import pipeline
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_scan(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(1000).select(
+        F.col("id").alias("turn_idx"), F.lit("x").alias("text")
+    ).write.parquet(path)
+    df = spark.read.parquet(path).filter("turn_idx between 6 and 272")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(turn_idx,6)" in plan
+    assert "LessThanOrEqual(turn_idx,272)" in plan
+
+
+def test_column_pruning(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "payload " * 100, "en")], "doc_id long, text string, lang string"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).select("doc_id", "lang")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    # the heavy text column must not be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_broadcast_join_used(spark):
+    big = spark.range(10000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    small = spark.range(10).select(F.col("id").alias("k"), F.lit(2).alias("w"))
+    joined = big.join(F.broadcast(small), "k")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def _parquet_transcripts(spark, small_transcripts, tmp_path):
+    """Round-trip through parquet so the plan under audit starts from a
+    clean file scan (the cached fixture's lineage contains the generator's
+    own repartition Exchange)."""
+    path = str(tmp_path / "transcripts")
+    small_transcripts.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_extraction_stage_has_no_shuffle(spark, small_transcripts, tmp_path):
+    src = _parquet_transcripts(spark, small_transcripts, tmp_path)
+    ext = pipeline.extract_transcripts(src)
+    plan = _plan(ext)
+    assert "Exchange" not in plan  # narrow: scan → mapInPandas, nothing else
+
+
+def test_scalar_ops_stay_in_codegen(spark, tmp_path):
+    path = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).select(
+        "doc_id", F.regexp_replace("text", "[\\r\\n\\t]", " ").alias("n")
+    )
+    # Spark 4 formatted plans mark whole-stage-codegen nodes with
+    # "[codegen id : N]"
+    assert "codegen id" in _plan(df)
+
+
+def test_window_fill_down_single_shuffle(spark, small_transcripts, tmp_path):
+    src = _parquet_transcripts(spark, small_transcripts, tmp_path)
+    ext = pipeline.extract_transcripts(src)
+    filled = pipeline.conv_forward_fill(ext)
+    plan = _plan(filled)
+    # exactly one Exchange node: hashpartitioning(conv_id) for the window
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
