@@ -482,6 +482,64 @@ def oracle_sql() -> dict[str, str]:
             where round(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 4) >= 0.5
         """,
         "simhash": _simhash_sql(),
+        "minhash_lsh_candidates": f"""
+            with t as (select doc_id, string_split({norm}, ' ') as w from documents),
+            sh as (select doc_id, unnest({shingle3}) as shingle from t),
+            sig as (
+              select doc_id,
+                {", ".join(
+                    f"min(cast(concat('0x', substr(md5(concat('{i}:', shingle)),1,8)) as bigint)) as h{i}"
+                    for i in range(8)
+                )}
+              from sh group by doc_id
+            ),
+            banded as (
+              select doc_id, b.band,
+                     case b.band
+                       when 0 then concat(cast(h0 as varchar), ',', cast(h1 as varchar))
+                       when 1 then concat(cast(h2 as varchar), ',', cast(h3 as varchar))
+                       when 2 then concat(cast(h4 as varchar), ',', cast(h5 as varchar))
+                       else concat(cast(h6 as varchar), ',', cast(h7 as varchar))
+                     end as key
+              from sig, (values (0),(1),(2),(3)) b(band)
+            )
+            select distinct a.doc_id as id_a, b.doc_id as id_b
+            from banded a join banded b using (band, key)
+            where a.doc_id < b.doc_id
+        """,
+        "ivf_ann_topk": """
+            with e as (select vec_id, cast(embedding as double[]) as embedding
+                       from embeddings),
+            c as (select vec_id as centroid_id, embedding as ce from e where vec_id < 8),
+            assigned as (
+              select vec_id, embedding, centroid_id
+              from (select e.vec_id, e.embedding, c.centroid_id,
+                           round(list_cosine_similarity(e.embedding, c.ce), 6) as cos_c,
+                           row_number() over (partition by e.vec_id
+                                order by round(list_cosine_similarity(e.embedding, c.ce), 6) desc,
+                                         c.centroid_id) as rn
+                    from e, c) t
+              where rn = 1
+            ),
+            q as (select vec_id as query_id, embedding as qe from e where vec_id < 5),
+            probes as (
+              select query_id, qe, centroid_id
+              from (select q.query_id, q.qe, c.centroid_id,
+                           row_number() over (partition by q.query_id
+                                order by round(list_cosine_similarity(q.qe, c.ce), 6) desc,
+                                         c.centroid_id) as rn
+                    from q, c) t
+              where rn <= 3
+            )
+            select query_id, vec_id,
+                   round(list_cosine_similarity(qe, embedding), 4) as cos,
+                   cast(row_number() over (partition by query_id
+                        order by round(list_cosine_similarity(qe, embedding), 4) desc,
+                                 vec_id) as bigint) as rank
+            from probes join assigned using (centroid_id)
+            where vec_id != query_id
+            qualify rank <= 5
+        """,
         "cosine_topk": """
             with e as (select vec_id, cast(embedding as double[]) as embedding
                        from embeddings),

@@ -324,7 +324,11 @@ _RE_SELF = re.compile(
 
 
 def get_relation_to_declarant(data: str, household_id: str = "") -> str | None:
-    """X11 (persons.py:286-317)."""
+    """X11 (persons.py:286-317). Cheap guard first (SURVEY §4): every
+    pattern in the cascade requires the literal 'declarant', so its
+    absence short-circuits the whole battery."""
+    if "declarant" not in data.lower():
+        return None
     m = _RE_RELATION.search(data)
     if m:
         return m.group(1).lower()
@@ -451,6 +455,9 @@ def find_number_reference(ref_no: int, persons: list[dict]) -> list:
     indexes: list = []
     pat = _number_pattern(ref_no)
     for index, person in enumerate(persons):
+        # cheap guard: every reference pattern requires 'no' ('no.'/'nos.')
+        if "no" not in person["data"].lower():
+            continue
         m = _RE_NOS_AND.search(person["data"])
         if m:
             for val in m.group(1).strip().split(" and "):

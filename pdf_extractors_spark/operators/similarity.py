@@ -80,8 +80,10 @@ def ivf_assign(
             F.col("centroid_id"), F.col(vec_col).alias("_c")
         )
     )
+    # rounded before ordering so cell assignment is reproducible across
+    # engines (the DuckDB oracle replays this ordering bit-for-bit)
     scored = vectors.select(F.col(id_col), F.col(vec_col)).join(c).withColumn(
-        "cos_c", cosine(F.col(vec_col), F.col("_c"))
+        "cos_c", F.round(cosine(F.col(vec_col), F.col("_c")), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
     return (
@@ -118,7 +120,7 @@ def ivf_topk(
     q_cells = (
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_q"))
         .join(c)
-        .withColumn("cos_c", cosine(F.col("_q"), F.col("_c")))
+        .withColumn("cos_c", F.round(cosine(F.col("_q"), F.col("_c")), 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_c"), F.asc("centroid_id"))
     probes = (

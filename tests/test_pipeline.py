@@ -120,3 +120,16 @@ def test_gen_spark_matches_gen_pandas(spark):
     # compare without tz-awareness differences on ts
     for col in ["conv_id", "turn_idx", "role", "text", "tool"]:
         assert spark_pdf[col].tolist() == pandas_pdf[col].tolist()
+
+
+def test_arrow_batch_size_invariance(spark, small_transcripts):
+    """Extraction output must not depend on Arrow batch boundaries."""
+    orig = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = _collect(pipeline.extract_transcripts(small_transcripts))
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        big = _collect(pipeline.extract_transcripts(small_transcripts))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", orig)
+    assert small == big
