@@ -1,0 +1,42 @@
+"""Bucketed storage for shuffle-free conversation-level joins.
+
+At 10^12 turns, any per-conversation join (extracted turns ⋈ conv metadata,
+stage-A households ⋈ stage-B persons) re-shuffles both sides on conv_id
+every time unless the tables are written bucketed on that key. Writing
+both sides with the same bucket count lets Spark plan a SortMergeJoin with
+NO Exchange — the join cost collapses to a per-bucket merge.
+
+(The Iceberg equivalent is a `bucket(N, conv_id)` partition transform +
+storage-partitioned joins; this module expresses the same physical design
+over the built-in catalog so it is testable in the sandbox.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "conv_id",
+    buckets: int = 16,
+    sort_by: str | None = "turn_idx",
+) -> None:
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort_by:
+        writer = writer.sortBy(key, sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str = "conv_id"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — Catalyst plans
+    a SortMergeJoin without any Exchange (verified by
+    tests/test_bucketing.py). The merge hint pins the SMJ path: at scale
+    neither side is broadcastable, and SMJ-over-buckets is the plan whose
+    cost stays flat as both sides grow."""
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table), key
+    )
