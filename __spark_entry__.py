@@ -30,16 +30,31 @@ from pdf_extractors_spark.session import _package_zip
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+_PREPARED: set[int] = set()
+
+
 def _ship_package(spark: SparkSession) -> None:
-    """Make the package importable on Python workers regardless of how the
-    driver's SparkSession was created (equivalent of --py-files)."""
+    """Prepare an externally-created SparkSession: ship the package to
+    Python workers (equivalent of --py-files) and pre-initialize Spark 4's
+    ICU collation class single-threaded — its class-init takes ~5s and
+    degrades to minutes when a wide stage's tasks race it (see
+    session.get_spark)."""
+    key = id(spark)
+    if key in _PREPARED:
+        return
+    _PREPARED.add(key)
     try:
         spark.sparkContext.addPyFile(_package_zip())
     except Exception:
         pass  # already added in this context
+    try:
+        spark.range(1).selectExpr("lower('ICU-WARMUP') as w").collect()
+    except Exception:
+        pass
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
