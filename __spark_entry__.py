@@ -303,6 +303,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = q_ivf_topk
 
+    def q_embedding_neardup(spark, sf):
+        """Embedding-cosine near-dup: sign-bit LSH buckets → candidate
+        pairs → exact-cosine verify. Near-duplicates are planted
+        deterministically (last-component sign flip) since the synthetic
+        embeddings table has no natural near-dups (max pairwise cos ≈ 0.51)."""
+        emb = _read(spark, sf, "embeddings")
+        planted = similarity.with_flipped_copies(emb)
+        return _longify(
+            similarity.embedding_neardup_pairs(planted, threshold=0.9)
+        )
+
+    q["embedding_neardup"] = q_embedding_neardup
+
     # ---------------------- text stats family ---------------------------
 
     q["token_count"] = lambda spark, sf: _longify(
@@ -554,6 +567,38 @@ def oracle_sql() -> dict[str, str]:
             from probes join assigned using (centroid_id)
             where vec_id != query_id
             qualify rank <= 5
+        """,
+        "embedding_neardup": f"""
+            with base as (select vec_id, cast(embedding as double[]) as emb
+                          from embeddings),
+            planted as (
+              select vec_id, emb from base
+              union all
+              select vec_id + 1000000,
+                     list_transform(range(1, len(emb) + 1),
+                       i -> case when i = len(emb) then -emb[i] else emb[i] end)
+              from base
+            ),
+            b as (
+              select vec_id, t.band,
+                     concat({", ".join(
+                         f"case when emb[cast(t.band*4 + {r + 1} as int)] > 0 "
+                         "then '1' else '0' end"
+                         for r in range(4)
+                     )}) as key
+              from planted, (values (0),(1),(2),(3)) t(band)
+            ),
+            cand as (
+              select distinct l.vec_id as id_a, r.vec_id as id_b
+              from b l join b r using (band, key)
+              where l.vec_id < r.vec_id
+            )
+            select id_a, id_b,
+                   round(list_cosine_similarity(a.emb, c.emb), 4) as cos
+            from cand
+            join planted a on a.vec_id = id_a
+            join planted c on c.vec_id = id_b
+            where round(list_cosine_similarity(a.emb, c.emb), 4) >= 0.9
         """,
         "cosine_topk": """
             with e as (select vec_id, cast(embedding as double[]) as embedding

@@ -104,6 +104,101 @@ def take_centroids(vectors: DataFrame, n: int = 8, id_col: str = "vec_id", vec_c
     )
 
 
+def signbit_buckets(
+    vectors: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH bucket keys for cosine similarity: band ``b`` hashes
+    the vector to the sign pattern of components ``[b*rows, (b+1)*rows)``
+    (axis-aligned hyperplanes — deterministic, so the DuckDB oracle can
+    replay the bucketing bit-for-bit). Two vectors that agree on all
+    ``rows`` signs of some band land in the same bucket for that band."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                *[
+                    F.when(
+                        F.element_at(F.col(vec_col), b * rows + r + 1) > 0, F.lit("1")
+                    ).otherwise(F.lit("0"))
+                    for r in range(rows)
+                ]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return vectors.select(
+        id_col, F.explode(F.array(*entries)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 4,
+    rows: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, the scale path:
+
+    1. **bucket** — sign-bit LSH (``signbit_buckets``): per-band equi-join
+       on (band, key) yields candidate pairs only — never the all-pairs
+       product, so at 100 TB the join cost tracks bucket occupancy, not N².
+    2. **verify** — exact cosine (JVM-side ``zip_with``/``aggregate``,
+       no UDF) on candidates; keep pairs with cosine ≥ ``threshold``.
+
+    Returns (id_a, id_b, cos), id_a < id_b. The candidate join carries only
+    (id, band, key); embeddings are re-joined for the (much smaller)
+    verification, so shuffles never move vectors for non-candidates."""
+    b = signbit_buckets(vectors, bands, rows, id_col, vec_col)
+    cand = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def with_flipped_copies(
+    vectors: DataFrame,
+    id_offset: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic near-duplicate planting for tests/benchmarks: union the
+    input with a copy of every vector whose LAST component has its sign
+    flipped (cosine = 1 - 2·v_d²/‖v‖² ≈ 0.97 for 64-dim vectors — near
+    but never exactly 1). Copies get ``id + id_offset``."""
+    d = F.size(F.col(vec_col))
+    flipped = vectors.select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        F.transform(
+            F.col(vec_col), lambda x, i: F.when(i == d - 1, -x).otherwise(x)
+        ).alias(vec_col),
+    )
+    return vectors.select(id_col, vec_col).unionByName(flipped)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -186,6 +186,34 @@ def test_ivf_topk_reasonable_recall(spark, embeddings):
     assert recall >= 0.3  # ANN with 3/8 cells probed on random vectors
 
 
+def test_embedding_neardup_finds_planted_pairs(spark, embeddings):
+    """Sign-bit LSH bucketing + exact-cosine verify recovers every planted
+    near-duplicate: a last-component sign flip leaves the first 16
+    components' signs unchanged, so original and copy share all 4 band
+    keys; their cosine is 1 - 2·v_d²/‖v‖² ≈ 0.97 for 64-dim vectors."""
+    planted = similarity.with_flipped_copies(embeddings, id_offset=1_000_000)
+    pairs = similarity.embedding_neardup_pairs(planted, threshold=0.9)
+    rows = pairs.collect()
+    assert rows, "no near-dup pairs found"
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in rows}
+    for (a, b), cos in got.items():
+        assert a < b
+        assert cos >= 0.9
+    n_vecs = embeddings.count()
+    planted_found = sum(1 for (a, b) in got if b == a + 1_000_000)
+    # nearly all planted pairs clear the 0.9 cosine bar (a vector with an
+    # unusually large last component legitimately falls below it)
+    assert planted_found >= 0.9 * n_vecs
+    # verification actually filters: no pair below threshold sneaks in
+    assert all(c >= 0.9 for c in got.values())
+
+
+def test_embedding_neardup_no_false_positives_on_base(spark, embeddings):
+    """On the raw table (max pairwise cosine ≈ 0.51) the verify stage
+    leaves nothing — buckets alone never produce output pairs."""
+    assert similarity.embedding_neardup_pairs(embeddings, threshold=0.9).count() == 0
+
+
 # -------------------------------------------------------------- text stats
 
 
