@@ -91,6 +91,26 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.extract_transcripts(_transcripts(spark, sf_dir))
 
 
+# The driver's correctness gate runs at sf0.01 (150 conversations). The
+# flattened extraction queries below are value-checked against DuckDB SQL
+# that re-derives the same fields from the raw transcripts parquet; this
+# helper materializes that parquet driver-side (single file, pyarrow) so
+# the oracle can read it without a SparkSession. Payloads are pure
+# functions of (conv_id, turn_idx), so both writers see identical data.
+_ORACLE_CONVS = _TRANSCRIPT_CONVS["sf0.01"]
+
+
+def _oracle_transcripts_file() -> str:
+    from pdf_extractors_spark.fixtures import gen
+    from pdf_extractors_spark.fixtures.payloads import FIXTURE_VERSION
+
+    path = (
+        f"/tmp/spark_graft_transcripts_oracle_{_ORACLE_CONVS}"
+        f"_v{FIXTURE_VERSION}.parquet"
+    )
+    return gen.materialize_pandas(path, n_convs=_ORACLE_CONVS, max_turns=200)
+
+
 # ---------------------------------------------------------------- entry
 
 
@@ -355,6 +375,149 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_html_main_content"] = _family("html_page")      # north-rule F1 generalization
     q["extract_form_fields"] = _family("form_page")            # S10 + question mapping
 
+    # ------------- flattened extraction outputs (SQL-oracled) -----------
+    # Each takes the REAL pipeline output (the Arrow-batched extractors'
+    # `records` JSON), flattens it to typed columns, and is value-checked
+    # against a DuckDB re-derivation from the raw transcripts payloads —
+    # a full end-to-end equality check of the extractor, not rows-only.
+
+    _FORM_RECORDS_SCHEMA = (
+        "array<struct<"
+        "questions: array<struct<answer: string, answer_type: string, question: string>>, "
+        "widgets: array<struct<field_name: string, field_type: int, "
+        "field_type_description: string, field_value: string>>>>"
+    )
+
+    def q_form_widgets_flat(spark, sf):
+        """S10 flattened: one row per parsed AcroForm widget
+        (playground/pdf.py:7-27 field model)."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "form_page")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.from_json("records", _FORM_RECORDS_SCHEMA)).alias("r"),
+        )
+        return _longify(
+            recs.select(
+                "conv_id",
+                "turn_idx",
+                F.explode("r.widgets").alias("w"),
+            ).select(
+                "conv_id",
+                "turn_idx",
+                F.col("w.field_name").alias("field_name"),
+                F.col("w.field_value").alias("field_value"),
+                F.col("w.field_type").alias("field_type"),
+                F.col("w.field_type_description").alias("field_type_description"),
+            )
+        )
+
+    q["form_widgets_flat"] = q_form_widgets_flat
+
+    def q_form_questions_flat(spark, sf):
+        """Question-mapping resolution flattened: one row per question
+        (pdf-form-to-excel mapping model)."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "form_page")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.from_json("records", _FORM_RECORDS_SCHEMA)).alias("r"),
+        )
+        return _longify(
+            recs.select(
+                "conv_id", "turn_idx", F.explode("r.questions").alias("qq")
+            ).select(
+                "conv_id",
+                "turn_idx",
+                F.col("qq.question").alias("question"),
+                F.col("qq.answer_type").alias("answer_type"),
+                F.col("qq.answer").alias("answer"),
+            )
+        )
+
+    q["form_questions_flat"] = q_form_questions_flat
+
+    _FW_SCHEMA = (
+        "array<struct<loc:string,num:string,cases:string,size:string,"
+        "description:string,price:string,disc:string,price2:string,"
+        "deposit_total:string,total:string,is_header:boolean>>"
+    )
+
+    def q_fixedwidth_items_flat(spark, sf):
+        """M6/F7/F8/X13 flattened: one row per fixed-width line item
+        (mancini invoice.py semantics), item_no = emit order."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "fixedwidth_table")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.from_json("records", _FW_SCHEMA)).alias("item_no", "r"),
+        )
+        return _longify(
+            recs.select("conv_id", "turn_idx", "item_no", "r.*")
+        )
+
+    q["fixedwidth_items_flat"] = q_fixedwidth_items_flat
+
+    _RULED_COLS = [
+        ("Date", "date"),
+        ("Payee / Payer", "payee_payer"),
+        ("Type", "type"),
+        ("Reference", "reference"),
+        ("Description", "description"),
+        ("Income", "income"),
+        ("Expense", "expense"),
+        ("Balance", "balance"),
+    ]
+
+    def q_ruled_rows_flat(spark, sf):
+        """S3/X1/F10/M5 flattened: one row per ruled-table data row (knr
+        statement shape), values pulled from the extractor's header-keyed
+        records; row_no = emit order."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "ruled_table")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.from_json("records", "array<map<string,string>>")).alias(
+                "row_no", "m"
+            ),
+        )
+        return _longify(
+            recs.select(
+                "conv_id",
+                "turn_idx",
+                "row_no",
+                *[F.col("m")[k].alias(slug) for k, slug in _RULED_COLS],
+            )
+        )
+
+    q["ruled_rows_flat"] = q_ruled_rows_flat
+
+    def q_invoice_records_flat(spark, sf):
+        """X2/X3/M7/M8 flattened: one row per nordic line-item record with
+        all 13 battery fields (header fields carried from segment 0,
+        delivery_date forward-filled), rec_no = emit order."""
+        from pdf_extractors_spark.extractors.nordic import RECORD_FIELDS
+
+        schema = "array<struct<" + ", ".join(
+            f"{k}: string" for k in sorted(RECORD_FIELDS)
+        ) + ">>"
+        ext = _extracted(spark, sf).filter(F.col("kind") == "invoice_ocr")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.from_json("records", schema)).alias("rec_no", "r"),
+        )
+        return _longify(
+            recs.select(
+                "conv_id",
+                "turn_idx",
+                "rec_no",
+                *[F.col(f"r.{k}").alias(k) for k in RECORD_FIELDS],
+            )
+        )
+
+    q["invoice_records_flat"] = q_invoice_records_flat
+
     def q_conv_stats(spark, sf):
         """A3 + salted two-level aggregation over the extracted table."""
         from pdf_extractors_spark.operators import salting
@@ -388,6 +551,78 @@ def _stopword_sql(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _form_widget_ctes(tp: str) -> str:
+    """Shared CTEs: form_page payload → one parsed widget per line
+    (re-derivation of extractors/form_fields.parse_widgets in SQL)."""
+    return f"""
+        t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                     string_split(text, chr(10)) as ls
+              from read_parquet('{tp}') where tool = 'form_page'),
+        lines as (select conv_id, turn_idx, unnest(ls) as line from t),
+        w as (select conv_id, turn_idx, string_split(line, '|') as parts
+              from lines where line <> '')
+    """
+
+
+def _form_widgets_sql(tp: str) -> str:
+    from pdf_extractors_spark.extractors.form_fields import FIELD_TYPES
+
+    desc = " ".join(
+        f"when {code} then '{name}'" for code, name in sorted(FIELD_TYPES.items())
+    )
+    return f"""
+        with {_form_widget_ctes(tp)}
+        select conv_id, turn_idx,
+               parts[1] as field_name,
+               parts[2] as field_value,
+               cast(parts[3] as bigint) as field_type,
+               case cast(parts[3] as int) {desc} else 'Unknown Type' end
+                 as field_type_description
+        from w where len(parts) = 3
+    """
+
+
+def _form_questions_sql(tp: str) -> str:
+    from pdf_extractors_spark.extractors.form_fields import DEFAULT_MAPPING
+
+    checked = "('Yes','On','1','true','True')"
+    keys = [pf["key"] for qn in DEFAULT_MAPPING for pf in qn["pdf_fields"]]
+    pivot = ", ".join(
+        f"max(case when parts[1] = '{k}' then parts[2] end) as {k}" for k in keys
+    )
+    selects = []
+    for qn in DEFAULT_MAPPING:
+        atype = qn["answer_type"]
+        if atype == "Boolean":
+            k = qn["pdf_fields"][0]["key"]
+            ans = f"case when {k} in {checked} then 'Yes' else 'No' end"
+        elif atype == "Text":
+            ans = qn["pdf_fields"][0]["key"]
+        elif atype == "Select_One":
+            whens = " ".join(
+                f"when {pf['key']} in {checked} then '{pf['sheet_value']}'"
+                for pf in qn["pdf_fields"]
+            )
+            ans = f"case {whens} end"
+        else:  # Select_Multiple
+            parts = ", ".join(
+                f"case when {pf['key']} in {checked} then '{pf['sheet_value']}' end"
+                for pf in qn["pdf_fields"]
+            )
+            ans = f"nullif(concat_ws(';', {parts}), '')"
+        selects.append(
+            f"select conv_id, turn_idx, '{qn['title']}' as question, "
+            f"'{atype}' as answer_type, {ans} as answer from piv"
+        )
+    body = " union all ".join(selects)
+    return f"""
+        with {_form_widget_ctes(tp)},
+        piv as (select conv_id, turn_idx, {pivot}
+                from w where len(parts) = 3 group by conv_id, turn_idx)
+        {body}
+    """
+
+
 def _simhash_sql() -> str:
     tok = f"string_split({_NORM_SQL}, ' ')"
     hashes = (
@@ -403,7 +638,153 @@ def _simhash_sql() -> str:
     return f"select doc_id, cast({bits} as bigint) as simhash from documents"
 
 
+def _fixedwidth_sql(tp: str) -> str:
+    """Re-derive extractors/fixedwidth.extract in SQL: slice at
+    FIXED_BOUNDS, apply the F7 length predicates, F8 column drop and
+    X13 scrubs (header row unscrubbed, like the reference's df.loc[1:])."""
+    from pdf_extractors_spark.extractors.fixedwidth import _DROP, OUT_COLUMNS
+    from pdf_extractors_spark.fixtures.payloads import FIXED_BOUNDS
+
+    srcs = [j for j in range(len(FIXED_BOUNDS) - 1) if j not in _DROP]
+    slices = ", ".join(
+        f"substr(line, {FIXED_BOUNDS[j] + 1}, {FIXED_BOUNDS[j + 1] - FIXED_BOUNDS[j]}) as c{j}"
+        for j in range(len(FIXED_BOUNDS) - 1)
+    )
+    outs = []
+    for k, (j, name) in enumerate(zip(srcs, OUT_COLUMNS)):
+        e = f"replace(trim(c{j}), '|', '')"
+        if k in (0, 1, 2):
+            e = rf"case when i > 1 then regexp_replace({e}, '\D', '', 'g') else {e} end"
+        if k == 2:
+            e = f"replace({e}, ';', '')"
+        outs.append(f"{e} as {name}")
+    out_cols = ", ".join(outs)
+    return f"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          list_filter(string_split(text, chr(10)), x -> x <> '') as ls
+                   from read_parquet('{tp}') where tool = 'fixedwidth_table'),
+        lines as (select conv_id, turn_idx,
+                         unnest(range(1, len(ls) + 1)) as i, unnest(ls) as line
+                  from t),
+        sliced as (select conv_id, turn_idx, i, {slices} from lines),
+        kept as (select * from sliced
+                 where len(trim(c1)) >= 2 and len(trim(c4)) >= 2
+                   and len(trim(c4)) < 7)
+        select conv_id, turn_idx,
+               cast(row_number() over (partition by conv_id, turn_idx order by i) - 1
+                    as bigint) as item_no,
+               {out_cols},
+               (i = 1) as is_header
+        from kept
+    """
+
+
+def _ruled_sql(tp: str) -> str:
+    """Re-derive extractors/ruled.extract in SQL: '│'-split cells,
+    [\\r\\n\\t]→space normalization (X1), header-count row filter (F10 +
+    arity check) and the 'Total X Y' M5 row repair into columns 0/5/6."""
+    names = [
+        "date", "payee_payer", "type", "reference",
+        "description", "income", "expense", "balance",
+    ]
+    outs = []
+    for k, name in enumerate(names, start=1):
+        if k == 1:
+            e = "case when fix then parts[1] else cells[1] end"
+        elif k == 6:
+            e = "case when fix then parts[2] else cells[6] end"
+        elif k == 7:
+            e = "case when fix then parts[3] else cells[7] end"
+        else:
+            e = f"cells[{k}]"
+        outs.append(f"{e} as {name}")
+    out_cols = ", ".join(outs)
+    return rf"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          list_filter(string_split(text, chr(10)), x -> x <> '') as ls
+                   from read_parquet('{tp}') where tool = 'ruled_table'),
+        hdr as (select conv_id, turn_idx, ls,
+                       len(string_split(ls[1], '│')) as n_hdr
+                from t where len(ls) > 0),
+        rws as (select conv_id, turn_idx, n_hdr,
+                       unnest(range(2, len(ls) + 1)) as i,
+                       unnest(ls[2:]) as raw
+                from hdr),
+        cellified as (select conv_id, turn_idx, n_hdr, i,
+                             list_transform(string_split(raw, '│'),
+                                 c -> regexp_replace(c, '[\r\n\t]', ' ', 'g')) as cells
+                      from rws),
+        kept as (select *,
+                        (starts_with(cells[1], 'Total')
+                         and len(string_split(cells[1], ' ')) >= 3
+                         and len(cells) >= 7) as fix,
+                        string_split(cells[1], ' ') as parts
+                 from cellified where len(cells) = n_hdr)
+        select conv_id, turn_idx,
+               cast(row_number() over (partition by conv_id, turn_idx order by i) - 1
+                    as bigint) as row_no,
+               {out_cols}
+        from kept
+    """
+
+
+def _invoice_sql(tp: str) -> str:
+    """Re-derive extractors/nordic.extract in SQL: 'Order No.'
+    segmentation with ':'-prefix repair (X3), the 13-pattern regex
+    battery (X2), header carry from segment 0 gated on an Invoice match
+    (M7), and delivery_date forward-fill across emitted records (M8)."""
+    from pdf_extractors_spark.extractors.nordic import (
+        HEADER_FIELDS,
+        PATTERNS,
+        RECORD_FIELDS,
+    )
+
+    battery = ", ".join(
+        f"nullif(regexp_extract(part, '{p.pattern}', 1), '') as {k}"
+        for k, p in PATTERNS.items()
+    )
+    hdr = ", ".join(
+        f"max(case when idx = 1 and invoice is not null then {k} end)"
+        f" over (partition by conv_id, turn_idx) as h_{k}"
+        for k in HEADER_FIELDS
+    )
+    any_field = " or ".join(f"{k} is not null" for k in PATTERNS)
+    outs = []
+    for k in RECORD_FIELDS:
+        e = f"coalesce({k}, h_{k})" if k in HEADER_FIELDS else k
+        if k == "delivery_date":
+            e = (
+                "last_value(delivery_date ignore nulls) over "
+                "(partition by conv_id, turn_idx order by idx "
+                "rows between unbounded preceding and current row)"
+            )
+        outs.append(f"{e} as {k}")
+    out_cols = ", ".join(outs)
+    return f"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          string_split(text, 'Order No.') as parts
+                   from read_parquet('{tp}') where tool = 'invoice_ocr'),
+        seg as (select conv_id, turn_idx,
+                       unnest(range(1, len(parts) + 1)) as idx,
+                       unnest(parts) as part0
+                from t),
+        rep as (select conv_id, turn_idx, idx,
+                       case when starts_with(part0, ':')
+                            then 'Order No.' || part0 else part0 end as part
+                from seg),
+        f as (select conv_id, turn_idx, idx, {battery} from rep),
+        h as (select *, {hdr} from f),
+        kept as (select * from h where idx > 1 and ({any_field}))
+        select conv_id, turn_idx,
+               cast(row_number() over (partition by conv_id, turn_idx order by idx) - 1
+                    as bigint) as rec_no,
+               {out_cols}
+        from kept
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    tp = _oracle_transcripts_file()
     sw_en = _stopword_sql(STOPWORDS["en"])
     norm = _NORM_SQL
     shingle3 = (
@@ -612,6 +993,11 @@ def oracle_sql() -> dict[str, str]:
             from q, e where vec_id != query_id
             qualify rank <= 5
         """,
+        "fixedwidth_items_flat": _fixedwidth_sql(tp),
+        "ruled_rows_flat": _ruled_sql(tp),
+        "invoice_records_flat": _invoice_sql(tp),
+        "form_widgets_flat": _form_widgets_sql(tp),
+        "form_questions_flat": _form_questions_sql(tp),
         "token_count": rf"""
             select doc_id,
                    len(string_split_regex(trim(lower(text)), '\s+')) as ws_tokens,

@@ -101,6 +101,25 @@ def gen_spark(spark, n_convs: int, max_turns: int = 200, partitions: int | None 
     return turns.repartition(partitions, "conv_id", "turn_idx")
 
 
+def materialize_pandas(path: str, n_convs: int, max_turns: int = 200) -> str:
+    """Driver-side single-file parquet of the same deterministic rows as
+    ``gen_spark`` (payloads are pure functions of (conv_id, turn_idx), so
+    writer choice cannot change the data). Used by the DuckDB oracles in
+    ``__spark_entry__.oracle_sql()``, which must be able to read the
+    transcripts table without a SparkSession. Atomic create via rename so
+    concurrent callers never see a half-written file."""
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = gen_pandas(n_convs, max_turns)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def materialize(
     spark,
     path: str,
