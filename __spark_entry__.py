@@ -6,10 +6,14 @@
 ``queries()``      — one entry per implemented operator family from
                      SURVEY.md §2 (ids cited per query).
 ``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents for every query
-                     whose semantics are SQL-expressible; the remaining
-                     (per-document state machines over synthetic
-                     transcripts) are covered by the pytest oracle
-                     (tests/test_pipeline.py) and get rows-only checks.
+                     whose semantics are SQL-expressible. Every extraction
+                     family additionally has a ``*_flat`` query that
+                     flattens the pipeline's records JSON to typed columns
+                     and is value-hash-checked against a full SQL
+                     re-derivation from the raw transcript payloads (the
+                     ``_*_sql`` generators below); the raw ``extract_*``
+                     queries keep rows-only checks plus the pytest oracle
+                     (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -518,6 +522,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["invoice_records_flat"] = q_invoice_records_flat
 
+    _COORD_COLS = [
+        ("State Code", "state_code"),
+        ("County Code", "county_code"),
+        ("Tract Code", "tract_code"),
+        ("Tract Income Level", "tract_income_level"),
+        ("Distressed or Under-served Tract", "distressed"),
+        ("Tract Median Family Income %", "median_family_income_pct"),
+    ]
+
+    def q_coord_rows_flat(spark, sf):
+        """S5/F5/F6/M4 flattened: one row per reconstructed coordinate-table
+        row (ffiec shape), values pulled from the extractor's header-keyed
+        records; row_no = emit order."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "coord_table")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.from_json("records", "array<map<string,string>>")).alias(
+                "row_no", "m"
+            ),
+        )
+        return _longify(
+            recs.select(
+                "conv_id",
+                "turn_idx",
+                "row_no",
+                *[F.col("m")[k].alias(slug) for k, slug in _COORD_COLS],
+            )
+        )
+
+    q["coord_rows_flat"] = q_coord_rows_flat
+
+    _CENSUS_WIDE_SCHEMA = (
+        "array<struct<households: array<struct<"
+        "household_number_year: string, household_number_location: string, "
+        "household_number_order: string, source: string, provenance: string, "
+        "provenance_place: string, provenance_year: string, "
+        "declarant_name_1: string, declarant_name_2: string, "
+        "declarant_name_3: string, declarant_name_4: string, "
+        "declarant_name_5: string, declarant_ids: array<string>, "
+        "declarant_occupation: string, number_of_family_members: long, "
+        "number_of_non_family_members: long, number_of_slaves: long, "
+        "verif_photo: string, discussion_text: string, "
+        "discussion_indicates_substantive_record_brokenness: string>>>>"
+    )
+
+    def q_census_wide_flat(spark, sf):
+        """M1/M2/X9/X12/X14-X19/M10 flattened: the wide household row
+        (household.py prepare_first_csv shape), one row per household."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "census_page")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.from_json("records", _CENSUS_WIDE_SCHEMA)).alias("r"),
+        ).select("conv_id", "turn_idx", F.explode("r.households").alias("h"))
+        return _longify(
+            recs.select(
+                "conv_id",
+                "turn_idx",
+                F.col("h.household_number_year").alias("hh_year"),
+                F.col("h.household_number_location").alias("hh_location"),
+                F.col("h.household_number_order").alias("hh_order"),
+                F.col("h.source").alias("source"),
+                F.col("h.provenance").alias("provenance"),
+                F.col("h.provenance_place").alias("provenance_place"),
+                F.col("h.provenance_year").alias("provenance_year"),
+                F.col("h.declarant_name_1").alias("declarant_name_1"),
+                F.concat_ws(";", "h.declarant_ids").alias("declarant_ids"),
+                F.col("h.declarant_occupation").alias("declarant_occupation"),
+                F.col("h.number_of_family_members").alias("n_family"),
+                F.col("h.number_of_non_family_members").alias("n_nonkin"),
+                F.col("h.number_of_slaves").alias("n_slaves"),
+                F.col("h.verif_photo").alias("verif_photo"),
+                F.col("h.discussion_text").alias("discussion_text"),
+                F.col("h.discussion_indicates_substantive_record_brokenness").alias(
+                    "broken"
+                ),
+            )
+        )
+
+    q["census_wide_flat"] = q_census_wide_flat
+
+    _CATALOG_SCHEMA = (
+        "array<struct<engine: string, manufacturer: string, model: string, "
+        "oil: array<string>, page_number: long, year: string>>"
+    )
+
+    def q_catalog_records_flat(spark, sf):
+        """F2/F4/M3/A2 flattened: one row per emitted catalog record
+        (mobil carry-forward state machine), oils ';'-joined in
+        first-occurrence order; rec_no = emit order."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "catalog_page")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.from_json("records", _CATALOG_SCHEMA)).alias("rec_no", "r"),
+        )
+        return _longify(
+            recs.select(
+                "conv_id",
+                "turn_idx",
+                "rec_no",
+                F.col("r.manufacturer").alias("manufacturer"),
+                F.col("r.year").alias("year"),
+                F.col("r.model").alias("model"),
+                F.col("r.engine").alias("engine"),
+                F.concat_ws(";", "r.oil").alias("oils"),
+            )
+        )
+
+    q["catalog_records_flat"] = q_catalog_records_flat
+
+    def q_html_main_flat(spark, sf):
+        """North-rule main-content extraction, value-checked: the engine's
+        extracted_text for html_page payloads (script/style/nav/cookie
+        strip → main/article scope → block split → link-density filter)
+        against a full SQL re-derivation."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "html_page")
+        return _longify(
+            ext.select(
+                "conv_id", "turn_idx", F.col("extracted_text").alias("main_text")
+            )
+        )
+
+    q["html_main_flat"] = q_html_main_flat
+
     def q_conv_stats(spark, sf):
         """A3 + salted two-level aggregation over the extracted table."""
         from pdf_extractors_spark.operators import salting
@@ -783,6 +913,343 @@ def _invoice_sql(tp: str) -> str:
     """
 
 
+def _coord_sql(tp: str) -> str:
+    """Re-derive extractors/ffiec.extract in SQL: parse 'x|y|font|text'
+    span lines, blocks split on blank lines, header block 0 keyed by
+    x-coordinate, Arial-only data spans (F5), coordinate→column via
+    ASOF join to the greatest header x ≤ span x (M4), County-Code row
+    gate (F6)."""
+    pivots = ", ".join(
+        f"max_by(case when colname = '{name}' then txt end, i) as {slug}"
+        for name, slug in [
+            ("State Code", "state_code"),
+            ("County Code", "county_code"),
+            ("Tract Code", "tract_code"),
+            ("Tract Income Level", "tract_income_level"),
+            ("Distressed or Under-served Tract", "distressed"),
+            ("Tract Median Family Income %", "median_family_income_pct"),
+        ]
+    )
+    return f"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          string_split(text, chr(10)) as ls
+                   from read_parquet('{tp}') where tool = 'coord_table'),
+        lines as (select conv_id, turn_idx,
+                         unnest(range(1, len(ls) + 1)) as i, unnest(ls) as line
+                  from t),
+        blocked as (select conv_id, turn_idx, i, line,
+                           sum(case when line = '' then 1 else 0 end)
+                             over (partition by conv_id, turn_idx order by i
+                                   rows between unbounded preceding and current row)
+                             - (case when line = '' then 1 else 0 end) as blk
+                    from lines),
+        spans as (select conv_id, turn_idx, i, blk,
+                         cast(string_split(line, '|')[1] as double) as x,
+                         string_split(line, '|')[3] as font,
+                         string_split(line, '|')[4] as txt
+                  from blocked where line <> ''),
+        hdr as (select conv_id, turn_idx, x as hx, txt as hname
+                from spans where blk = 0 and txt <> ''),
+        firstcol as (select conv_id, turn_idx, min_by(hname, hx) as first_name
+                     from hdr group by conv_id, turn_idx),
+        data_spans as (select * from spans where blk > 0 and font = 'Arial'),
+        assigned as (
+          select d.conv_id, d.turn_idx, d.blk, d.i, d.txt,
+                 coalesce(h.hname, fc.first_name) as colname
+          from data_spans d
+          asof left join hdr h
+            on d.conv_id = h.conv_id and d.turn_idx = h.turn_idx and d.x >= h.hx
+          join firstcol fc
+            on d.conv_id = fc.conv_id and d.turn_idx = fc.turn_idx
+        ),
+        rows_ as (select conv_id, turn_idx, blk, {pivots}
+                  from assigned group by conv_id, turn_idx, blk)
+        select conv_id, turn_idx,
+               cast(row_number() over (partition by conv_id, turn_idx order by blk) - 1
+                    as bigint) as row_no,
+               state_code, county_code, tract_code, tract_income_level,
+               distressed, median_family_income_pct
+        from rows_ where county_code is not null
+    """
+
+
+def _census_sql(tp: str) -> str:
+    """Re-derive extractors/census_household.extract's wide rows in SQL:
+    page-header skip, the M1 key-prefix line classifier, section
+    assignment via last-marker fill-down, member counts by the X21
+    numbered-entry regex, the X9 occupation chain, the X12 primary
+    declarant regex (first branch of the cascade; the special-case
+    branches never fire on fixture payloads and stay covered by the
+    pytest golden tests), X14 id generation, X15/X16 splitters, X17
+    brokenness and the two hard-coded household patches."""
+    from pdf_extractors_spark.extractors.census_household import OCCUPATIONS
+
+    occ_cases = []
+    for occ in OCCUPATIONS:
+        if "priest" in occ:
+            part2 = "string_split(coalesce(decl, ''), 'priest of ')[2]"
+            val = (
+                f"'{occ}' || case when len(string_split(coalesce(decl, ''), 'priest of ')) = 2 "
+                f"then ' of ' || (case when contains({part2}, ',') "
+                f"then split_part({part2}, ',', 1) else {part2} end) else '' end"
+            )
+        else:
+            val = f"'{occ}'"
+        occ_cases.append(f"when contains(coalesce(decl, ''), '{occ}') then {val}")
+    occ_expr = "case " + " ".join(occ_cases) + " else '' end"
+    member_re = r"\((1[0-9]|2[0-9]|30|[1-9])\)"
+    name_m = r"""coalesce(
+        nullif(regexp_extract(seg, '^([A-Za-z\s.]+?)\s+s\.', 1), ''),
+        nullif(regexp_extract(seg, '^([A-Za-z\s.]+?)\s+d\.', 1), ''),
+        nullif(regexp_extract(seg, '^([A-Za-z]+( and [A-Za-z]+)*)', 1), ''))"""
+    return rf"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          string_split(text, chr(10)) as ls0
+                   from read_parquet('{tp}') where tool = 'census_page'),
+        l as (select conv_id, turn_idx,
+                     unnest(range(3, len(ls0) + 1)) as i, unnest(ls0[3:]) as line
+              from t),
+        c as (select *, case
+                when line = '' then 'empty'
+                when starts_with(line, 'HOUSEHOLD NO.:') then 'hh'
+                when starts_with(line, 'Source:')
+                  or starts_with(substr(line, 2), 'Source:')
+                  or starts_with(line, '*Source:') then 'source'
+                when starts_with(line, 'Prov., Date:') then 'prov'
+                when starts_with(line, 'Declarant') then 'declarant'
+                when starts_with(line, 'Family members') then 'family_marker'
+                when starts_with(line, 'Free non-kin') then 'nonkin_marker'
+                when starts_with(line, 'Slaves:') then 'slaves_marker'
+                when starts_with(line, 'Verif./photo:') then 'verif'
+                when starts_with(line, 'Discussion:') then 'disc'
+                when starts_with(line, 'Cambridge Books')
+                  or starts_with(line, 'https://')
+                  or starts_with(line, 'Catalogue of census declarations') then 'boiler'
+                else 'cont' end as cls
+              from l),
+        s as (select *, last_value(case when cls in
+                       ('declarant','family_marker','nonkin_marker','slaves_marker','verif','disc')
+                       then cls end ignore nulls)
+                     over (partition by conv_id, turn_idx order by i
+                           rows between unbounded preceding and current row) as sect
+              from c),
+        agg as (select conv_id, turn_idx,
+           max(case when cls = 'hh' then trim(split_part(line, ':', 2)) end) as hh,
+           max(case when cls = 'source' then trim(split_part(line, 'Source:', 2)) end) as source,
+           max(case when cls = 'prov' then trim(split_part(line, ':', 2)) end) as prov0,
+           max(case when cls = 'declarant' then trim(split_part(line, ':', 2)) end) as decl,
+           max(case when cls = 'verif' then trim(split_part(line, 'Verif./photo:', 2)) end) as verif_photo,
+           max(case when cls = 'disc' then trim(split_part(line, ':', 2)) end) as disc,
+           cast(sum(case when cls = 'cont' and sect = 'family_marker'
+                         and regexp_matches(line, '{member_re}') then 1 else 0 end) as bigint) as n_family,
+           cast(sum(case when cls = 'cont' and sect = 'nonkin_marker'
+                         and regexp_matches(line, '{member_re}') then 1 else 0 end) as bigint) as n_nonkin0,
+           cast(sum(case when cls = 'cont' and sect = 'slaves_marker'
+                         and regexp_matches(line, '{member_re}') then 1 else 0 end) as bigint) as n_slaves
+         from s group by conv_id, turn_idx),
+        en as (select *,
+           case when contains(hh, '131-He-2')
+                then 'Ankyronpolis (Herakleopolite), 133' else prov0 end as prov,
+           case when contains(hh, '187-Ar-4') then cast(0 as bigint) else n_nonkin0 end as n_nonkin,
+           case when starts_with(coalesce(decl, ''), '[')
+                then substr(decl, 2) else decl end as seg0
+         from agg),
+        nm as (select *, trim(coalesce(
+                 case when contains(m0, 'd.') then split_part(m0, 'd.', 1) else m0 end,
+                 '')) as name1
+               from (select *, {name_m} as m0
+                     from (select *, trim(coalesce(seg0, '')) as seg from en)))
+        select conv_id, turn_idx,
+               split_part(replace(trim(hh), ' ', '-'), '-', 1) as hh_year,
+               split_part(replace(trim(hh), ' ', '-'), '-', 2) as hh_location,
+               split_part(replace(trim(hh), ' ', '-'), '-', 3) as hh_order,
+               source, prov as provenance,
+               split_part(prov, ',', 1) as provenance_place,
+               split_part(prov, ',', 2) as provenance_year,
+               name1 as declarant_name_1,
+               case when hh is not null and hh <> '' and name1 <> ''
+                    then hh || '-d1' else '' end as declarant_ids,
+               {occ_expr} as declarant_occupation,
+               n_family, n_nonkin, n_slaves,
+               verif_photo, disc as discussion_text,
+               case when disc is not null
+                     and (contains(disc, 'Broken') or contains(disc, 'broken'))
+                    then 'Yes' else 'No' end as broken
+        from nm where hh is not null
+    """
+
+
+def _catalog_sql(tp: str) -> str:
+    """Re-derive extractors/mobil.extract's records in SQL for the fixture
+    payload shape: marker trim (F4), 'Oil' validity latch, stop-line drop
+    (F2), line classification (manufacturer confirmed by a year on the
+    NEXT line, exactly like the state machine), context fill-down, one
+    record per oil-codes line (M3 emit order), oil codes de-duplicated in
+    first-occurrence order (A2). The state machine's reset-on-transition
+    semantics are covered by the pytest golden tests; on fixture payloads
+    every oils line follows a fresh manufacturer/year/model/engine run,
+    so last-non-null fill-down emits identical records."""
+    from pdf_extractors_spark.extractors.mobil import _MARKER, _STOP_EXACT
+
+    stops = ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(_STOP_EXACT))
+    oilpat = r"M1C*-\d+\w|F\d{5}"
+    return rf"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          string_split(text, chr(10)) as ls
+                   from read_parquet('{tp}') where tool = 'catalog_page'),
+        l as (select conv_id, turn_idx,
+                     unnest(range(1, len(ls) + 1)) as i, unnest(ls) as line0
+              from t),
+        m as (select conv_id, turn_idx, i, trim(line0) as line,
+                     min(case when line0 = '{_MARKER}' then i end)
+                       over (partition by conv_id, turn_idx) as marker_i,
+                     min(case when trim(line0) = 'Oil' then i end)
+                       over (partition by conv_id, turn_idx) as oil_i,
+                     lead(trim(line0)) over (partition by conv_id, turn_idx order by i) as nxt
+              from l),
+        d as (select *, case
+                when line in ({stops}) then 'stop'
+                when regexp_matches(line, '^[A-Z ]{{2,}}$')
+                     and regexp_matches(coalesce(nxt, ''), '^\d{{4}}$') then 'manuf'
+                when regexp_matches(line, '^\d{{4}}$') then 'year'
+                when regexp_matches(replace(line, ' ', ''), '^({oilpat})') then 'oils'
+                when contains(line, '.') then 'dot'
+                else 'plain' end as cls1
+              from m
+              where marker_i is not null and oil_i is not null and i > oil_i),
+        -- the SAAB branch: under a SAAB manufacturer the model regex also
+        -- admits '.', so engine-looking lines become MODELS (each resets
+        -- the engine) and nothing emits until the next manufacturer
+        withmanuf as (select *,
+           last_value(case when cls1 = 'manuf' then split_part(line, ' ', 1) end
+                      ignore nulls)
+             over (partition by conv_id, turn_idx order by i
+                   rows between unbounded preceding and current row) as manufacturer
+          from d),
+        cl as (select *, case
+                 when cls1 = 'dot' then
+                   (case when manufacturer = 'SAAB' then 'model' else 'engine' end)
+                 when cls1 = 'plain' then 'model'
+                 else cls1 end as cls
+               from withmanuf),
+        -- a record's lifetime is one reset span: every manuf/year/model
+        -- line resets engine+oils, so emission (at the next transition or
+        -- EOF) groups each span's engine/oil lines with its starter
+        sp as (select *,
+           sum(case when cls in ('manuf', 'year', 'model') then 1 else 0 end)
+             over (partition by conv_id, turn_idx order by i
+                   rows between unbounded preceding and current row) as span,
+           last_value(case when cls = 'year' then split_part(line, ' ', 1) end
+                      ignore nulls)
+             over (partition by conv_id, turn_idx order by i
+                   rows between unbounded preceding and current row) as year
+          from cl),
+        spans as (select conv_id, turn_idx, span,
+                         min(i) as start_i,
+                         min_by(cls, i) as starter_cls,
+                         min_by(line, i) as starter_line,
+                         max(manufacturer) as manufacturer,
+                         max(year) as year,
+                         max_by(replace(line, ' ', ''), i)
+                           filter (cls = 'engine') as engine,
+                         count(*) filter (cls = 'oils') as n_oil_lines
+                  from sp group by conv_id, turn_idx, span),
+        o as (select conv_id, turn_idx, span, i,
+                     unnest(range(1, len(codes) + 1)) as ci, unnest(codes) as code
+              from (select conv_id, turn_idx, span, i,
+                           regexp_extract_all(replace(line, ' ', ''), '{oilpat}') as codes
+                    from sp where cls = 'oils')),
+        od as (select conv_id, turn_idx, span, code, min(i * 1000 + ci) as fp
+               from o group by conv_id, turn_idx, span, code),
+        oa as (select conv_id, turn_idx, span,
+                      string_agg(code, ';' order by fp) as oils
+               from od group by conv_id, turn_idx, span),
+        recs as (select s.conv_id, s.turn_idx, s.start_i,
+                        s.manufacturer, s.year, s.starter_line as model,
+                        s.engine, oa.oils
+                 from spans s
+                 join oa on s.conv_id = oa.conv_id and s.turn_idx = oa.turn_idx
+                        and s.span = oa.span
+                 where s.starter_cls = 'model' and s.manufacturer is not null
+                   and s.engine is not null and s.n_oil_lines > 0)
+        select conv_id, turn_idx,
+               cast(row_number() over (partition by conv_id, turn_idx order by start_i) - 1
+                    as bigint) as rec_no,
+               manufacturer, year, model, engine, oils
+        from recs
+    """
+
+
+def _html_main_sql(tp: str) -> str:
+    """Re-derive extractors/html_content._extract_html in SQL: the
+    backreference patterns (``</\\1>``) are unrolled per tag since RE2
+    has no backreferences; everything else is the same regex pipeline.
+    ``strip()`` emulations use an explicit space/tab/newline trim set."""
+    ws = "' ' || chr(9) || chr(10) || chr(13)"
+    entities = (
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(block, '<[^>]+>', ' ', 'g'), "
+        "'&amp;', '&'), '&lt;', '<'), '&gt;', '>'), "
+        "'&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' ')"
+    )
+    return rf"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx, text
+                   from read_parquet('{tp}') where tool = 'html_page'),
+        c1 as (select conv_id, turn_idx,
+                      regexp_replace(regexp_replace(text,
+                        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') as s1
+               from t),
+        c2 as (select conv_id, turn_idx,
+                      regexp_replace(s1,
+                        '(?is)<div\b[^>]*class="[^"]*cookie[^"]*"[^>]*>.*?</div>',
+                        ' ', 'g') as s2
+               from c1),
+        c3 as (select conv_id, turn_idx,
+                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(s2,
+                        '(?is)<nav\b[^>]*>.*?</nav>', ' ', 'g'),
+                        '(?is)<header\b[^>]*>.*?</header>', ' ', 'g'),
+                        '(?is)<footer\b[^>]*>.*?</footer>', ' ', 'g'),
+                        '(?is)<aside\b[^>]*>.*?</aside>', ' ', 'g') as s3
+               from c2),
+        sc as (select conv_id, turn_idx,
+                      coalesce(
+                        nullif(regexp_extract(s3, '(?is)<main\b[^>]*>(.*?)</main>', 1), ''),
+                        nullif(regexp_extract(s3, '(?is)<article\b[^>]*>(.*?)</article>', 1), ''),
+                        s3) as scope,
+                      (regexp_matches(s3, '(?is)<main\b[^>]*>.*?</main>')
+                       or regexp_matches(s3, '(?is)<article\b[^>]*>.*?</article>'))
+                        as has_main
+               from c3),
+        bl as (select conv_id, turn_idx, has_main,
+                      unnest(range(1, len(bs) + 1)) as bi, unnest(bs) as block
+               from (select *, regexp_split_to_array(scope,
+                       '(?i)</?(p|div|h[1-6]|li|br|tr|td|table)\b[^>]*>') as bs
+                     from sc)),
+        tx as (select *,
+                  array_to_string(list_filter(list_transform(
+                      string_split({entities}, chr(10)),
+                      x -> trim(regexp_replace(x, '[ ' || chr(9) || ']+', ' ', 'g'))),
+                      x -> x <> ''), chr(10)) as btext,
+                  length(trim(regexp_replace(block, '<[^>]+>', '', 'g'), {ws})) as total,
+                  coalesce(list_sum(list_transform(
+                      regexp_extract_all(block, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                      a -> length(trim(regexp_replace(a, '<[^>]+>', '', 'g'), {ws})))), 0)
+                    as anchor
+               from bl),
+        kept as (select * from tx
+                 where btext <> ''
+                   and (length(btext) >= 20 or has_main)
+                   and (case when total = 0 then 1.0
+                             else anchor * 1.0 / total end) < 0.33),
+        agg as (select conv_id, turn_idx,
+                       string_agg(btext, chr(10) order by bi) as main_text
+                from kept group by conv_id, turn_idx)
+        select t.conv_id, t.turn_idx, coalesce(agg.main_text, '') as main_text
+        from t left join agg using (conv_id, turn_idx)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tp = _oracle_transcripts_file()
     sw_en = _stopword_sql(STOPWORDS["en"])
@@ -996,6 +1463,10 @@ def oracle_sql() -> dict[str, str]:
         "fixedwidth_items_flat": _fixedwidth_sql(tp),
         "ruled_rows_flat": _ruled_sql(tp),
         "invoice_records_flat": _invoice_sql(tp),
+        "coord_rows_flat": _coord_sql(tp),
+        "census_wide_flat": _census_sql(tp),
+        "html_main_flat": _html_main_sql(tp),
+        "catalog_records_flat": _catalog_sql(tp),
         "form_widgets_flat": _form_widgets_sql(tp),
         "form_questions_flat": _form_questions_sql(tp),
         "token_count": rf"""
