@@ -62,6 +62,17 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism. The sf testdata
+    parquet files are single-row-group, so Spark's split planning yields
+    ONE task no matter the core count; at real scale an Iceberg table has
+    many splits and this repartition is unnecessary. Used only in front
+    of CPU-heavy per-row expression work (shingling, vector math) where a
+    single-task plan would serialize the whole job; values are unaffected
+    (per-row expressions + order-insensitive aggregation downstream)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _longify(df: DataFrame) -> DataFrame:
     """Cast int32 columns to long so Spark and DuckDB schemas line up."""
     cols = [
@@ -291,17 +302,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup"] = lambda spark, sf: dedup.exact_dedup(_read(spark, sf, "documents"))
 
     q["minhash_signatures"] = lambda spark, sf: dedup.minhash_signatures(
-        _read(spark, sf, "documents"), k=4
+        _spread(_read(spark, sf, "documents")), k=4
     )
 
     q["ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
-        _read(spark, sf, "documents"), n=3, threshold=0.5
+        _spread(_read(spark, sf, "documents")), n=3, threshold=0.5
     )
 
-    q["simhash"] = lambda spark, sf: dedup.simhash(_read(spark, sf, "documents"))
+    q["simhash"] = lambda spark, sf: dedup.simhash(_spread(_read(spark, sf, "documents")))
 
     def q_lsh_candidates(spark, sf):
-        sigs = dedup.minhash_signatures(_read(spark, sf, "documents"), k=8)
+        sigs = dedup.minhash_signatures(_spread(_read(spark, sf, "documents")), k=8)
         return dedup.lsh_candidates(sigs, bands=4, rows=2)
 
     q["minhash_lsh_candidates"] = q_lsh_candidates
@@ -313,7 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter("vec_id < 5").select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return _longify(similarity.brute_force_topk(emb, queries_df, k=5))
+        return _longify(similarity.brute_force_topk(_spread(emb), queries_df, k=5))
 
     q["cosine_topk"] = q_cosine_topk
 
@@ -323,7 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         cents = similarity.take_centroids(emb, n=8)
-        return _longify(similarity.ivf_topk(emb, queries_df, cents, k=5, n_probe=3))
+        return _longify(
+            similarity.ivf_topk(_spread(emb), queries_df, cents, k=5, n_probe=3)
+        )
 
     q["ivf_ann_topk"] = q_ivf_topk
 
@@ -656,6 +669,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_stats_salted"] = q_conv_stats
 
+    def q_salted_user_stats(spark, sf):
+        """Salted two-level aggregation with a value check: heavy keys are
+        sampled (salting.heavy_hitters), salted partials aggregate on
+        (user_id, salt), the final pass combines on user_id. All
+        aggregates are algebraic, so the result equals a plain GROUP BY —
+        which is exactly what the DuckDB oracle runs."""
+        from pdf_extractors_spark.operators import salting
+
+        ev = _read(spark, sf, "events")
+        heavy = salting.heavy_hitters(
+            ev, key="user_id", threshold=50, sample_fraction=0.2
+        )
+        salted = salting.with_salt(ev, heavy, key="user_id", order_col="event_id")
+        partial = salted.groupBy("user_id", "_salt").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        )
+        return _longify(
+            partial.groupBy("user_id").agg(
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("total_value"), 2).alias("total_value"),
+            )
+        )
+
+    q["salted_user_stats"] = q_salted_user_stats
+
     def q_multimodal(spark, sf):
         """Multimodal plumbing: binary column → Arrow-batched feature
         extraction (deterministic stub decode)."""
@@ -679,6 +717,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _stopword_sql(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
+
+
+from pdf_extractors_spark.operators.hashing import MINHASH_PRIME as _MINHASH_P
+from pdf_extractors_spark.operators.hashing import affine_perms as _affine_perms
+
+
+def _minhash_mins(k: int) -> str:
+    """Per-permutation minima over the base shingle hash ``hb`` — the SQL
+    mirror of dedup.minhash_signatures' universal-hash family."""
+    return ", ".join(
+        f"min(({a} * hb + {b}) % {_MINHASH_P}) as h{i}"
+        for i, (a, b) in enumerate(_affine_perms(k))
+    )
 
 
 def _form_widget_ctes(tp: str) -> str:
@@ -1329,13 +1380,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": f"""
             with t as (select doc_id, string_split({norm}, ' ') as w from documents),
-            sh as (select doc_id, unnest({shingle3}) as shingle from t)
-            select doc_id,
-              min(cast(concat('0x', substr(md5(concat('0:', shingle)),1,8)) as bigint)) as h0,
-              min(cast(concat('0x', substr(md5(concat('1:', shingle)),1,8)) as bigint)) as h1,
-              min(cast(concat('0x', substr(md5(concat('2:', shingle)),1,8)) as bigint)) as h2,
-              min(cast(concat('0x', substr(md5(concat('3:', shingle)),1,8)) as bigint)) as h3
-            from sh group by doc_id
+            sh as (select doc_id, unnest({shingle3}) as shingle from t),
+            hb as (select doc_id,
+                          cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
+                            % {_MINHASH_P} as hb
+                   from sh)
+            select doc_id, {_minhash_mins(4)}
+            from hb group by doc_id
         """,
         "ngram_jaccard": f"""
             with t as (select doc_id, string_split({norm}, ' ') as w from documents),
@@ -1361,13 +1412,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": f"""
             with t as (select doc_id, string_split({norm}, ' ') as w from documents),
             sh as (select doc_id, unnest({shingle3}) as shingle from t),
+            hb as (select doc_id,
+                          cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
+                            % {_MINHASH_P} as hb
+                   from sh),
             sig as (
-              select doc_id,
-                {", ".join(
-                    f"min(cast(concat('0x', substr(md5(concat('{i}:', shingle)),1,8)) as bigint)) as h{i}"
-                    for i in range(8)
-                )}
-              from sh group by doc_id
+              select doc_id, {_minhash_mins(8)}
+              from hb group by doc_id
             ),
             banded as (
               select doc_id, b.band,
@@ -1517,6 +1568,20 @@ def oracle_sql() -> dict[str, str]:
                         when hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) then 'fr'
                         else 'es' end as lang_pred
             from h
+        """,
+        "salted_user_stats": """
+            select user_id, count(*) as n_events,
+                   round(sum(value), 2) as total_value
+            from events group by user_id
+        """,
+        "multimodal_features": """
+            select cast(i as bigint) as media_id,
+                   case cast(i % 3 as int) when 0 then 'image'
+                        when 1 then 'audio' else 'video' end as media_type,
+                   cast(16 * (4 + i % 7) as bigint) as n_bytes,
+                   cast(32 as bigint) as thumb_w,
+                   cast(18 as bigint) as thumb_h
+            from range(0, 64) t(i)
         """,
         "fingerprint": rf"""
             with t as (select doc_id,

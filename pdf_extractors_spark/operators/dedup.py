@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .hashing import md5_bigint, seeded
+from .hashing import MINHASH_PRIME, affine_perms, md5_bigint
 
 
 def normalize_text(col):
@@ -66,9 +66,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document: one explode + one
     groupBy(id) computing all k minima simultaneously (single shuffle,
-    partial aggregation map-side)."""
-    sh = shingles(df, text_col, id_col, n)
-    aggs = [F.min(seeded(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
+    partial aggregation map-side).
+
+    Permutations are universal hashes h_i(x) = (a_i·x + b_i) mod p over a
+    SINGLE base md5 per shingle (hashing.affine_perms) — k salted md5
+    variants cost k× the hashing; at 100 TB the md5 is the dominant cost
+    of signature build."""
+    sh = shingles(df, text_col, id_col, n).select(
+        id_col, (md5_bigint(F.col("shingle")) % F.lit(MINHASH_PRIME)).alias("hb")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(affine_perms(k))
+    ]
     return sh.groupBy(id_col).agg(*aggs)
 
 

@@ -31,6 +31,24 @@ def md5_bigint_sql(expr: str) -> str:
     return f"cast(concat('0x', substr(md5({expr}), 1, 8)) as bigint)"
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1: a*h + b stays < 2^62, no overflow
+
+
+def affine_perms(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameters for k universal-hash permutations
+    h_i(x) = (a_i·x + b_i) mod MINHASH_PRIME — the classic MinHash scheme
+    that needs ONE base hash per shingle instead of k salted hashes.
+    Constants derive from the portable md5 hash so every engine (Spark,
+    DuckDB, Python) generates the identical family."""
+    return [
+        (
+            md5_bigint_py(f"minhash-a:{i}") % (MINHASH_PRIME - 1) + 1,
+            md5_bigint_py(f"minhash-b:{i}") % MINHASH_PRIME,
+        )
+        for i in range(k)
+    ]
+
+
 def seeded(col: Column, seed: int, fast: bool = False) -> Column:
     """Seeded variant: hash of 'seed:value'."""
     return md5_bigint(F.concat(F.lit(f"{seed}:"), col), fast=fast)

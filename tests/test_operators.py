@@ -12,7 +12,11 @@ from pdf_extractors_spark.operators import (
     similarity,
     text_stats,
 )
-from pdf_extractors_spark.operators.hashing import md5_bigint_py
+from pdf_extractors_spark.operators.hashing import (
+    MINHASH_PRIME,
+    affine_perms,
+    md5_bigint_py,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -85,11 +89,10 @@ def test_minhash_signatures_match_duckdb(spark, documents):
                         i -> array_to_string(w[i:i+2], ' ')))) as shingle
               from t
             )
-            select doc_id,
-              min(cast(concat('0x', substr(md5(concat('0:', shingle)),1,8)) as bigint)) as h0,
-              min(cast(concat('0x', substr(md5(concat('1:', shingle)),1,8)) as bigint)) as h1,
-              min(cast(concat('0x', substr(md5(concat('2:', shingle)),1,8)) as bigint)) as h2,
-              min(cast(concat('0x', substr(md5(concat('3:', shingle)),1,8)) as bigint)) as h3
+            select doc_id, {", ".join(
+                f"min(({a} * (cast(concat('0x', substr(md5(shingle),1,8)) as bigint) % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}) as h{i}"
+                for i, (a, b) in enumerate(affine_perms(4))
+            )}
             from sh group by doc_id
             """
         ).fetchall()
