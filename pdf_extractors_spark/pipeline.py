@@ -93,9 +93,62 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _extract_batches_arrow(batches):
+    """Arrow-native variant of the extraction kernel (``mapInArrow``):
+    consumes/produces ``pyarrow.RecordBatch`` directly, skipping the
+    pandas materialization on both sides of the Python worker. The
+    pass-through columns (conv_id, turn_idx, tool) are reused zero-copy;
+    only the four computed columns are built, in C, via ``pa.array``."""
+    import json as _json
+
+    import pyarrow as pa
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                pa.field("label", pa.string()),
+                pa.field("start", pa.int32()),
+                pa.field("end", pa.int32()),
+                pa.field("value", pa.string()),
+            ]
+        )
+    )
+    for batch in batches:
+        tools = batch.column("tool").to_pylist()
+        payloads = batch.column("text").to_pylist()
+        texts: list[str] = []
+        spans: list[list] = []
+        records: list[str] = []
+        errors: list[int] = []
+        for kind, payload in zip(tools, payloads):
+            out = dispatch.extract_one(kind, payload)
+            texts.append(out["extracted_text"])
+            spans.append(out["spans"])
+            records.append(
+                _json.dumps(out["records"], ensure_ascii=False, sort_keys=True)
+            )
+            errors.append(out["parse_errors"])
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                batch.column("tool"),
+                pa.array(texts, pa.string()),
+                pa.array(spans, span_type),
+                pa.array(records, pa.string()),
+                pa.array(errors, pa.int32()),
+            ],
+            names=[
+                "conv_id", "turn_idx", "kind", "extracted_text",
+                "spans", "records", "parse_errors",
+            ],
+        )
+
+
 def extract_transcripts(
     transcripts: DataFrame,
     repartition_to: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extracted.
 
@@ -105,13 +158,20 @@ def extract_transcripts(
     is no key skew to correct (a long conversation is just more rows,
     spread across splits). Salting (operators/salting.py) is only needed
     for the conv-level stages below.
+
+    ``engine``: ``"arrow"`` (default — ``mapInArrow``, skips the pandas
+    round-trip in the Python worker) or ``"pandas"`` (``mapInPandas``).
+    Both run the identical extraction kernel and produce identical rows
+    (pinned by tests/test_pipeline.py).
     """
     df = transcripts
     if repartition_to:
         # round-robin, not hash: the stage is stateless per turn, so we
         # only want even card counts, never key co-location.
         df = df.repartition(repartition_to)
-    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    if engine == "pandas":
+        return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    return df.mapInArrow(_extract_batches_arrow, schema=EXTRACTED_SCHEMA)
 
 
 def write_extracted(extracted: DataFrame, path: str, mode: str = "overwrite") -> None:

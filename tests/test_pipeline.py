@@ -51,6 +51,15 @@ def test_spark_matches_oracle(spark, small_transcripts):
     assert actual == expected
 
 
+def test_arrow_and_pandas_kernels_identical(spark, small_transcripts):
+    """The mapInArrow and mapInPandas extraction kernels must produce
+    byte-identical rows — same dispatch, same schema, different Python
+    worker serialization only."""
+    arrow = _collect(pipeline.extract_transcripts(small_transcripts, engine="arrow"))
+    pandas = _collect(pipeline.extract_transcripts(small_transcripts, engine="pandas"))
+    assert arrow == pandas
+
+
 def test_partition_invariance(spark, small_transcripts):
     one = _collect(pipeline.extract_transcripts(small_transcripts.repartition(1)))
     many = _collect(pipeline.extract_transcripts(small_transcripts.repartition(16)))
