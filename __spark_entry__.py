@@ -647,6 +647,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["catalog_records_flat"] = q_catalog_records_flat
 
+    _PERSONS_SCHEMA = (
+        "array<struct<persons: array<struct<"
+        "household_id: string, id: string, name: string, sex: string, "
+        "age: string, occupation: string, father: string, mother: string, "
+        "paternal_grandfather: string, maternal_grandfather: string, "
+        "spouse: string, siblings: array<string>, children: array<string>, "
+        "relation_to_declarant: string, role: string, owner: string>>>>"
+    )
+
+    def q_census_persons_flat(spark, sf):
+        """Stage B flattened: one row per resolved person (persons.py
+        shape) — X4-X11 field extraction plus the J1-J7 within-household
+        entity resolution, run co-located inside the per-document pass.
+        Not SQL-expressible (regex cascades + graph resolution); exact
+        parity vs the reference semantics is pinned by tests/test_census.py."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "census_page")
+        recs = ext.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.from_json("records", _PERSONS_SCHEMA)).alias("r"),
+        ).select("conv_id", "turn_idx", F.posexplode("r.persons").alias("person_no", "p"))
+        return _longify(
+            recs.select(
+                "conv_id",
+                "turn_idx",
+                "person_no",
+                F.col("p.household_id").alias("household_id"),
+                F.col("p.id").alias("person_id"),
+                F.col("p.name").alias("name"),
+                F.col("p.sex").alias("sex"),
+                F.col("p.age").alias("age"),
+                F.col("p.occupation").alias("occupation"),
+                F.col("p.father").alias("father"),
+                F.col("p.mother").alias("mother"),
+                F.col("p.spouse").alias("spouse"),
+                F.concat_ws(";", "p.siblings").alias("siblings"),
+                F.concat_ws(";", "p.children").alias("children"),
+                F.col("p.relation_to_declarant").alias("relation_to_declarant"),
+                F.col("p.role").alias("role"),
+                F.col("p.owner").alias("owner"),
+            )
+        )
+
+    q["census_persons_flat"] = q_census_persons_flat
+
     def q_html_main_flat(spark, sf):
         """North-rule main-content extraction, value-checked: the engine's
         extracted_text for html_page payloads (script/style/nav/cookie

@@ -118,7 +118,7 @@ def main() -> int:
 Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by
 `scripts/bench_scaling.py`. The north rule requires ≥0.8 throughput scaling
 efficiency between N and 4N executors; the sandbox stand-in runs the
-identical extraction job (Arrow-batched `mapInPandas`, zero per-row Python)
+identical extraction job (Arrow-batched `mapInArrow`, zero per-row Python)
 on the identical cached synthetic transcripts input at two local
 parallelism levels in separate JVMs.
 
@@ -166,7 +166,7 @@ shared-core contention).
 ## Why the plan scales
 
 The extraction stage has no wide dependency — each turn is self-contained,
-so the job is one `mapInPandas` pass over balanced input splits (256
+so the job is one `mapInArrow` pass over balanced input splits (256
 splits ≫ cores); doubling cores halves wall-clock until splits run out.
 Conversation-level aggregation (the only keyed stage) uses salted
 two-level aggregation (`operators/salting.py`), so skewed conversations
