@@ -301,6 +301,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_dedup"] = lambda spark, sf: dedup.exact_dedup(_read(spark, sf, "documents"))
 
+    def q_dedup_keep(spark, sf):
+        """The deduplicated documents table: one keeper (min doc_id) per
+        distinct normalized text, via left-semi join."""
+        docs = _read(spark, sf, "documents")
+        return dedup.dedup_documents(docs).select("doc_id", "lang", "source")
+
+    q["dedup_keep"] = q_dedup_keep
+
     q["minhash_signatures"] = lambda spark, sf: dedup.minhash_signatures(
         _spread(_read(spark, sf, "documents")), k=4
     )
@@ -1422,6 +1430,13 @@ def oracle_sql() -> dict[str, str]:
             select cast(concat('0x', substr(md5({norm}),1,8)) as bigint) as text_hash,
                    count(*) as n_dups, min(doc_id) as keep_id
             from documents group by text_hash
+        """,
+        "dedup_keep": f"""
+            select doc_id, lang, source from documents
+            where doc_id in (
+              select min(doc_id) from documents
+              group by cast(concat('0x', substr(md5({norm}),1,8)) as bigint)
+            )
         """,
         "minhash_signatures": f"""
             with t as (select doc_id, string_split({norm}, ' ') as w from documents),

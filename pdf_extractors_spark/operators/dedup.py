@@ -46,6 +46,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated table itself: keep one representative row (min id)
+    per distinct normalized text. Left-semi join against the keeper set —
+    the big side streams, the keeper side is ids only."""
+    keep = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, as (id, shingle).
     Built with native higher-order functions (transform over a range) —
@@ -132,8 +142,19 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles appearing in more than that many
     documents before the self-join — the hot-key guard that keeps the
     join from exploding on boilerplate shingles at scale.
+
+    The join/groupBy key is ``xxhash64(shingle)``, not the shingle
+    string: shuffles carry 8 bytes per shingle instead of the text, and
+    the JVM hash is ~free. Counts are identical unless two distinct
+    shingles collide in 64 bits (~n²/2⁶⁴ — at 10¹² distinct shingles
+    collisions would perturb a few counts by ±1, which is noise at the
+    0.5-Jaccard decision boundary this feeds).
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = (
+        shingles(df, text_col, id_col, n)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     rare = (
         sh.join(
