@@ -376,6 +376,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "documents")
     )
 
+    # ------------- training-data pipeline ops (SQL-oracled) -------------
+
+    q["repetition_score"] = lambda spark, sf: _longify(
+        text_stats.repetition_score(_read(spark, sf, "documents"), n=3)
+    )
+
+    def q_pii_scrub(spark, sf):
+        """PII redaction with planted addresses (the natural corpus has
+        none, so each kind is planted deterministically per doc)."""
+        docs = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ph +1 555 0199 ip 10.0.0.7"),
+            ).alias("text"),
+        )
+        return _longify(text_stats.pii_scrub(docs))
+
+    q["pii_scrub"] = q_pii_scrub
+
+    def q_train_split(spark, sf):
+        """Deterministic hash split 80/10/10 over documents + per-split
+        counts (sampling.hash_split — reproducible across engines)."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return sampling.split_counts(
+            docs, {"train": 80, "val": 10, "test": 10}, key_col="doc_id"
+        )
+
+    q["train_split_counts"] = q_train_split
+
+    def q_decontaminate(spark, sf):
+        """Benchmark-contamination flags: corpus docs sharing a 5-gram
+        with the stand-in eval set (doc_id < 5), broadcast semi-join."""
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter("doc_id < 5")
+        return _longify(dedup.decontaminate(_spread(docs), bench, n=5))
+
+    q["decontaminate"] = q_decontaminate
+
     # ------------- extraction families over synthetic transcripts -------
     # (per-document state machines — not SQL-expressible; rows-only check
     # here, exact parity vs the pandas oracle in tests/test_pipeline.py)
@@ -1354,6 +1397,27 @@ def _html_main_sql(tp: str) -> str:
     """
 
 
+def _pii_sql(tp_unused: str = "") -> str:
+    """Stage-chained PII scrub oracle generated from the same pattern
+    dict as text_stats.pii_scrub (counts computed on the progressively
+    scrubbed text, exactly like the Spark expression chain)."""
+    from pdf_extractors_spark.operators.text_stats import PII_PATTERNS
+
+    planted = (
+        "text || ' Contact: user' || cast(doc_id as varchar) "
+        "|| '@example.com ph +1 555 0199 ip 10.0.0.7'"
+    )
+    cur = planted
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}', 0)) as n_{kind}")
+        cur = f"regexp_replace({cur}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+        select doc_id, {", ".join(counts)}, {cur} as scrubbed_text
+        from documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tp = _oracle_transcripts_file()
     sw_en = _stopword_sql(STOPWORDS["en"])
@@ -1628,6 +1692,43 @@ def oracle_sql() -> dict[str, str]:
                         when hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) then 'fr'
                         else 'es' end as lang_pred
             from h
+        """,
+        "repetition_score": r"""
+            with t as (select doc_id,
+                              string_split_regex(trim(lower(text)), '\s+') as toks
+                       from documents),
+            g as (select doc_id,
+                         list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+                                        i -> array_to_string(toks[i:i+2], ' ')) as grams
+                  from t)
+            select doc_id,
+                   len(grams) as total_ngrams,
+                   len(list_distinct(grams)) as distinct_ngrams,
+                   round(case when len(grams) > 0
+                              then 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                              else 0.0 end, 4) as repetition
+            from g
+        """,
+        "pii_scrub": _pii_sql(),
+        "train_split_counts": """
+            select case when b < 80 then 'train'
+                        when b < 90 then 'val' else 'test' end as split,
+                   count(*) as n_rows
+            from (select cast(concat('0x',
+                       substr(md5(concat('split:', cast(doc_id as varchar))),1,8))
+                     as bigint) % 100 as b from documents)
+            group by 1
+        """,
+        "decontaminate": f"""
+            with t as (select doc_id, string_split({norm}, ' ') as w from documents),
+            sh as (select doc_id,
+                          unnest(list_distinct(list_transform(
+                            range(1, greatest(len(w) - 5, 0) + 2),
+                            i -> array_to_string(w[i:i+4], ' ')))) as shingle
+                   from t),
+            b as (select distinct shingle from sh where doc_id < 5)
+            select doc_id, count(*) as n_overlapping
+            from sh join b using (shingle) group by doc_id
         """,
         "salted_user_stats": """
             select user_id, count(*) as n_events,

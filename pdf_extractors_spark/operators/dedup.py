@@ -188,6 +188,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination flagging: mark every document sharing at
+    least one word n-gram with the (small) benchmark set, with the count
+    of overlapping distinct shingles. The benchmark shingle set is tiny
+    by construction, so the join broadcasts — the corpus side never
+    shuffles. Returns (id, n_overlapping) for contaminated docs only."""
+    corpus = shingles(df, text_col, id_col, n)
+    bench = F.broadcast(
+        shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    )
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlapping"))
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
 ) -> DataFrame:

@@ -1,0 +1,53 @@
+"""Deterministic sharding / splitting for training-data pipelines.
+
+A train/val/test split at 100 TB must be a pure function of a stable key
+— never ``rand()`` (non-reproducible across retries/partitions) and never
+row position (changes under repartitioning). The split hash is the
+portable md5-bigint (hashing.py), so the assignment is reproducible in
+Spark, DuckDB and plain Python, and survives engine swaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import md5_bigint
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, int],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket.
+
+    ``weights``: ordered {name: percent} summing to 100, e.g.
+    ``{"train": 80, "val": 10, "test": 10}``. Assignment: bucket =
+    hash(salt:key) mod 100 falls in the name's cumulative range. Adding a
+    ``salt`` gives independent re-splits of the same corpus.
+    """
+    total = sum(weights.values())
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = F.pmod(
+        md5_bigint(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        F.lit(100),
+    )
+    expr = None
+    acc = 0
+    for name, pct in weights.items():
+        acc += pct
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def split_counts(
+    df: DataFrame, weights: dict[str, int], key_col: str = "doc_id", salt: str = "split"
+) -> DataFrame:
+    """Per-split row counts — the sanity check a pipeline runs after
+    splitting (expected proportions ± hash noise)."""
+    return hash_split(df, weights, key_col, salt).groupBy("split").agg(
+        F.count("*").alias("n_rows")
+    )

@@ -88,6 +88,54 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.withColumn("lang_pred", pred)
 
 
+# PII patterns (planted-data testable; RE2-compatible for the oracle)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]?\d{0,4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, IPv4 addresses)
+    with ``[<KIND>]`` tokens, counting redactions per kind. Pure
+    ``regexp_replace``/``regexp_count`` — whole-stage codegen, and the
+    patterns are RE2-safe so the DuckDB oracle replays them exactly.
+    Applied in pattern order (email first, so phone digits inside an
+    already-redacted token can't double-count)."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed_text"))
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: 1 - distinct n-grams / total n-grams
+    (the Gopher/C4-style duplicated-n-gram quality signal). 0 = no
+    repetition; → 1 as the document degenerates into loops."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.round(
+            F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0)), 4
+        ).alias("repetition"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 4, n_mins: int = 4,

@@ -259,6 +259,63 @@ def test_fingerprint_stability(spark):
     assert fp[1] == fp[2] != fp[3]
 
 
+# ------------------------------------------------- training-data pipeline ops
+
+
+def test_repetition_score_detects_loops(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),          # no repeats
+        (2, "spam spam spam spam spam spam"),  # degenerate loop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["repetition"] for r in text_stats.repetition_score(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 0.75  # 4 trigrams, 1 distinct
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe@corp.io or call +1 555 0100 from 10.1.2.3 ok")],
+        "doc_id long, text string",
+    )
+    r = text_stats.pii_scrub(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 1 and r["n_ipv4"] == 1
+    s = r["scrubbed_text"]
+    assert "[EMAIL]" in s and "[PHONE]" in s and "[IPV4]" in s
+    assert "jane.doe" not in s and "555 0100" not in s and "10.1.2.3" not in s
+
+
+def test_hash_split_deterministic_and_proportional(spark, documents):
+    from pdf_extractors_spark.operators import sampling
+
+    w = {"train": 80, "val": 10, "test": 10}
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(documents, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(documents.repartition(7), w).collect()
+    }
+    assert a == b  # partitioning-independent assignment
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 * n < train < 0.9 * n  # ±hash noise around 80%
+    with pytest.raises(ValueError):
+        sampling.hash_split(documents, {"train": 50})
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated text with different words entirely here"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_overlapping"] for r in dedup.decontaminate(corpus, bench, n=5).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+
+
 # -------------------------------------------------------------- multimodal
 
 
