@@ -1605,9 +1605,9 @@ def oracle_sql() -> dict[str, str]:
             b as (
               select vec_id, t.band,
                      concat({", ".join(
-                         f"case when emb[cast(t.band*4 + {r + 1} as int)] > 0 "
+                         f"case when emb[cast(t.band*8 + {r + 1} as int)] > 0 "
                          "then '1' else '0' end"
-                         for r in range(4)
+                         for r in range(8)
                      )}) as key
               from planted, (values (0),(1),(2),(3)) t(band)
             ),

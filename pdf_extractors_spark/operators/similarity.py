@@ -107,7 +107,7 @@ def take_centroids(vectors: DataFrame, n: int = 8, id_col: str = "vec_id", vec_c
 def signbit_buckets(
     vectors: DataFrame,
     bands: int = 4,
-    rows: int = 4,
+    rows: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -115,7 +115,11 @@ def signbit_buckets(
     the vector to the sign pattern of components ``[b*rows, (b+1)*rows)``
     (axis-aligned hyperplanes — deterministic, so the DuckDB oracle can
     replay the bucketing bit-for-bit). Two vectors that agree on all
-    ``rows`` signs of some band land in the same bucket for that band."""
+    ``rows`` signs of some band land in the same bucket for that band.
+
+    Sizing: expected bucket occupancy is N / 2^rows per band, and
+    candidate volume grows with occupancy² — pick rows ≈ log2(N / B)
+    for target bucket size B. ``bands`` trades recall for cost."""
     entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -139,7 +143,7 @@ def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
     bands: int = 4,
-    rows: int = 4,
+    rows: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

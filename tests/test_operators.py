@@ -191,7 +191,7 @@ def test_ivf_topk_reasonable_recall(spark, embeddings):
 
 def test_embedding_neardup_finds_planted_pairs(spark, embeddings):
     """Sign-bit LSH bucketing + exact-cosine verify recovers every planted
-    near-duplicate: a last-component sign flip leaves the first 16
+    near-duplicate: a last-component sign flip leaves the first 32
     components' signs unchanged, so original and copy share all 4 band
     keys; their cosine is 1 - 2·v_d²/‖v‖² ≈ 0.97 for 64-dim vectors."""
     planted = similarity.with_flipped_copies(embeddings, id_offset=1_000_000)
