@@ -77,6 +77,53 @@ def start_extraction(
     return writer.start()
 
 
+CONV_SNAPSHOT_SCHEMA = "conv_id string, turns bigint, chars bigint, closed boolean"
+_CONV_STATE_SCHEMA = "turns bigint, chars bigint"
+
+
+def conversation_state_stream(
+    transcripts: DataFrame, idle_timeout_ms: int = 60_000
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    accumulate per-conversation turn/char counts across micro-batches,
+    emitting a running snapshot per batch and a final ``closed=True`` row
+    when a conversation goes idle past ``idle_timeout_ms`` (processing-
+    time timeout; the state is then dropped). This is the shape any
+    cross-batch assembly (conversation stitching, incremental dedup
+    state, streaming entity resolution) plugs into."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            turns, chars = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "turns": [turns], "chars": [chars],
+                 "closed": [True]}
+            )
+            return
+        turns, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            turns += len(pdf)
+            chars += int(pdf["text"].fillna("").str.len().sum())
+        state.update((turns, chars))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "turns": [turns], "chars": [chars],
+             "closed": [False]}
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        update,
+        CONV_SNAPSHOT_SCHEMA,
+        _CONV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_conv_stats(transcripts: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
     """Watermarked windowed rollup (the streaming form of conv_stats):
     late turns beyond the watermark are dropped deterministically."""

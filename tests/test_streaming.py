@@ -43,3 +43,57 @@ def test_stream_checkpoint_no_duplicates(spark, small_transcripts, tmp_path):
     q2 = es.start_extraction(spark, src, out, ckpt, available_now=True)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == first
+
+
+def test_stateful_conversation_snapshots_cross_batch(spark, tmp_path):
+    """applyInPandasWithState carries per-conversation state ACROSS
+    micro-batches: two single-file triggers over the same conv must yield
+    a cumulative snapshot, not two independent ones."""
+    import uuid
+
+    src = str(tmp_path / "in")
+    rows1 = [("A", 0, "user", "aaaa", "html_page", None),
+             ("A", 1, "assistant", "bb", "html_page", None)]
+    rows2 = [("A", 2, "user", "cccccc", "html_page", None),
+             ("B", 0, "user", "dd", "html_page", None)]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = es.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    snaps = es.conversation_state_stream(stream, idle_timeout_ms=60_000)
+    table = f"snaps_{uuid.uuid4().hex[:8]}"
+    # one state-store instance per shuffle partition per micro-batch —
+    # keep the test's state fan-out small
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            snaps.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # registered processing-time timeouts keep the query alive past
+        # the data batches — poll the sink for the expected snapshots
+        # (A twice, B once) instead of waiting for self-termination
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.sql(f"select count(*) from {table}").first()[0] >= 3:
+                break
+            time.sleep(2)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = spark.sql(f"select * from {table}").collect()
+    best = {}
+    for r in got:
+        cur = best.get(r["conv_id"])
+        if cur is None or r["turns"] > cur[0]:
+            best[r["conv_id"]] = (r["turns"], r["chars"])
+    # conv A: 2 turns in batch 1 + 1 in batch 2 → cumulative 3 / 12 chars
+    assert best["A"] == (3, 12)
+    assert best["B"] == (1, 2)
