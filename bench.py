@@ -105,8 +105,11 @@ def main() -> int:
     # so the timed job is tens of seconds of real work, far above Spark's
     # fixed scheduling overhead — otherwise the 4N run measures overhead,
     # not throughput.
+    # replicate so the timed extraction is seconds of real work — at
+    # 51k turns a 32-core run finishes in ~1.3s and measures scheduler
+    # overhead, not throughput (extract-only/scaling mode uses 16x)
     replicate = int(
-        os.environ.get("SPARK_GRAFT_REPLICATE", "16" if extract_only else "1")
+        os.environ.get("SPARK_GRAFT_REPLICATE", "16" if extract_only else "8")
     )
     if replicate > 1:
         transcripts = (
