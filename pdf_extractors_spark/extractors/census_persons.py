@@ -252,6 +252,9 @@ def get_paternal_grand_father(data: str, household_id: str = "") -> str | None:
     """X10 (persons.py:230-242) — household-specific suppression kept."""
     if household_id == "117-Ar-2":
         return None
+    # cheap guard: the pattern's literal "(s. " cannot match without it
+    if "(s." not in data.lower():
+        return None
     m = _RE_PGF.search(data)
     pgf = m.group(1).strip() if m else None
     if pgf is not None:
@@ -263,16 +266,20 @@ def get_maternal_grand_father(data: str, household_id: str = "") -> str | None:
     """X10 (persons.py:244-253)."""
     if household_id == "117-Ar-2":
         return None
+    if "(d." not in data.lower():
+        return None
     m = _RE_MGF.search(data)
     return m.group(1).strip() if m else None
 
 
 def get_spouses(data: str) -> str | None:
-    """X10 (persons.py:256-271)."""
-    m = _RE_HUSBAND.search(data)
+    """X10 (persons.py:256-271). Cheap guards: every alternative of each
+    pattern contains the guarded literal, so a miss is free."""
+    low = data.lower()
+    m = _RE_HUSBAND.search(data) if "husband" in low else None
     if m:
         return m.group(1).strip()
-    m = _RE_WIFE.search(data)
+    m = _RE_WIFE.search(data) if "wife" in low else None
     if m:
         spouse = m.group(1).strip()
         if "s." in spouse:
@@ -282,20 +289,26 @@ def get_spouses(data: str) -> str | None:
 
 
 def get_siblings(data: str) -> list[str]:
-    """X10 (persons.py:274-283)."""
-    brothers = _RE_BROTHER.findall(data)
-    sisters = _RE_SISTER.findall(data)
+    """X10 (persons.py:274-283). Guards: 'br' / 'sister' appear in every
+    alternative of the respective pattern."""
+    low = data.lower()
+    brothers = _RE_BROTHER.findall(data) if "br" in low else []
+    sisters = _RE_SISTER.findall(data) if "sister" in low else []
     return [m.strip() for m in brothers + sisters]
 
 
 def get_slave_mother(data: str) -> str | None:
     """X10 (persons.py:329-336)."""
+    if "offspring" not in data.lower():
+        return None
     m = _RE_SLAVE_MOTHER.search(data)
     return m.group(1).strip() if m else None
 
 
 def get_owner(data: str) -> str | None:
     """X10 (persons.py:338-345)."""
+    if "slave" not in data.lower():
+        return None
     m = _RE_OWNER.search(data)
     return m.group(1).strip() if m else None
 
