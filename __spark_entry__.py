@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_stats.repetition_score(_read(spark, sf, "documents"), n=3)
     )
 
+    q["vocab_topk"] = lambda spark, sf: _longify(
+        text_stats.vocab_topk(_spread(_read(spark, sf, "documents")), k=50)
+    )
+
     def q_pii_scrub(spark, sf):
         """PII redaction with planted addresses (the natural corpus has
         none, so each kind is planted deterministically per doc)."""
@@ -1710,6 +1714,19 @@ def oracle_sql() -> dict[str, str]:
             from g
         """,
         "pii_scrub": _pii_sql(),
+        "vocab_topk": r"""
+            with t as (select doc_id,
+                              string_split_regex(trim(lower(text)), '\s+') as toks
+                       from documents),
+            d as (select doc_id, unnest(list_distinct(toks)) as token from t),
+            a as (select doc_id, unnest(toks) as token from t),
+            df_ as (select token, count(*) as doc_freq from d group by token),
+            tot as (select token, count(*) as total_count from a group by token)
+            select token, doc_freq, total_count
+            from df_ join tot using (token)
+            order by doc_freq desc, total_count desc, token asc
+            limit 50
+        """,
         "train_split_counts": """
             select case when b < 80 then 'train'
                         when b < 90 then 'val' else 'test' end as split,

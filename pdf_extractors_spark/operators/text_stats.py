@@ -88,6 +88,28 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.withColumn("lang_pred", pred)
 
 
+def vocab_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document frequency then total
+    count (vocab building / stopword discovery). Deterministic ordering:
+    (df desc, count desc, token asc). One explode + one groupBy with
+    map-side combine; the final top-k is a tiny sorted limit."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    all_tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    doc_freq = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    tot = all_tok.groupBy("token").agg(F.count("*").alias("total_count"))
+    return (
+        doc_freq.join(tot, "token")
+        .orderBy(F.desc("doc_freq"), F.desc("total_count"), F.asc("token"))
+        .limit(k)
+    )
+
+
 # PII patterns (planted-data testable; RE2-compatible for the oracle)
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
