@@ -769,6 +769,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_stats_salted"] = q_conv_stats
 
+    def q_asof_join(spark, sf):
+        """As-of join (union + fill-down plan, operators/joins.py): each
+        event gets the latest purchase value at-or-before its timestamp,
+        per user. Right side pre-aggregated unique per (user, ts)."""
+        from pdf_extractors_spark.operators import joins
+
+        ev = _read(spark, sf, "events")
+        purchases = (
+            ev.filter("event_type = 'purchase'")
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias("pvalue"))
+        )
+        out = joins.asof_join(
+            ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["pvalue"],
+        )
+        return _longify(out.select("event_id", "user_id", "asof_pvalue"))
+
+    q["asof_join"] = q_asof_join
+
+    def q_range_join(spark, sf):
+        """Range join: count events landing inside each purchase's
+        1-hour window, per user (equi-key + band predicate)."""
+        from pdf_extractors_spark.operators import joins
+
+        ev = _read(spark, sf, "events")
+        intervals = ev.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        )
+        joined = joins.range_join(
+            ev, intervals, key="user_id", point_col="ts",
+            start_col="start_ts", end_col="end_ts",
+        )
+        return _longify(
+            joined.groupBy("interval_id").agg(F.count("*").alias("n_events"))
+        )
+
+    q["range_join_counts"] = q_range_join
+
     def q_salted_user_stats(spark, sf):
         """Salted two-level aggregation with a value check: heavy keys are
         sampled (salting.heavy_hitters), salted partials aggregate on
@@ -1746,6 +1788,24 @@ def oracle_sql() -> dict[str, str]:
             b as (select distinct shingle from sh where doc_id < 5)
             select doc_id, count(*) as n_overlapping
             from sh join b using (shingle) group by doc_id
+        """,
+        "asof_join": """
+            with p as (select user_id, ts, max_by(value, event_id) as pvalue
+                       from events where event_type = 'purchase'
+                       group by user_id, ts)
+            select e.event_id, e.user_id, p.pvalue as asof_pvalue
+            from events e
+            asof left join p on e.user_id = p.user_id and e.ts >= p.ts
+        """,
+        "range_join_counts": """
+            select i.event_id as interval_id, count(*) as n_events
+            from (select event_id, user_id, ts as start_ts,
+                         ts + interval 1 hour as end_ts
+                  from events where event_type = 'purchase') i
+            join events e
+              on e.user_id = i.user_id
+             and e.ts >= i.start_ts and e.ts <= i.end_ts
+            group by i.event_id
         """,
         "salted_user_stats": """
             select user_id, count(*) as n_events,

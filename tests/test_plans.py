@@ -100,6 +100,50 @@ def test_embedding_neardup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_is_a_window_not_a_join(spark):
+    """The as-of join's union+fill-down formulation must plan as ONE
+    hash-partitioned sort + window — no join operator at all. A theta-
+    join formulation would degenerate to per-key cross products."""
+    from pdf_extractors_spark.operators import joins
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = joins.asof_join(
+        ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["pvalue"],
+    )
+    plan = _plan(out)
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"asof plan contains {bad}"
+
+
+def test_range_join_is_equi_keyed(spark):
+    """Range join must plan as an equi-join on the key with the band
+    condition as a post-join filter — never a nested-loop product."""
+    from pdf_extractors_spark.operators import joins
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    intervals = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    out = joins.range_join(
+        ev, intervals, key="user_id", point_col="ts",
+        start_col="start_ts", end_col="end_ts",
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_window_fill_down_single_shuffle(spark, small_transcripts, tmp_path):
     src = _parquet_transcripts(spark, small_transcripts, tmp_path)
     ext = pipeline.extract_transcripts(src)
