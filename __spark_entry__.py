@@ -769,6 +769,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_stats_salted"] = q_conv_stats
 
+    def q_time_rollup(spark, sf):
+        """Hypertable-style time rollup: hourly buckets × event_type with
+        ROLLUP subtotals (hour totals + grand total). The reference has
+        no grouping sets at all (SURVEY §2.6) — this exceeds it; at scale
+        Spark computes the lattice in one pass with partial aggregation."""
+        ev = _read(spark, sf, "events")
+        return _longify(
+            ev.select(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type", "value"
+            )
+            .rollup("hour", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    q["time_rollup"] = q_time_rollup
+
     def q_asof_join(spark, sf):
         """As-of join (union + fill-down plan, operators/joins.py): each
         event gets the latest purchase value at-or-before its timestamp,
@@ -1788,6 +1807,13 @@ def oracle_sql() -> dict[str, str]:
             b as (select distinct shingle from sh where doc_id < 5)
             select doc_id, count(*) as n_overlapping
             from sh join b using (shingle) group by doc_id
+        """,
+        "time_rollup": """
+            select date_trunc('hour', ts) as hour, event_type,
+                   count(*) as n_events,
+                   round(sum(value), 2) as total_value
+            from events
+            group by rollup(date_trunc('hour', ts), event_type)
         """,
         "asof_join": """
             with p as (select user_id, ts, max_by(value, event_id) as pvalue
