@@ -174,6 +174,18 @@ def extract_transcripts(
     return df.mapInArrow(_extract_batches_arrow, schema=EXTRACTED_SCHEMA)
 
 
+def quarantine_split(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-row quarantine (the opposite of the reference's fail-stop
+    try/except at persons.py:806-808): rows whose extraction raised or
+    partially failed (parse_errors > 0) split into a quarantine
+    DataFrame carrying the full row for replay/debugging, while clean
+    rows flow on. Both sides derive from one narrow filter — no extra
+    pass over the payloads."""
+    good = extracted.filter(F.col("parse_errors") == 0)
+    quarantined = extracted.filter(F.col("parse_errors") > 0)
+    return good, quarantined
+
+
 def write_extracted(extracted: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Ordered write: stable (conv_id, turn_idx) order *within* partitions
     (A6) — the per-turn equality criterion is keyed, so a global sort is

@@ -51,6 +51,26 @@ def test_spark_matches_oracle(spark, small_transcripts):
     assert actual == expected
 
 
+def test_quarantine_split(spark):
+    """Malformed payloads land in quarantine with their full row; clean
+    rows flow on; nothing is lost."""
+    probe = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "<p>ok content here</p>", "html_page", None),
+            ("c1", 1, "user", None, "invoice_ocr", None),  # None payload → error
+            ("c2", 0, "user", "bad|line", "form_page", None),  # 2 parts → error
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    ext = pipeline.extract_transcripts(probe)
+    good, quarantined = pipeline.quarantine_split(ext)
+    g = {(r["conv_id"], r["turn_idx"]) for r in good.collect()}
+    q = {(r["conv_id"], r["turn_idx"]) for r in quarantined.collect()}
+    assert g == {("c1", 0)}
+    assert q == {("c1", 1), ("c2", 0)}
+    assert ext.count() == len(g) + len(q)
+
+
 def test_arrow_and_pandas_kernels_identical(spark, small_transcripts):
     """The mapInArrow and mapInPandas extraction kernels must produce
     byte-identical rows — same dispatch, same schema, different Python
