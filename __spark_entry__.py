@@ -102,8 +102,20 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_EXTRACT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.extract_transcripts(_transcripts(spark, sf_dir))
+    """Extraction output for the synthetic transcripts, Spark-cached per
+    (session, sf): a dozen contract queries flatten different families of
+    the same extraction run — without this each would re-run the whole
+    Arrow stage."""
+    key = (id(spark), sf_dir)
+    df = _EXTRACT_CACHE.get(key)
+    if df is None:
+        df = pipeline.extract_transcripts(_transcripts(spark, sf_dir)).cache()
+        _EXTRACT_CACHE[key] = df
+    return df
 
 
 # The driver's correctness gate runs at sf0.01 (150 conversations). The
