@@ -84,12 +84,19 @@ def _extract_html(payload: str) -> str:
     blocks = _RE_BLOCK_SPLIT.split(scope)
     kept: list[str] = []
     for block in blocks:
+        # tag-separator fragments are whitespace-only; _clean_text would
+        # return '' for them anyway (exact guard, ~half the blocks)
+        if not block.strip():
+            continue
         text = _clean_text(block)
         if not text:
             continue
         if len(text) < MIN_BLOCK_CHARS and not main:
             continue
-        if _link_density(block) >= MAX_LINK_DENSITY:
+        # cheap guard: no anchor tag → anchor chars 0 → density 0 < max
+        # (total > 0 whenever the cleaned text is non-empty, so the
+        # division branch cannot return 1.0 here)
+        if ("<a" in block or "<A" in block) and _link_density(block) >= MAX_LINK_DENSITY:
             continue
         kept.append(text)
     return "\n".join(kept)
@@ -104,9 +111,16 @@ def _extract_plain(payload: str) -> str:
     return "\n".join(kept)
 
 
+# exact cheap guards: each pattern cannot match without its literal
+_SPAN_GUARDS = {"amount_nok": "NOK", "amount_usd": "$", "key_value": ":"}
+
+
 def find_spans(text: str) -> list[dict]:
     spans = []
     for label, pat in _SPAN_PATTERNS.items():
+        guard = _SPAN_GUARDS.get(label)
+        if guard is not None and guard not in text:
+            continue
         for m in pat.finditer(text):
             spans.append(
                 {"label": label, "start": m.start(), "end": m.end(), "value": m.group(0)}
