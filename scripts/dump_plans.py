@@ -43,6 +43,11 @@ PLAN_QUERIES = {
         "(band, key) — no CartesianProduct / BroadcastNestedLoopJoin anywhere; "
         "vectors are re-joined only for surviving candidates."
     ),
+    "asof_join": (
+        "As-of join. Expect: Window over (user_id sorted by ts) and NO join "
+        "operator — the union + fill-down formulation costs one exchange, "
+        "where a theta-join would build per-key cross products."
+    ),
     "decontaminate": (
         "Contamination check. Expect: the benchmark shingle set under "
         "`BroadcastExchange` — the corpus side streams through one pass."
