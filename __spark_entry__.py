@@ -781,6 +781,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_stats_salted"] = q_conv_stats
 
+    def q_conv_stitch(spark, sf):
+        """Cross-turn assembly via grouped-map applyInPandas: one row per
+        conversation with turns stitched in order (the conversation-level
+        UDF slot from SURVEY §3.2 stage B)."""
+        return pipeline.conv_stitch(_transcripts(spark, sf))
+
+    q["conv_stitch"] = q_conv_stitch
+
     def q_time_rollup(spark, sf):
         """Hypertable-style time rollup: hourly buckets × event_type with
         ROLLUP subtotals (hour totals + grand total). The reference has
@@ -1875,6 +1883,13 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     if tp is not None:
+        oracles["conv_stitch"] = f"""
+            select conv_id, count(*) as n_turns,
+                   string_agg(coalesce(text, ''), chr(10) || chr(10)
+                              order by turn_idx) as stitched_text
+            from read_parquet('{tp}')
+            group by conv_id
+        """
         oracles.update(
             {
                 "fixedwidth_items_flat": _fixedwidth_sql(tp),

@@ -104,6 +104,51 @@ def take_centroids(vectors: DataFrame, n: int = 8, id_col: str = "vec_id", vec_c
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the deterministic seed centroids
+    (``take_centroids``): iteratively assign (broadcast join) and re-mean
+    per cell with ``aggregate``/``zip_with`` column math — no UDF, no
+    collect of the big side. The driver loop holds only n centroid rows
+    per iteration; each iteration is one broadcast-join pass over the
+    vectors, the same cost profile at 100 TB as the final IVF assignment
+    itself. Empty cells keep their previous centroid."""
+    dim = len(vectors.select(vec_col).first()[0])
+    cents = take_centroids(vectors, n, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        # per-dimension algebraic sums (map-side combinable) — never
+        # collect a cell's vectors into one row
+        sums = assigned.groupBy("centroid_id").agg(
+            *[
+                F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"_s{d}")
+                for d in range(dim)
+            ],
+            F.count("*").alias("_n"),
+        )
+        moved = sums.select(
+            "centroid_id",
+            F.array(
+                *[(F.col(f"_s{d}") / F.col("_n")).cast("float") for d in range(dim)]
+            ).alias(vec_col),
+        )
+        # empty cells: keep the old centroid (left join, coalesce)
+        cents = (
+            cents.select("centroid_id", F.col(vec_col).alias("_old"))
+            .join(moved, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col(vec_col), F.col("_old")).alias(vec_col),
+            )
+        )
+    return cents
+
+
 def signbit_buckets(
     vectors: DataFrame,
     bands: int = 4,

@@ -245,6 +245,31 @@ def session_assign(events: DataFrame, key_col: str, ts_col: str, marker_col: str
     )
 
 
+def conv_stitch(transcripts: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Cross-turn assembly via grouped-map ``applyInPandas`` (the
+    conversation-level UDF shape from SURVEY §3.2 stage B): all turns of
+    a conversation co-located in one pandas group, stitched in turn
+    order. Equivalent to ``collect_list`` + ``array_join`` — expressed as
+    the grouped UDF deliberately, since this is the slot where per-
+    conversation Python (entity resolution across turns, conversation
+    summarization) plugs in. One shuffle on conv_id."""
+    import pandas as pd
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "stitched_text": [sep.join(pdf["text"].fillna(""))],
+            }
+        )
+
+    return transcripts.select("conv_id", "turn_idx", "text").groupBy(
+        "conv_id"
+    ).applyInPandas(stitch, schema="conv_id string, n_turns long, stitched_text string")
+
+
 def explode_turn_lines(transcripts: DataFrame) -> DataFrame:
     """S4/M9 as a pure-Spark op: payload → ordered lines via
     posexplode(split()), preserving reading order without any UDF."""

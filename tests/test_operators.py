@@ -316,6 +316,35 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert 2 not in got
 
 
+def test_kmeans_refinement_improves_ivf_recall(spark, embeddings):
+    """Lloyd refinement of the naive seed centroids must not hurt (and on
+    random clusters typically improves) IVF recall at equal probe cost."""
+    queries = (
+        embeddings.filter("vec_id >= 200 and vec_id < 210")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+
+    def recall(cents):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_topk(
+                embeddings, queries, cents, k=5, n_probe=3
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    naive = recall(similarity.take_centroids(embeddings, n=8))
+    refined_cents = similarity.kmeans_centroids(embeddings, n=8, iters=3)
+    assert refined_cents.count() == 8
+    refined = recall(refined_cents)
+    assert refined >= naive - 0.1  # never materially worse
+    assert refined >= 0.3
+
+
 # -------------------------------------------------------------- multimodal
 
 
