@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda spark, sf: dedup.simhash(_spread(_read(spark, sf, "documents")))
 
     def q_lsh_candidates(spark, sf):
+        """MinHash LSH banding: candidate pairs from per-band bucket
+        joins — never all-pairs."""
         sigs = dedup.minhash_signatures(_spread(_read(spark, sf, "documents")), k=8)
         return dedup.lsh_candidates(sigs, bands=4, rows=2)
 
@@ -340,6 +342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------------- similarity family ---------------------------
 
     def q_cosine_topk(spark, sf):
+        """Brute-force cosine top-k (zip_with/aggregate JVM-side), the
+        ANN correctness baseline."""
         emb = _read(spark, sf, "embeddings")
         queries_df = emb.filter("vec_id < 5").select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -349,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = q_cosine_topk
 
     def q_ivf_topk(spark, sf):
+        """IVF ANN top-k: broadcast centroid assignment, n_probe cells
+        searched per query."""
         emb = _read(spark, sf, "embeddings")
         queries_df = emb.filter("vec_id < 5").select(
             F.col("vec_id").alias("query_id"), "embedding"
