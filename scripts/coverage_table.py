@@ -26,6 +26,14 @@ FALLBACK = {
     "fingerprint": "Winnowing-style document fingerprint",
     "repetition_score": "Duplicated-n-gram repetition signal (Gopher/C4 style)",
     "vocab_topk": "Corpus vocabulary top-k by doc frequency",
+    "extract_invoice_fields": "Full extraction rows, invoice family (X2/X3/M7/M8) — value-checked via invoice_records_flat",
+    "extract_census_households": "Full extraction rows, census family (M1/M2/X12/X14-19/J1-J7) — value-checked via census_wide_flat",
+    "extract_catalog_hierarchy": "Full extraction rows, catalog family (F2/F4/M3/A2) — value-checked via catalog_records_flat",
+    "extract_coord_table": "Full extraction rows, coordinate family (S5/F5/F6/M4) — value-checked via coord_rows_flat",
+    "extract_ruled_table": "Full extraction rows, ruled family (S3/S6/X1/M5/F10) — value-checked via ruled_rows_flat",
+    "extract_fixedwidth_table": "Full extraction rows, fixed-width family (M6/F7/F8/X13) — value-checked via fixedwidth_items_flat",
+    "extract_html_main_content": "Full extraction rows, HTML main-content family — value-checked via html_main_flat",
+    "extract_form_fields": "Full extraction rows, form family (S10 + question mapping) — value-checked via form_*_flat",
 }
 
 
