@@ -149,6 +149,21 @@ def main() -> int:
     timings["extract_transcripts"] = round(extract_secs, 3)
     turns_per_sec = n_turns / extract_secs if extract_secs else 0.0
 
+    # single-node baseline: the SAME extraction kernel run the way the
+    # reference runs (one sequential Python process, no Spark) over a
+    # sample — the "matches-or-beats reference single-node throughput"
+    # comparison is (Spark turns/s) / (sequential turns/s)
+    from pdf_extractors_spark.extractors import dispatch
+
+    sample = (
+        spark.read.parquet(tpath).select("tool", "text").limit(10_000).collect()
+    )
+    t0 = time.time()
+    for r in sample:
+        dispatch.extract_one(r["tool"], r["text"])
+    seq_secs = time.time() - t0
+    sequential_tps = len(sample) / seq_secs if seq_secs else 0.0
+
     if not extract_only:
         queries = entrymod.queries()
         for qname in BENCH_QUERIES:
@@ -182,6 +197,12 @@ def main() -> int:
                     "parse_errors": int(agg["errs"] or 0),
                     "secs": round(extract_secs, 3),
                     "turns_per_sec": round(turns_per_sec, 1),
+                    "sequential_turns_per_sec": round(sequential_tps, 1),
+                    "speedup_vs_sequential": round(
+                        turns_per_sec / sequential_tps, 1
+                    )
+                    if sequential_tps
+                    else None,
                 },
             }
         )
