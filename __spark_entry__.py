@@ -787,6 +787,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_stats_salted"] = q_conv_stats
 
+    def q_html_spans_flat(spark, sf):
+        """Labeled spans (north-star deliverable) value-checked for the
+        html family: one row per span with label + matched value; offsets
+        are pytest-verified (SQL cannot express match positions)."""
+        ext = _extracted(spark, sf).filter(F.col("kind") == "html_page")
+        return _longify(
+            ext.select(
+                "conv_id", "turn_idx", F.explode("spans").alias("s")
+            ).select(
+                "conv_id",
+                "turn_idx",
+                F.col("s.label").alias("label"),
+                F.col("s.value").alias("value"),
+            )
+        )
+
+    q["html_spans_flat"] = q_html_spans_flat
+
     def q_conv_stitch(spark, sf):
         """Cross-turn assembly via grouped-map applyInPandas: one row per
         conversation with turns stitched in order (the conversation-level
@@ -1509,6 +1527,24 @@ def _pii_sql(tp_unused: str = "") -> str:
     """
 
 
+def _html_spans_sql(tp: str) -> str:
+    """Span labels+values for the html family: the four span patterns of
+    extractors/html_content run over the SQL-re-derived main text."""
+    base = _html_main_sql(tp)
+    pats = {
+        "date": r"\b\d{2}\.\d{2}\.\d{4}\b",
+        "amount_nok": r"\b\d{1,3}(\s?\d{3})*,\d{2} NOK\b",
+        "amount_usd": r"\$\d{1,3}(,\d{3})*(\.\d{2})?",
+        "key_value": r"(?m)^[A-Z][\w ./]{2,30}:\s+\S.*$",
+    }
+    selects = " union all ".join(
+        f"select conv_id, turn_idx, '{label}' as label, "
+        f"unnest(regexp_extract_all(main_text, '{pat}')) as value from m"
+        for label, pat in pats.items()
+    )
+    return f"with m as ({base}) {selects}"
+
+
 def oracle_sql() -> dict[str, str]:
     try:
         tp = _oracle_transcripts_file()
@@ -1904,6 +1940,7 @@ def oracle_sql() -> dict[str, str]:
                 "coord_rows_flat": _coord_sql(tp),
                 "census_wide_flat": _census_sql(tp),
                 "html_main_flat": _html_main_sql(tp),
+                "html_spans_flat": _html_spans_sql(tp),
                 "catalog_records_flat": _catalog_sql(tp),
                 "form_widgets_flat": _form_widgets_sql(tp),
                 "form_questions_flat": _form_questions_sql(tp),
