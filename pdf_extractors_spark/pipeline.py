@@ -65,7 +65,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     loops only, no per-row Spark-side Python. Output assembled columnar
     (lists per column), not as per-row dicts — measurably cheaper at
     batch sizes in the thousands."""
-    import json as _json
+    from .extractors.dispatch import dumps_records as _dumps
 
     for pdf in batches:
         texts: list[str] = []
@@ -76,9 +76,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out = dispatch.extract_one(kind, payload)
             texts.append(out["extracted_text"])
             spans.append(out["spans"])
-            records.append(
-                _json.dumps(out["records"], ensure_ascii=False, sort_keys=True)
-            )
+            records.append(_dumps(out["records"]))
             errors.append(out["parse_errors"])
         yield pd.DataFrame(
             {
@@ -99,9 +97,9 @@ def _extract_batches_arrow(batches):
     pandas materialization on both sides of the Python worker. The
     pass-through columns (conv_id, turn_idx, tool) are reused zero-copy;
     only the four computed columns are built, in C, via ``pa.array``."""
-    import json as _json
-
     import pyarrow as pa
+
+    from .extractors.dispatch import dumps_records as _dumps
 
     span_type = pa.list_(
         pa.struct(
@@ -124,9 +122,7 @@ def _extract_batches_arrow(batches):
             out = dispatch.extract_one(kind, payload)
             texts.append(out["extracted_text"])
             spans.append(out["spans"])
-            records.append(
-                _json.dumps(out["records"], ensure_ascii=False, sort_keys=True)
-            )
+            records.append(_dumps(out["records"]))
             errors.append(out["parse_errors"])
         yield pa.RecordBatch.from_arrays(
             [
