@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import md5_bigint, seeded
+from .hashing import md5_bigint
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic —
 # deliberately small and fixed so the oracle SQL can inline them
