@@ -102,7 +102,18 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-_EXTRACT_CACHE: dict[tuple[int, str], DataFrame] = {}
+# keyed by the live session OBJECT (not id()): a strong reference cannot
+# suffer id-reuse collisions after a stopped session is GC'd, and the
+# entry count is bounded by the number of sessions a process creates
+_EXTRACT_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def _extracted_pinned(spark: SparkSession) -> DataFrame:
+    """Extraction over the tier the DuckDB oracles are generated for
+    (sf0.01-sized transcripts), independent of the sf_dir the harness
+    passes: the oracle SQL strings are static, so the query and its
+    oracle must agree on the dataset at every sf."""
+    return _extracted(spark, "sf0.01")
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +121,7 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf): a dozen contract queries flatten different families of
     the same extraction run — without this each would re-run the whole
     Arrow stage."""
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     df = _EXTRACT_CACHE.get(key)
     if df is None:
         df = pipeline.extract_transcripts(_transcripts(spark, sf_dir)).cache()
@@ -481,7 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_form_widgets_flat(spark, sf):
         """S10 flattened: one row per parsed AcroForm widget
         (playground/pdf.py:7-27 field model)."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "form_page")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "form_page")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -507,7 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_form_questions_flat(spark, sf):
         """Question-mapping resolution flattened: one row per question
         (pdf-form-to-excel mapping model)."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "form_page")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "form_page")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -536,7 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fixedwidth_items_flat(spark, sf):
         """M6/F7/F8/X13 flattened: one row per fixed-width line item
         (mancini invoice.py semantics), item_no = emit order."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "fixedwidth_table")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "fixedwidth_table")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -563,7 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """S3/X1/F10/M5 flattened: one row per ruled-table data row (knr
         statement shape), values pulled from the extractor's header-keyed
         records; row_no = emit order."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "ruled_table")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "ruled_table")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -591,7 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         schema = "array<struct<" + ", ".join(
             f"{k}: string" for k in sorted(RECORD_FIELDS)
         ) + ">>"
-        ext = _extracted(spark, sf).filter(F.col("kind") == "invoice_ocr")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "invoice_ocr")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -621,7 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """S5/F5/F6/M4 flattened: one row per reconstructed coordinate-table
         row (ffiec shape), values pulled from the extractor's header-keyed
         records; row_no = emit order."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "coord_table")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "coord_table")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -657,7 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_census_wide_flat(spark, sf):
         """M1/M2/X9/X12/X14-X19/M10 flattened: the wide household row
         (household.py prepare_first_csv shape), one row per household."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "census_page")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "census_page")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -699,7 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """F2/F4/M3/A2 flattened: one row per emitted catalog record
         (mobil carry-forward state machine), oils ';'-joined in
         first-occurrence order; rec_no = emit order."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "catalog_page")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "catalog_page")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -770,7 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         extracted_text for html_page payloads (script/style/nav/cookie
         strip → main/article scope → block split → link-density filter)
         against a full SQL re-derivation."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "html_page")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "html_page")
         return _longify(
             ext.select(
                 "conv_id", "turn_idx", F.col("extracted_text").alias("main_text")
@@ -791,7 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Labeled spans (north-star deliverable) value-checked for the
         html family: one row per span with label + matched value; offsets
         are pytest-verified (SQL cannot express match positions)."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "html_page")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "html_page")
         return _longify(
             ext.select(
                 "conv_id", "turn_idx", F.explode("spans").alias("s")
@@ -809,7 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Cross-turn assembly via grouped-map applyInPandas: one row per
         conversation with turns stitched in order (the conversation-level
         UDF slot from SURVEY §3.2 stage B)."""
-        return pipeline.conv_stitch(_transcripts(spark, sf))
+        return pipeline.conv_stitch(_transcripts(spark, "sf0.01"))
 
     q["conv_stitch"] = q_conv_stitch
 
@@ -1555,9 +1566,13 @@ def oracle_sql() -> dict[str, str]:
         tp = None
     sw_en = _stopword_sql(STOPWORDS["en"])
     norm = _NORM_SQL
+    # documents with fewer than n tokens yield ZERO shingles (matches
+    # dedup.shingles; a truncated last gram would be a phantom shingle)
     shingle3 = (
-        f"list_distinct(list_transform(range(1, greatest(len(w) - 3, 0) + 2), "
-        f"i -> array_to_string(w[i:i+2], ' ')))"
+        "case when len(w) >= 3 then "
+        "list_distinct(list_transform(range(1, len(w) - 1), "
+        "i -> array_to_string(w[i:i+2], ' '))) "
+        "else [] end"
     )
 
     oracles = {
@@ -1822,8 +1837,10 @@ def oracle_sql() -> dict[str, str]:
                               string_split_regex(trim(lower(text)), '\s+') as toks
                        from documents),
             g as (select doc_id,
-                         list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
-                                        i -> array_to_string(toks[i:i+2], ' ')) as grams
+                         case when len(toks) >= 3 then
+                           list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' '))
+                         else [] end as grams
                   from t)
             select doc_id,
                    len(grams) as total_ngrams,
@@ -1859,9 +1876,11 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": f"""
             with t as (select doc_id, string_split({norm}, ' ') as w from documents),
             sh as (select doc_id,
-                          unnest(list_distinct(list_transform(
-                            range(1, greatest(len(w) - 5, 0) + 2),
-                            i -> array_to_string(w[i:i+4], ' ')))) as shingle
+                          unnest(case when len(w) >= 5 then
+                            list_distinct(list_transform(
+                              range(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+4], ' ')))
+                            else [] end) as shingle
                    from t),
             b as (select distinct shingle from sh where doc_id < 5)
             select doc_id, count(*) as n_overlapping
@@ -1911,9 +1930,11 @@ def oracle_sql() -> dict[str, str]:
                               string_split_regex(trim(lower(text)), '\s+') as toks
                        from documents),
             g as (select doc_id,
-                         list_distinct(list_transform(
-                           range(1, greatest(len(toks) - 4, 0) + 2),
-                           i -> array_to_string(toks[i:i+3], ' '))) as grams
+                         case when len(toks) >= 4 then
+                           list_distinct(list_transform(
+                             range(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+3], ' ')))
+                         else [] end as grams
                   from t)
             select doc_id,
                    array_to_string(

@@ -30,7 +30,13 @@ def dumps_records(records: list) -> str:
     otherwise, so the bytes are identical either way. Records carry only
     str/int/None/list/dict — no floats, whose formatting could differ."""
     if _orjson is not None:
-        return _orjson.dumps(records, option=_orjson.OPT_SORT_KEYS).decode()
+        try:
+            return _orjson.dumps(records, option=_orjson.OPT_SORT_KEYS).decode()
+        except (TypeError, ValueError):
+            # orjson is stricter than stdlib (lone surrogates, non-str
+            # keys); fall back rather than failing the Spark task and
+            # bypassing the parse_errors quarantine design
+            pass
     return json.dumps(
         records, ensure_ascii=False, sort_keys=True, separators=(",", ":")
     )

@@ -59,12 +59,16 @@ def dedup_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, as (id, shingle).
     Built with native higher-order functions (transform over a range) —
-    no UDF, stays in codegen."""
+    no UDF, stays in codegen. Documents with fewer than ``n`` tokens
+    yield ZERO shingles (not a truncated one)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )

@@ -37,11 +37,14 @@ def asof_join(
     The right side must be unique per (key, ts) — pre-aggregate if not —
     or the carried value depends on sort-order among equal timestamps."""
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    # carry the right row as ONE struct so a null value column inside the
+    # most recent right row stays null — per-column fill-down would blend
+    # columns from different right rows (not a row that ever existed)
     rt = (
         right.select(
             F.col(key),
             F.col(right_ts).alias("_ts"),
-            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+            F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
         )
         .withColumn("_side", F.lit(0))
     )
@@ -51,15 +54,14 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-    )
-    return filled.filter(F.col("_side") == 1).drop(
-        "_side", "_ts", *[f"_r_{c}" for c in value_cols]
+    filled = unioned.withColumn("_rf", F.last("_r", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            "*",
+            *[F.col(f"_rf.{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+        .drop("_side", "_ts", "_r", "_rf")
     )
 
 

@@ -118,7 +118,10 @@ def kmeans_centroids(
     per iteration; each iteration is one broadcast-join pass over the
     vectors, the same cost profile at 100 TB as the final IVF assignment
     itself. Empty cells keep their previous centroid."""
-    dim = len(vectors.select(vec_col).first()[0])
+    head = vectors.select(vec_col).first()
+    if head is None:
+        raise ValueError("kmeans_centroids: vectors DataFrame is empty")
+    dim = len(head[0])
     cents = take_centroids(vectors, n, id_col, vec_col)
     for _ in range(iters):
         assigned = ivf_assign(vectors, cents, id_col, vec_col)
@@ -164,7 +167,12 @@ def signbit_buckets(
 
     Sizing: expected bucket occupancy is N / 2^rows per band, and
     candidate volume grows with occupancy² — pick rows ≈ log2(N / B)
-    for target bucket size B. ``bands`` trades recall for cost."""
+    for target bucket size B. ``bands`` trades recall for cost.
+
+    Vectors must have ≥ bands·rows dimensions: under Spark's ANSI mode
+    (the session default) an out-of-range ``element_at`` FAILS the job
+    with INVALID_ARRAY_INDEX — loud, not a silent all-zeros-key bucket
+    collapse. Do not swap in ``try_element_at`` here."""
     entries = [
         F.struct(
             F.lit(b).alias("band"),

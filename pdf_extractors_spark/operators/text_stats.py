@@ -93,18 +93,18 @@ def vocab_topk(
 ) -> DataFrame:
     """Corpus vocabulary: top-k tokens by document frequency then total
     count (vocab building / stopword discovery). Deterministic ordering:
-    (df desc, count desc, token asc). One explode + one groupBy with
-    map-side combine; the final top-k is a tiny sorted limit."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
-    )
+    (df desc, count desc, token asc). ONE explode + ONE groupBy computing
+    both frequencies (countDistinct runs as a partial-aggregated
+    expand+merge plan); the final top-k is a tiny sorted limit."""
     all_tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    doc_freq = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    tot = all_tok.groupBy("token").agg(F.count("*").alias("total_count"))
     return (
-        doc_freq.join(tot, "token")
+        all_tok.groupBy("token")
+        .agg(
+            F.countDistinct(id_col).alias("doc_freq"),
+            F.count("*").alias("total_count"),
+        )
         .orderBy(F.desc("doc_freq"), F.desc("total_count"), F.asc("token"))
         .limit(k)
     )
@@ -142,10 +142,13 @@ def repetition_score(
     (the Gopher/C4-style duplicated-n-gram quality signal). 0 = no
     repetition; → 1 as the document degenerates into loops."""
     toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return df.select(
@@ -167,10 +170,13 @@ def fingerprint(
     anywhere outside the minimizing grams (the rolling-hash fingerprint
     family, cf. Schleimer et al. winnowing)."""
     toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     hashes = F.transform(F.array_distinct(grams), lambda g: md5_bigint(g))
     mins = F.slice(F.array_sort(hashes), 1, n_mins)
     return df.select(

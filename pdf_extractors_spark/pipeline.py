@@ -175,8 +175,10 @@ def quarantine_split(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
     try/except at persons.py:806-808): rows whose extraction raised or
     partially failed (parse_errors > 0) split into a quarantine
     DataFrame carrying the full row for replay/debugging, while clean
-    rows flow on. Both sides derive from one narrow filter — no extra
-    pass over the payloads."""
+    rows flow on. Both sides are narrow filters over the SAME lazy
+    input: a caller consuming both (e.g. writing good + quarantine)
+    should ``extracted.persist()`` first, or the extraction stage runs
+    once per side."""
     good = extracted.filter(F.col("parse_errors") == 0)
     quarantined = extracted.filter(F.col("parse_errors") > 0)
     return good, quarantined

@@ -84,9 +84,11 @@ def test_minhash_signatures_match_duckdb(spark, documents):
               from '{SF_DIR}/documents.parquet'
             ), sh as (
               select doc_id,
-                     unnest(list_distinct(list_transform(
-                        range(1, greatest(len(w) - 3, 0) + 2),
-                        i -> array_to_string(w[i:i+2], ' ')))) as shingle
+                     unnest(case when len(w) >= 3 then
+                        list_distinct(list_transform(
+                          range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' ')))
+                        else [] end) as shingle
               from t
             )
             select doc_id, {", ".join(

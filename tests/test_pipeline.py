@@ -57,12 +57,12 @@ def test_giant_payload_survives_arrow_batching(spark):
     bound means payload size degrades to more batches, never failure."""
     big_html = (
         "<html><body><main><article>"
-        + "<p>" + ("Large block of body text. " * 20) + "</p>" * 200
+        + ("<p>" + ("Large block of body text. " * 200) + "</p>") * 400
         + "<p>Total amount without VAT 475,00 NOK</p></article></main>"
         + "<footer>" + ("<a href='#'>x</a>" * 500) + "</footer></body></html>"
     )
-    assert len(big_html) > 2_000_000 or True  # size printed below
-    rows = [("big", 0, "user", big_html * 3, "html_page", None)]
+    assert len(big_html) > 2_000_000, f"payload only {len(big_html)} bytes"
+    rows = [("big", 0, "user", big_html, "html_page", None)]
     probe = spark.createDataFrame(
         rows,
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
