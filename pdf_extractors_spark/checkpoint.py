@@ -11,23 +11,31 @@ Design (FIXTURES.md §4):
   ``conv_id`` (``pmod(xxhash64(conv_id), n)``) — the unit of commit.
   On Iceberg this unit would be the table partition + snapshot id; the
   bucket scheme is the same idea expressed over plain parquet.
-* each bucket is extracted and written as one atomic unit:
-  data → ``{out}/bucket=<k>/`` then manifest → ``{out}/_manifests/<k>.json``
-  (manifest written only after the data write succeeds — write-then-manifest,
-  so a crash mid-bucket leaves no manifest and the bucket is redone).
-* a resume run lists manifests, anti-joins committed buckets, and only
-  processes the rest.
+* one pass per RUN: the input is scanned once, filtered to the buckets
+  not yet committed, and written ``partitionBy(bucket)`` with dynamic
+  partition overwrite — so a partially-written bucket from a killed run
+  is replaced wholesale on resume, never appended to.
+* manifests are written per bucket only AFTER the data write succeeds
+  (write-then-manifest): a crash mid-run leaves data without manifests;
+  readers (``read_extracted``/``metrics``) see only committed buckets,
+  and the next run redoes exactly the uncommitted ones.
+* a resume run validates that the manifest's ``n_buckets`` and
+  ``input_snapshot_id`` match — resuming with a different bucket count
+  would silently duplicate/misplace rows, and resuming over a different
+  input snapshot would silently mix datasets; both raise instead.
 * manifests carry lineage + metrics: rows, bytes, parse_errors,
   input fingerprint, timestamps.
 
-Scale notes: buckets are processed as independent Spark jobs over a
-*pruned* scan (bucket predicate is evaluated at the scan, so each job
-reads ~1/n of the input). On a 1000-executor cluster you would raise
-``n_buckets`` to a few thousand so each commit unit is minutes of work —
-the driver-side loop is trivially cheap relative to the job it launches,
-and sequential commits bound the blast radius of any failure to one
-bucket. Within a bucket, parallelism is full (all executors share the
-bucket's splits).
+Scale notes: the resume filter is a predicate on ``pmod(xxhash64(...))``,
+which plain parquet cannot prune with row-group stats — a resume run
+re-SCANS the input once (it re-EXTRACTS only uncommitted buckets, which
+is where the cost is). On Iceberg with a ``bucket(N, conv_id)`` partition
+transform the same predicate becomes partition pruning and the scan
+itself shrinks. Checkpoint metadata uses local-filesystem atomic renames;
+a production deployment over object storage replaces this file's
+manifest I/O with Iceberg snapshot commits / conditional PUTs
+(docs/SCALE.md §7) — passing a non-local URI raises rather than
+pretending to checkpoint.
 """
 
 from __future__ import annotations
@@ -47,6 +55,15 @@ MANIFEST_DIR = "_manifests"
 
 def bucket_of(conv_id_col, n_buckets: int):
     return F.pmod(F.xxhash64(conv_id_col), F.lit(n_buckets)).cast("int")
+
+
+def _require_local(path: str) -> None:
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"checkpoint manifests use local-filesystem atomic renames; "
+            f"got {path!r}. On object storage / HDFS use Iceberg snapshot "
+            f"commits instead (docs/SCALE.md §7)."
+        )
 
 
 def committed_buckets(out_path: str) -> dict[int, dict]:
@@ -72,6 +89,31 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _validate_resume(
+    done: dict[int, dict], n_buckets: int, snapshot: str
+) -> None:
+    for k, m in done.items():
+        nb = m.get("n_buckets")
+        if nb is not None and nb != n_buckets:
+            raise ValueError(
+                f"resume with n_buckets={n_buckets} but bucket {k} was "
+                f"committed under n_buckets={nb} — this would duplicate "
+                f"and misplace rows; rerun with --buckets {nb} or a fresh "
+                f"output path"
+            )
+        snap = m.get("input_snapshot_id")
+        if (
+            snapshot not in (None, "unknown")
+            and snap not in (None, "unknown")
+            and snap != snapshot
+        ):
+            raise ValueError(
+                f"resume over input snapshot {snapshot!r} but bucket {k} "
+                f"was committed from {snap!r} — output would silently mix "
+                f"datasets; use a fresh output path"
+            )
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -80,63 +122,103 @@ def run_with_checkpoint(
     fail_after: int | None = None,
     input_snapshot_id: str | None = None,
 ) -> dict:
-    """Extract ``transcripts`` into ``out_path`` bucket by bucket, skipping
-    buckets already committed by a previous run.
+    """Extract ``transcripts`` into ``out_path``, committing per bucket
+    and skipping buckets already committed by a previous run. ONE input
+    scan + one partitioned write per run — never a scan per bucket.
 
-    ``fail_after``: test hook — raise after K bucket commits (simulates a
-    killed job).
+    ``fail_after``: test hook — process only the first K uncommitted
+    buckets this run, then raise (simulates a killed job).
     Returns {"processed": [...], "skipped": [...]}.
     """
+    _require_local(out_path)
     os.makedirs(os.path.join(out_path, MANIFEST_DIR), exist_ok=True)
     done = committed_buckets(out_path)
     snapshot = input_snapshot_id or "unknown"
-    src = transcripts.withColumn("_bucket", bucket_of(F.col("conv_id"), n_buckets))
+    _validate_resume(done, n_buckets, snapshot)
+
+    remaining = [k for k in range(n_buckets) if k not in done]
+    skipped = sorted(done)
+    if fail_after is not None:
+        remaining = remaining[:fail_after]
+    if not remaining:
+        return {"processed": [], "skipped": skipped}
+
+    run_id = uuid.uuid4().hex[:12]
+    started = time.time()
+    src = transcripts.withColumn("bucket", bucket_of(F.col("conv_id"), n_buckets))
+    if skipped or fail_after is not None:
+        src = src.filter(F.col("bucket").isin(remaining))
+    extracted = pipeline.extract_transcripts(src).withColumn(
+        "bucket", bucket_of(F.col("conv_id"), n_buckets)
+    )
+    # dynamic overwrite replaces exactly the bucket dirs this run touches
+    # — a half-written dir from a killed run is replaced, not appended to
+    (
+        extracted.sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+
+    # stats per just-written bucket (reads the small output, not the input)
+    written_dirs = [
+        k for k in remaining if os.path.isdir(os.path.join(out_path, f"bucket={k}"))
+    ]
+    stats: dict[int, tuple[int, int]] = {}
+    if written_dirs:
+        rows = (
+            spark.read.option("basePath", out_path)
+            .parquet(*[os.path.join(out_path, f"bucket={k}") for k in written_dirs])
+            .groupBy("bucket")
+            .agg(F.count("*").alias("rows"), F.sum("parse_errors").alias("errs"))
+            .collect()
+        )
+        stats = {int(r["bucket"]): (int(r["rows"]), int(r["errs"] or 0)) for r in rows}
 
     processed: list[int] = []
-    skipped: list[int] = sorted(done)
-    run_id = uuid.uuid4().hex[:12]
-    for k in range(n_buckets):
-        if k in done:
-            continue
-        started = time.time()
-        # bucket predicate prunes the scan: only this bucket's rows are read
-        part = src.filter(F.col("_bucket") == k).drop("_bucket")
-        extracted = pipeline.extract_transcripts(part)
+    for k in remaining:
+        n_rows, n_errs = stats.get(k, (0, 0))
         bucket_dir = os.path.join(out_path, f"bucket={k}")
-        (
-            extracted.sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite")
-            .parquet(bucket_dir)
-        )
-        stats = spark.read.parquet(bucket_dir).agg(
-            F.count("*").alias("rows"), F.sum("parse_errors").alias("errs")
-        ).collect()[0]
         manifest = {
             "partition_id": k,
             "status": "committed",
-            "rows": int(stats["rows"]),
-            "bytes": _dir_bytes(bucket_dir),
-            "parse_errors": int(stats["errs"] or 0),
+            "n_buckets": n_buckets,
+            "rows": n_rows,
+            "bytes": _dir_bytes(bucket_dir) if os.path.isdir(bucket_dir) else 0,
+            "parse_errors": n_errs,
             "input_snapshot_id": snapshot,
             "run_id": run_id,
             "started_at": started,
             "committed_at": time.time(),
         }
         # write-then-manifest: rename makes the commit atomic on a local FS
-        # (on object stores you'd use a conditional PUT / Iceberg commit)
         mpath = os.path.join(out_path, MANIFEST_DIR, f"{k}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, mpath)
         processed.append(k)
-        if fail_after is not None and len(processed) >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} buckets")
+
+    if fail_after is not None:
+        raise RuntimeError(f"injected failure after {fail_after} buckets")
     return {"processed": processed, "skipped": skipped}
 
 
 def read_extracted(spark: SparkSession, out_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_path, "bucket=*"))
+    """Read COMMITTED buckets only — data written by a crashed run that
+    never reached its manifest is invisible, mirroring the resume path
+    (uncommitted dirs would otherwise leak rows that disagree with
+    ``metrics()``)."""
+    done = committed_buckets(out_path)
+    dirs = [
+        os.path.join(out_path, f"bucket={k}")
+        for k in sorted(done)
+        if os.path.isdir(os.path.join(out_path, f"bucket={k}"))
+    ]
+    if not dirs:
+        return spark.createDataFrame([], pipeline.EXTRACTED_SCHEMA)
+    return spark.read.parquet(*dirs)
 
 
 def metrics(out_path: str) -> dict:

@@ -21,8 +21,12 @@ def write_bucketed(
     table: str,
     key: str = "conv_id",
     buckets: int = 16,
-    sort_by: str | None = "turn_idx",
+    sort_by: str | None = None,
 ) -> None:
+    """``sort_by`` defaults to None (sort on the bucket key only): baking
+    a turns-specific column into a generic writer fails with an
+    unresolved-column error for any table without it — e.g. the
+    conv-metadata side of the co-located join."""
     writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort_by:
         writer = writer.sortBy(key, sort_by)

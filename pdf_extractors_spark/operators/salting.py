@@ -33,8 +33,19 @@ def heavy_hitters(
 ) -> list[str]:
     """Approximate heavy-key detection via uniform sampling: a key with
     ≥ threshold rows appears ≥ threshold*fraction times in the sample in
-    expectation. Deterministic seed for reproducible plans."""
-    min_sampled = max(1, int(threshold * sample_fraction / 2))
+    expectation. Deterministic seed for reproducible plans.
+
+    ``threshold * sample_fraction`` must be ≥ 4 — below that the cutoff
+    sits at the sampling noise floor and single-sampled light keys would
+    be flagged heavy (at web scale that floods the driver collect and
+    blows up the isin() literal list). Raise the fraction or threshold."""
+    expected = threshold * sample_fraction
+    if expected < 4:
+        raise ValueError(
+            f"threshold*sample_fraction = {expected:.2f} < 4: sampled "
+            f"counts at this level are noise, not evidence of a heavy key"
+        )
+    min_sampled = max(2, int(expected / 2))
     rows = (
         df.sample(fraction=sample_fraction, seed=42)
         .groupBy(key)

@@ -23,23 +23,36 @@ from pyspark.sql import SparkSession
 def _package_zip() -> str:
     """Zip this package so Spark Python workers can import it regardless of
     their cwd — the programmatic equivalent of ``spark-submit --py-files
-    engine.zip`` (the north rule's packaging requirement). Cached per
-    process."""
+    engine.zip`` (the north rule's packaging requirement). Cached by
+    CONTENT hash (a pid-keyed cache ships stale code after pid reuse and
+    a kill mid-zip leaves a truncated file the same pid would reuse);
+    written to a temp name and renamed so a partial zip is never visible."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), f"pdf_extractors_spark_{os.getpid()}.zip")
+    entries: list[tuple[str, str]] = []
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        if "__pycache__" in root:
+            continue
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.join("pdf_extractors_spark", os.path.relpath(full, pkg_dir))
+            entries.append((full, rel))
+            h.update(rel.encode())
+            with open(full, "rb") as f:
+                h.update(f.read())
+    out = os.path.join(
+        tempfile.gettempdir(), f"pdf_extractors_spark_{h.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(out):
-        with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for name in files:
-                    if not name.endswith(".py"):
-                        continue
-                    full = os.path.join(root, name)
-                    rel = os.path.join(
-                        "pdf_extractors_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+        tmp = f"{out}.tmp-{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+            for full, rel in entries:
+                zf.write(full, rel)
+        os.replace(tmp, out)
     return out
 
 
@@ -54,9 +67,17 @@ def get_spark(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
     )
     if shuffle_partitions is None:
-        # local[N] → N; on a cluster leave it high and let AQE coalesce.
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = int(os.cpu_count() or 32) if inner == "*" else int(inner)
+        if master.startswith("local") and "[" in master:
+            # local[N] or local[N,maxFailures] → N cores
+            inner = master[master.find("[") + 1 : master.find("]")].split(",")[0]
+            shuffle_partitions = (
+                int(os.cpu_count() or 32) if inner == "*" else int(inner)
+            )
+        else:
+            # cluster master: start high (~2-3x a typical executor-core
+            # total) and let AQE coalesce down; callers with known
+            # cluster size should pass shuffle_partitions explicitly
+            shuffle_partitions = 512
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -71,6 +92,10 @@ def get_spark(
         # amortizing the Arrow transfer (SURVEY.md §4).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # effective only when THIS call launches the driver JVM (plain
+        # python). Under spark-submit the JVM already exists and Spark
+        # ignores driver.memory set here — pass --driver-memory on the
+        # submit command line instead (jobs/extract.py docstring).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -21,8 +21,8 @@ def test_bucketed_join_has_no_exchange(spark, small_transcripts, tmp_path):
     turns = small_transcripts.select("conv_id", "turn_idx", "role")
     convs = small_transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
     try:
-        bucketing.write_bucketed(turns, "turns_b", buckets=8)
-        bucketing.write_bucketed(convs, "convs_b", buckets=8, sort_by=None)
+        bucketing.write_bucketed(turns, "turns_b", buckets=8, sort_by="turn_idx")
+        bucketing.write_bucketed(convs, "convs_b", buckets=8)
 
         joined = bucketing.bucketed_join(spark, "turns_b", "convs_b")
         plan = _plan(joined)

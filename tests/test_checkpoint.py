@@ -73,3 +73,59 @@ def test_interrupted_bucket_leaves_no_manifest(spark, small_transcripts, tmp_pat
     k, m = next(iter(ms.items()))
     got = spark.read.parquet(str(tmp_path / "wtm" / f"bucket={k}")).count()
     assert got == m["rows"]
+
+
+def test_resume_rejects_bucket_count_change(spark, small_transcripts, tmp_path):
+    """Resuming with a different n_buckets would re-map the hash space and
+    silently duplicate rows across old and new buckets — must raise."""
+    out = str(tmp_path / "nb")
+    with pytest.raises(RuntimeError):
+        checkpoint.run_with_checkpoint(
+            spark, small_transcripts, out, n_buckets=6, fail_after=2
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        checkpoint.run_with_checkpoint(spark, small_transcripts, out, n_buckets=12)
+
+
+def test_resume_rejects_snapshot_change(spark, small_transcripts, tmp_path):
+    """Resuming over a different input snapshot would mix datasets in one
+    output — must raise when both snapshot ids are known."""
+    out = str(tmp_path / "snap")
+    with pytest.raises(RuntimeError):
+        checkpoint.run_with_checkpoint(
+            spark, small_transcripts, out, n_buckets=6, fail_after=2,
+            input_snapshot_id="snapA",
+        )
+    with pytest.raises(ValueError, match="snapshot"):
+        checkpoint.run_with_checkpoint(
+            spark, small_transcripts, out, n_buckets=6, input_snapshot_id="snapB"
+        )
+    # same snapshot resumes fine
+    res = checkpoint.run_with_checkpoint(
+        spark, small_transcripts, out, n_buckets=6, input_snapshot_id="snapA"
+    )
+    assert len(res["skipped"]) == 2
+
+
+def test_read_extracted_hides_uncommitted_buckets(spark, small_transcripts, tmp_path):
+    """Data written by a crashed run that never reached its manifest must
+    be invisible to readers (write-then-manifest protocol)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "uncommitted")
+    checkpoint.run_with_checkpoint(spark, small_transcripts, out, n_buckets=4)
+    committed_rows = checkpoint.read_extracted(spark, out).count()
+    assert committed_rows == small_transcripts.count()
+    # simulate a crash: bucket data present, manifest missing
+    os.remove(os.path.join(out, checkpoint.MANIFEST_DIR, "2.json"))
+    visible = checkpoint.read_extracted(spark, out).count()
+    bucket2 = spark.read.parquet(os.path.join(out, "bucket=2")).count()
+    assert visible == committed_rows - bucket2
+    assert checkpoint.metrics(out)["buckets"] == 3
+    # and a remote URI is refused rather than silently not checkpointing
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        checkpoint.run_with_checkpoint(
+            spark, small_transcripts, "s3://bucket/out", n_buckets=4
+        )
+    shutil.rmtree(out)
