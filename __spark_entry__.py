@@ -393,22 +393,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------------- text stats family ---------------------------
 
     q["token_count"] = lambda spark, sf: _longify(
-        text_stats.token_count(_read(spark, sf, "documents"))
+        text_stats.token_count(_spread(_read(spark, sf, "documents")))
     )
     q["quality_score"] = lambda spark, sf: _longify(
-        text_stats.quality_score(_read(spark, sf, "documents"))
+        text_stats.quality_score(_spread(_read(spark, sf, "documents")))
     )
     q["lang_id"] = lambda spark, sf: _longify(
-        text_stats.lang_id(_read(spark, sf, "documents"))
+        text_stats.lang_id(_spread(_read(spark, sf, "documents")))
     )
     q["fingerprint"] = lambda spark, sf: text_stats.fingerprint(
-        _read(spark, sf, "documents")
+        _spread(_read(spark, sf, "documents"))
     )
 
     # ------------- training-data pipeline ops (SQL-oracled) -------------
 
     q["repetition_score"] = lambda spark, sf: _longify(
-        text_stats.repetition_score(_read(spark, sf, "documents"), n=3)
+        text_stats.repetition_score(_spread(_read(spark, sf, "documents")), n=3)
     )
 
     q["vocab_topk"] = lambda spark, sf: _longify(

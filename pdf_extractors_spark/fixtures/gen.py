@@ -14,7 +14,6 @@ driver — the same pattern a 100 TB fixture build would use.
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 from datetime import datetime, timedelta, timezone
 
@@ -133,6 +132,24 @@ def materialize(
     marker = os.path.join(path, "_SUCCESS")
     if not overwrite and os.path.exists(marker):
         return path
+    # write to a unique temp dir and rename into place: two concurrent
+    # callers both overwriting `path` directly can interleave their
+    # part-files into one corrupted directory (the check-then-write race)
+    tmp = f"{path}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
     df = gen_spark(spark, n_convs, max_turns, partitions=partitions)
-    df.write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        if overwrite and os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    except OSError:
+        # lost the race: another caller installed the directory first —
+        # use theirs (identical by determinism) and drop ours
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     return path

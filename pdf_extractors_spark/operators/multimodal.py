@@ -102,10 +102,14 @@ def decode_stub(payload: bytes, media_type: str, fake: bool = False) -> dict:
     }
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas feature extraction over the binary column. The batch
     shape (columnar pandas in, columnar pandas out, one row per media)
-    is exactly what a real decoder would use."""
+    is exactly what a real decoder would use.
+
+    ``fake`` defaults to False, matching decode_stub's fail-safe: a
+    production caller gets NotImplementedError, never silent hash-derived
+    fake embeddings; tests/queries opt into the stub explicitly."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -285,9 +285,11 @@ def explode_multirow_cells(df: DataFrame, cols: list[str]) -> DataFrame:
     Pure column math: split → greatest(size) → posexplode(sequence) →
     coalesce(element_at(i+1), element_at(1))."""
     parts = {c: F.split(F.col(c), "\n") for c in cols}
-    m = F.greatest(*[F.size(parts[c]) for c in cols]) if len(cols) > 1 else F.size(
-        parts[cols[0]]
-    )
+    # coalesce each size to 1: under ANSI, size(split(NULL)) is NULL and
+    # a NULL max_splits would make explode(sequence(...)) silently DROP
+    # the whole row — a null cell must yield one output row, not zero
+    sizes = [F.coalesce(F.size(parts[c]), F.lit(1)) for c in cols]
+    m = F.greatest(*sizes) if len(cols) > 1 else sizes[0]
     others = [c for c in df.columns if c not in cols]
     exploded = df.select(
         *others,

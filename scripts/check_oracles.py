@@ -28,11 +28,13 @@ TABLES = [
 
 
 def _norm_value(v) -> str:
+    # distinct sentinel for null/NaN: collapsing them with "" would hide
+    # genuine null-vs-empty-string drift between Spark and DuckDB
     if v is None:
-        return ""
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return ""
+            return "\x00NULL"
         return f"{v:.6g}"
     return str(v)
 
@@ -65,6 +67,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = set(only) - set(queries)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+            return 2
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
