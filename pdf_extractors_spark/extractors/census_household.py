@@ -16,6 +16,16 @@ Re-expresses ``roman-census/household.py``:
 * brokenness flag X17 (household.py:203-207), counts X18
   (household.py:278-280), first-5 spread X19 (household.py:259-268),
 * record re-segmentation on '(1)' M10 (household.py:209-219, 414-431).
+
+**Deviation (per-turn statelessness)**: the reference carries
+``current_household``/``last_read_variable`` across PAGES (state outside
+the page loop, household.py:26-46), so a household spanning a page
+boundary continues on the next page. Here the turn is the unit of
+parallelism, so state resets per payload and a leading orphan fragment
+(no ``HOUSEHOLD NO.:`` yet) is dropped by the household_number guard.
+Multi-page households belong to conversation-level stitching
+(``pipeline.conv_stitch`` / ``groupBy(conv).applyInPandas``) before
+extraction — the same trade nordic.py and mobil.py document.
 """
 
 from __future__ import annotations
@@ -178,12 +188,15 @@ def get_parsed_declarants(declarant_line: str | None) -> list[str]:
     if declarant_line.startswith("["):
         declarant_line = declarant_line[1:]
 
+    # bug-for-bug (household.py:307-319): `matches` is initialized ONCE
+    # before the segment loop, so a segment whose regex fails re-appends
+    # the PREVIOUS segment's declarant (stale carry-over)
+    matches = None
     for segment in declarant_line.split(";"):
         segment = segment.strip()
         if segment.lower().startswith("and "):
             segment = segment[4:].strip()
         m = _RE_DECLARANT.match(segment)
-        matches = None
         if m:
             matches = m.group(1) or m.group(2) or m.group(3)
         if matches:

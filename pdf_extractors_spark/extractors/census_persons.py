@@ -499,7 +499,12 @@ def remove_reference_num_entry(referenced_person: dict, referenced_by: dict, ref
     """J7 (persons.py:648-666)."""
     number_and = _RE_REMOVE_NOS_AND
     number = _RE_REMOVE_NUM
-    for item in list(referenced_by[key]):
+    # bug-for-bug (persons.py:648-666): the reference iterates the LIVE
+    # list while removing — the element following each removal is skipped
+    # — and an item matching the number pattern twice calls remove twice
+    # (the second raises ValueError, which our per-row quarantine absorbs
+    # where the reference would crash the whole run)
+    for item in referenced_by[key]:
         m = number_and.search(item)
         if m:
             if str(referenced_index) in m.group(1).strip().split(" and "):
@@ -510,16 +515,16 @@ def remove_reference_num_entry(referenced_person: dict, referenced_by: dict, ref
                 if referenced_index == 1:
                     if "1" in value or "l" in value:
                         referenced_by[key].remove(item)
-                        break
                 elif str(referenced_index) in value:
                     referenced_by[key].remove(item)
-                    break
 
 
 def remove_declarant_entry(persons: list[dict], key: str) -> None:
-    """J7 (persons.py:514-518)."""
+    """J7 (persons.py:514-518). Bug-for-bug: the reference iterates the
+    LIVE list while removing, so the element after each removed entry is
+    skipped — two consecutive '[declarant]' items leave the second."""
     for person in persons:
-        for item in list(person[key]):
+        for item in person[key]:
             if "declarant" in item:
                 person[key].remove(item)
 

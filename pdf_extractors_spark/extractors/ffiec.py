@@ -64,11 +64,14 @@ def extract(payload: str) -> dict:
         for x, _y, font, text in block:
             if font != "Arial":  # F5
                 continue
-            # M4: last header x ≤ span x (interval lookup)
+            # M4: last header x ≤ span x (interval lookup). A span LEFT of
+            # the first header column lands under the reference's phantom
+            # '' key (ffiec-census.py:50-58 returns the initial
+            # previous_column_value), NOT the first real column —
+            # bug-for-bug, so it can never flip the County-Code gate.
             idx = int(np.searchsorted(xs, x, side="right")) - 1
-            if idx < 0:
-                idx = 0
-            row[names[idx]] = text
+            name = names[idx] if idx >= 0 else ""
+            row[name] = text
             kept_lines.append(text)
             got = True
         if got and row.get("County Code"):  # F6

@@ -15,6 +15,14 @@ Re-expresses ``mobil-oil/mobil-oil-extractor.py``:
   is PYTHONHASHSEED-dependent; we de-dup preserving first-occurrence order
   so output is deterministic under any parallelism (SURVEY.md §7 hard
   parts: encounter-order determinism).
+
+**Deviation (per-turn statelessness)**: the reference carries
+manufacturer/year/model/engine context across PAGES (state initialized
+once, mobil-oil-extractor.py:36-41); here the turn is the unit of
+parallelism, so context resets per payload. A page whose leading entries
+continue the previous page's context belongs to conversation-level
+stitching (pipeline.conv_stitch / groupBy(conv).applyInPandas) before
+extraction — the same trade nordic.py documents for its header fields.
 """
 
 from __future__ import annotations
@@ -104,7 +112,12 @@ def parse_lines(page_number: int, lines: list[str]) -> list[dict]:
     for index, raw in enumerate(lines):
         line = raw.strip()
         if valid and valid_line(line):
-            nxt = lines[index + 1].strip() if index + 1 < len(lines) else ""
+            # reference matches the RAW next line (mobil-oil-extractor.py:51
+            # — only `line` is stripped); a padded year line therefore fails
+            # the manufacturer confirmation, bug-for-bug. Deviation: the
+            # reference IndexErrors when such a line is last; we treat
+            # end-of-lines as no-match (per-row quarantine design).
+            nxt = lines[index + 1] if index + 1 < len(lines) else ""
             # manufacturer line, confirmed by a year on the next line
             # (mobil-oil-extractor.py:50-60)
             if _RE_MANUF.match(line) and _RE_YEAR.match(nxt):
@@ -135,13 +148,17 @@ def parse_lines(page_number: int, lines: list[str]) -> list[dict]:
             if _RE_ENGINE.match(line) and model:
                 line_ns = line.replace(" ", "")
                 if not _RE_OIL.match(line_ns):
-                    if engine is not None and line not in _ELECTRIC:
+                    # the reference compares the SPACE-STRIPPED line against
+                    # the spaced '(Electric/Gas) (Mexico)/(Canada)' literals
+                    # (mobil-oil-extractor.py:97-105), so only the spaceless
+                    # '(Electric/Gas)' can ever match — bug-for-bug
+                    if engine is not None and line_ns not in _ELECTRIC:
                         emit()
                         oils = []
-                    if line not in _ELECTRIC:
+                    if line_ns not in _ELECTRIC:
                         engine = line_ns
                     else:
-                        engine = f"{engine} {line}"
+                        engine = f"{engine} {line_ns}"
                 else:
                     oils.extend(_RE_OIL.findall(line_ns))
                 continue

@@ -12,10 +12,15 @@ Re-expresses the semantics of the reference's
 * forward-fill of missing ``Delivery date`` from the previous record
   (nordic-invoice.py:94-100, operator M8).
 
-Deviation from the reference (documented): the reference forward-fills
-globally across the whole PDF; here the fill is per payload (per turn),
-because turns are the unit of parallelism — cross-turn fill is provided
-separately as a window operator in ``pipeline.py`` (conv-level M8).
+Deviation from the reference (documented): the reference carries state
+across the whole PDF — the delivery-date forward-fill AND the header
+fields (invoice/invoice_date/due_date/customer_number stamped from the
+page where they last matched onto every later page's records). Here both
+reset per payload, because turns are the unit of parallelism: cross-turn
+delivery-date fill is provided as a window operator
+(``pipeline.conv_forward_fill``), and multi-page invoices belong to
+conversation-level stitching (``pipeline.conv_stitch`` /
+``groupBy(conv).applyInPandas``) before extraction.
 """
 
 from __future__ import annotations

@@ -43,15 +43,22 @@ def extract(payload: str) -> dict:
     if not rows:
         return {"extracted_text": "", "spans": [], "records": [], "parse_errors": 0}
     header = [normalize_ws(c).strip() for c in rows[0].split(_DELIM)]
+    # bug-for-bug (knr_property.py:9-13,44-46): the reference keys a dict
+    # by header NAME (duplicates collapse to one column, first-occurrence
+    # order) and assigns row cells POSITIONALLY over the deduped names —
+    # extra trailing cells are silently ignored. A row with fewer cells
+    # than deduped columns IndexErrors in the reference; here it counts a
+    # parse error (per-row quarantine design) instead of crashing.
+    names = list(dict.fromkeys(header))
     records: list[dict] = []
     errors = 0
     for raw in rows[1:]:  # F10 header skip
         cells = [normalize_ws(c) for c in raw.split(_DELIM)]
-        if len(cells) != len(header):
+        if len(cells) < len(names):
             errors += 1
             continue
         cells = enrich_row(cells)
-        records.append(dict(zip(header, cells)))
+        records.append({name: cells[i] for i, name in enumerate(names)})
     kept = "\n".join(normalize_ws(r) for r in rows)
     return {
         "extracted_text": kept,

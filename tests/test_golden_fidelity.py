@@ -149,3 +149,78 @@ def test_golden_mobil_rows():
     assert recs[0]["engine"] == "V63.0LF.I.Turbo"
     assert recs[0]["oil"] == ["M1-110M"]
     assert recs[1]["engine"] == "V63.5LF.I."
+
+
+# ---- reference-quirk parity (divergences found and fixed in review) ----
+
+
+def test_electric_gas_merge_matches_reference_stripping():
+    """mobil-oil-extractor.py:97-105 strips spaces BEFORE the
+    (Electric/Gas) comparisons, so the spaced Mexico/Canada variants can
+    never match: they must be treated as a NEW engine (emit + reset)."""
+    from pdf_extractors_spark.extractors import mobil
+
+    lines = [
+        mobil._MARKER, "Oil",
+        "TOYOTA", "2020", "Camry", "V6-3.5L", "M1-111A",
+        "(Electric/Gas)",            # spaceless: merges into the engine
+        "M1-222A",
+        "Prius", "L4-1.8L", "M1-333A",
+        "(Electric/Gas) (Mexico)",   # spaced: becomes a NEW engine
+        "M1-444A",
+    ]
+    recs = mobil.extract("\n".join(lines))["records"]
+    assert recs[0]["engine"] == "V6-3.5L (Electric/Gas)"
+    assert recs[0]["oil"] == ["M1-111A", "M1-222A"]
+    # the spaced variant emitted the pending record and took over as engine
+    assert recs[1]["engine"] == "L4-1.8L"
+    assert recs[1]["oil"] == ["M1-333A"]
+    assert recs[2]["engine"] == "(Electric/Gas)(Mexico)"
+    assert recs[2]["oil"] == ["M1-444A"]
+
+
+def test_remove_declarant_entry_skips_after_removal():
+    """persons.py:514-518 mutates the list during iteration: the element
+    following each removal is skipped."""
+    from pdf_extractors_spark.extractors import census_persons
+
+    p = {"siblings": ["Thais [declarant]", "Taor [declarant]", "X"]}
+    census_persons.remove_declarant_entry([p], "siblings")
+    assert p["siblings"] == ["Taor [declarant]", "X"]
+
+
+def test_declarant_stale_carry_over():
+    """household.py:307-319 initializes `matches` once before the segment
+    loop: a non-matching segment re-appends the previous declarant."""
+    from pdf_extractors_spark.extractors import census_household
+
+    got = census_household.get_parsed_declarants("Harpalos s. Dion; (2nd hand)")
+    assert got == ["Harpalos", "Harpalos"]
+
+
+def test_ffiec_left_of_first_column_goes_to_phantom_key():
+    """ffiec-census.py:50-58 returns '' for a span left of the first
+    header column — it must NOT land in the first real column."""
+    from pdf_extractors_spark.extractors import ffiec
+
+    payload = "\n".join([
+        "50.0|40.0|Arial,Bold|County Code",
+        "150.0|40.0|Arial,Bold|Name",
+        "",
+        "10.0|52.0|Arial|stray",      # left of every header column
+        "55.0|52.0|Arial|031",
+        "155.0|52.0|Arial|Ada",
+    ])
+    recs = ffiec.extract(payload)["records"]
+    assert recs == [{"County Code": "031", "Name": "Ada", "": "stray"}]
+
+
+def test_ruled_duplicate_headers_and_extra_cells_positional():
+    """knr_property.py:9-13,44-46: duplicate header names collapse to one
+    first-occurrence column; row cells assign positionally over the
+    deduped names; extra trailing cells are ignored."""
+    from pdf_extractors_spark.extractors import ruled
+
+    payload = "A│B│A│C\nc0│c1│c2│c3"
+    recs = ruled.extract(payload)["records"]
+    assert recs == [{"A": "c0", "B": "c1", "C": "c2"}]

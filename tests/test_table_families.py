@@ -41,12 +41,13 @@ def test_ffiec_font_filter():
 
 
 def test_ffiec_interval_lookup_below_first_header():
-    # M4: x below the first header column clamps to column 0
-    # (ffiec-census.py:50-58 returns '' pre-first; we clamp — a span
-    # left of all headers belongs to the first column)
+    # M4: x below the first header column goes to the reference's phantom
+    # '' key (ffiec-census.py:50-58 returns the initial
+    # previous_column_value), NOT the first real column
     payload = "30.0|1|Arial,Bold|A\n90.0|1|Arial,Bold|County Code\n\n5.0|2|Arial|v\n95.0|2|Arial|c\n"
     recs = ffiec.extract(payload)["records"]
-    assert recs[0]["A"] == "v"
+    assert recs[0][""] == "v"
+    assert recs[0]["A"] is None
 
 
 # ------------------------------------------------------------------- ruled
