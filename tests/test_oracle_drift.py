@@ -1,0 +1,144 @@
+"""Oracle-vs-extractor equivalence OUTSIDE the fixture envelope.
+
+The driver gate checks the DuckDB oracles against fixture data only; a
+drift review found (and fixed) cases where oracle and extractor diverged
+on inputs fixtures never produce. These tests pin those equivalences by
+running the oracle SQL over hand-built adversarial payloads and
+comparing against the Python extractors directly (no Spark needed —
+the Spark queries are thin flatteners over the same extractor output,
+which test_golden_fidelity_tables pins separately)."""
+
+import json
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+from pdf_extractors_spark.extractors import dispatch
+from pdf_extractors_spark.extractors.mobil import _MARKER
+
+
+def _tp(tmp_path, rows):
+    """Write payload rows as the transcripts parquet shape the oracle
+    generators read."""
+    df = pd.DataFrame(
+        [
+            {
+                "conv_id": c,
+                "turn_idx": t,
+                "role": "user",
+                "text": text,
+                "tool": tool,
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+            for c, t, tool, text in rows
+        ]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    path = str(tmp_path / "adv.parquet")
+    df.to_parquet(path)
+    return path
+
+
+def _records(kind, text):
+    return dispatch.extract_one(kind, text)["records"]
+
+
+def test_catalog_oracle_padded_year_and_stop_prefix(tmp_path):
+    payload = "\n".join(
+        [
+            "preamble noise",
+            _MARKER,
+            "MANUFACTURER-MODEL-ENGINE",
+            "Oil",
+            "ACURA",
+            " 2020",  # padded year: raw next-line check must FAIL the manuf
+            "TOYOTA",
+            "2021",
+            "Camry",
+            "V6-3.5L",
+            "M1-111A",
+            "Premium Filter Recommended. blah",  # stop-PREFIX line
+            "Corolla",
+            "L4-2.0L Turbo",
+            "M1-222A",
+        ]
+    )
+    tp = _tp(tmp_path, [("c", 0, "catalog_page", payload)])
+    sql = entry._catalog_sql(tp)
+    got = duckdb.sql(sql).fetchdf().sort_values("rec_no")
+    exp = _records("catalog_page", payload)
+    assert len(got) == len(exp)
+    for row, rec in zip(got.itertuples(index=False), exp):
+        assert row.manufacturer == rec["manufacturer"]
+        assert row.year == rec["year"]
+        assert row.model == rec["model"]
+        assert row.engine == rec["engine"]
+        assert row.oils == ";".join(rec["oil"])
+
+
+def test_coord_oracle_phantom_column_and_empty_county(tmp_path):
+    payload = "\n".join(
+        [
+            "50.0|40.0|Arial,Bold|County Code",
+            "150.0|40.0|Arial,Bold|Tract Code",
+            "",
+            "10.0|52.0|Arial|stray",  # left of every header -> phantom ''
+            "55.0|52.0|Arial|031",
+            "155.0|52.0|Arial|0001.01",
+            "",
+            "55.0|64.0|Arial|",  # EMPTY County Code -> row dropped (truthiness)
+            "155.0|64.0|Arial|0002.02",
+        ]
+    )
+    tp = _tp(tmp_path, [("c", 0, "coord_table", payload)])
+    got = duckdb.sql(entry._coord_sql(tp)).fetchdf()
+    exp = _records("coord_table", payload)
+    assert len(exp) == 1 and exp[0]["County Code"] == "031"
+    assert exp[0][""] == "stray"  # phantom key held the stray span
+    assert len(got) == 1
+    assert got.iloc[0]["county_code"] == "031"
+    assert got.iloc[0]["tract_code"] == "0001.01"
+
+
+def test_ruled_oracle_extra_trailing_cells(tmp_path):
+    payload = (
+        "Date│Payee / Payer│Type│Reference│Description│Income│Expense│Balance\n"
+        "01/02/2023│X│Payment│R1│Rent│1.00│2.00│3.00│EXTRA"
+    )
+    tp = _tp(tmp_path, [("c", 0, "ruled_table", payload)])
+    got = duckdb.sql(entry._ruled_sql(tp)).fetchdf()
+    exp = _records("ruled_table", payload)
+    assert len(exp) == 1 and exp[0]["Balance"] == "3.00"
+    assert len(got) == 1 and got.iloc[0]["balance"] == "3.00"
+
+
+def test_form_oracle_widgetless_page_still_emits_questions(tmp_path):
+    tp = _tp(tmp_path, [("c", 0, "form_page", "garbage-no-pipes")])
+    got = duckdb.sql(entry._form_questions_sql(tp)).fetchdf()
+    exp = _records("form_page", "garbage-no-pipes")[0]["questions"]
+    assert len(exp) == 4
+    assert len(got) == 4
+    by_q = {r["question"]: r["answer"] for _, r in got.iterrows()}
+    for q in exp:
+        want = q["answer"]
+        have = by_q[q["question"]]
+        assert (want is None and pd.isna(have)) or want == have
+
+
+def test_html_oracle_article_before_main_and_empty_main(tmp_path):
+    art_first = "<html><body><article>Article body text goes here.</article><main>Main body text goes here instead.</main></body></html>"
+    empty_main = "<html><body><main></main><p>Outside text that must not appear.</p></body></html>"
+    tp = _tp(
+        tmp_path,
+        [("c", 0, "html_page", art_first), ("c", 1, "html_page", empty_main)],
+    )
+    got = {
+        int(r["turn_idx"]): r["main_text"]
+        for _, r in duckdb.sql(entry._html_main_sql(tp)).fetchdf().iterrows()
+    }
+    exp0 = dispatch.extract_one("html_page", art_first)["extracted_text"]
+    exp1 = dispatch.extract_one("html_page", empty_main)["extracted_text"]
+    assert got[0] == exp0  # leftmost match (article) wins in both
+    assert got[1] == exp1 == ""  # empty <main> scopes to nothing in both
