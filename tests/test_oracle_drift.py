@@ -142,3 +142,109 @@ def test_html_oracle_article_before_main_and_empty_main(tmp_path):
     exp1 = dispatch.extract_one("html_page", empty_main)["extracted_text"]
     assert got[0] == exp0  # leftmost match (article) wins in both
     assert got[1] == exp1 == ""  # empty <main> scopes to nothing in both
+
+
+# ---------------- property-based drift (hypothesis-generated payloads) --
+
+
+from hypothesis import given, settings, strategies as st
+
+_CELL = st.text(
+    alphabet=st.sampled_from(list("abcXYZ 0123456789.,-\t\r")), max_size=12
+)
+_NAME = st.text(alphabet=st.sampled_from(list("abc_xyz")), min_size=1, max_size=8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(_NAME, _CELL, st.integers(0, 9)).map(
+                lambda t: f"{t[0]}|{t[1]}|{t[2]}"
+            ),
+            st.just("badline"),
+            st.just("only|two"),
+            st.just(""),
+        ),
+        max_size=10,
+    )
+)
+def test_form_widgets_oracle_matches_extractor(tmp_path_factory, lines):
+    payload = "\n".join(lines)
+    tp = _tp(tmp_path_factory.mktemp("fw"), [("c", 0, "form_page", payload)])
+    got = (
+        duckdb.sql(entry._form_widgets_sql(tp))
+        .fetchdf()
+        .sort_values(["field_name", "field_value", "field_type"])
+    )
+    exp = sorted(
+        (
+            (w["field_name"], w["field_value"], w["field_type"])
+            for w in _records("form_page", payload)[0]["widgets"]
+        )
+    )
+    got_t = sorted(
+        (r["field_name"], r["field_value"], int(r["field_type"]))
+        for _, r in got.iterrows()
+    )
+    assert got_t == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(_CELL, min_size=5, max_size=10),
+        min_size=0,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+def test_ruled_oracle_matches_extractor(tmp_path_factory, rows, add_total):
+    header = "Date│Payee / Payer│Type│Reference│Description│Income│Expense│Balance"
+    lines = [header] + ["│".join(cells) for cells in rows]
+    if add_total:
+        lines.append("│".join(["Total 1,00 2,00", "", "", "", "", "", "", ""]))
+    payload = "\n".join(ln for ln in lines if ln != "")
+    tp = _tp(tmp_path_factory.mktemp("rl"), [("c", 0, "ruled_table", payload)])
+    got = duckdb.sql(entry._ruled_sql(tp)).fetchdf().sort_values("row_no")
+    exp = _records("ruled_table", payload)
+    assert len(got) == len(exp)
+    for r, rec in zip(got.itertuples(index=False), exp):
+        assert r.date == rec["Date"]
+        assert r.income == rec["Income"]
+        assert r.balance == rec["Balance"]
+
+
+_FIELD_LINES = st.sampled_from(
+    [
+        "Invoice 3056313   Invoice Date: 25.03.2022   Due Date: 08.04.2022",
+        "Customer Number: 1415",
+        "Order No.: 729360  Ext. order no. : KO2100567-2",
+        "Loading date 26.01.2022  Delivery date 04.04.2022",
+        "Loading date 27.02.2022",
+        "Vessel Name: AL ZUBARA - 0017W Container type: 40DC",
+        "Port of loading: CNNBG   Port of delivery: NOMSS",
+        "Total amount without VAT 475,00 NOK   Tour No.: 310613",
+        "random filler line with no fields at all",
+        "",
+    ]
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_FIELD_LINES, min_size=0, max_size=14))
+def test_invoice_oracle_matches_extractor(tmp_path_factory, lines):
+    """Random shuffles of field lines exercise segmentation, the
+    header-gate (Invoice in segment 0), record emission and the
+    delivery-date forward-fill in arbitrary orders."""
+    payload = "\n".join(lines)
+    tp = _tp(tmp_path_factory.mktemp("inv"), [("c", 0, "invoice_ocr", payload)])
+    got = duckdb.sql(entry._invoice_sql(tp)).fetchdf().sort_values("rec_no")
+    exp = _records("invoice_ocr", payload)
+    assert len(got) == len(exp)
+    for r, rec in zip(got.itertuples(index=False), exp):
+        for k in ("invoice", "order_no", "delivery_date", "customer_number",
+                  "total_amount_without_vat", "tour_no"):
+            have = getattr(r, k)
+            want = rec[k]
+            assert (want is None and (have is None or have != have)) or have == want
