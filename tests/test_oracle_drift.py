@@ -248,3 +248,92 @@ def test_invoice_oracle_matches_extractor(tmp_path_factory, lines):
             have = getattr(r, k)
             want = rec[k]
             assert (want is None and (have is None or have != have)) or have == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(  # groups of (manufacturer, year, [(model, engine, oils...)])
+        st.tuples(
+            st.sampled_from(["ACURA", "TOYOTA", "CHEVROLET TRUCKS", "SAAB"]),
+            st.integers(2015, 2024),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["MDX", "Camry", "Ram 1500", "XC90"]),
+                    st.sampled_from(["V6-3.5L", "L4-2.0L Turbo", "L4-2.5L"]),
+                    st.lists(st.integers(100, 999), min_size=1, max_size=3),
+                    st.booleans(),  # trailing stop line
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_catalog_oracle_matches_extractor(tmp_path_factory, groups):
+    """Grammar-shaped random catalogs (the documented fixture grammar:
+    manuf, year, then model/engine/oils runs) with random SAAB groups,
+    stop lines and oil-code duplicates — the reset-span oracle must
+    track the state machine on all of them."""
+    from pdf_extractors_spark.extractors.mobil import _MARKER
+
+    lines = ["noise to trim", _MARKER, "MANUFACTURER-MODEL-ENGINE", "Oil"]
+    for manuf, year, models in groups:
+        lines.append(manuf)
+        lines.append(str(year))
+        for model, engine, oils, stop in models:
+            lines.append(model)
+            lines.append(engine)
+            lines.append(" ".join(f"M1-{o}A" for o in oils))
+            if stop:
+                lines.append(
+                    "Voir las page 2 pour une explication des renvois en bas de la page."
+                )
+    payload = "\n".join(lines)
+    tp = _tp(tmp_path_factory.mktemp("cat"), [("c", 0, "catalog_page", payload)])
+    got = duckdb.sql(entry._catalog_sql(tp)).fetchdf().sort_values("rec_no")
+    exp = _records("catalog_page", payload)
+    assert len(got) == len(exp)
+    for r, rec in zip(got.itertuples(index=False), exp):
+        assert (r.manufacturer, r.year, r.model, r.engine) == (
+            rec["manufacturer"], rec["year"], rec["model"], rec["engine"]
+        )
+        assert r.oils == ";".join(rec["oil"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(  # data rows: subset of columns present + x jitter
+        st.tuples(
+            st.booleans(),              # include County Code?
+            st.floats(0, 8),            # jitter
+            st.sampled_from(["Low", "Middle", "Upper"]),
+            st.booleans(),              # include a left-of-header stray?
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_coord_oracle_matches_extractor(tmp_path_factory, rows):
+    cols = [(30.0, "State Code"), (90.0, "County Code"), (150.0, "Tract Income Level")]
+    lines = [f"{x:.1f}|40.0|Arial,Bold|{n}" for x, n in cols] + [""]
+    y = 40.0
+    for has_county, jitter, level, stray in rows:
+        y += 12.0
+        if stray:
+            lines.append(f"5.0|{y:.1f}|Arial|stray")
+        lines.append(f"{30.0 + jitter:.1f}|{y:.1f}|Arial|06")
+        if has_county:
+            lines.append(f"{90.0 + jitter:.1f}|{y:.1f}|Arial|031")
+        lines.append(f"{150.0 + jitter:.1f}|{y:.1f}|Arial|{level}")
+        lines.append(f"200.0|{y:.1f}|Arial,Bold|heading noise")
+        lines.append("")
+    payload = "\n".join(lines)
+    tp = _tp(tmp_path_factory.mktemp("co"), [("c", 0, "coord_table", payload)])
+    got = duckdb.sql(entry._coord_sql(tp)).fetchdf().sort_values("row_no")
+    exp = _records("coord_table", payload)
+    assert len(got) == len(exp)
+    for r, rec in zip(got.itertuples(index=False), exp):
+        assert r.county_code == rec["County Code"]
+        assert r.state_code == rec["State Code"]
