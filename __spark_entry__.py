@@ -1358,6 +1358,11 @@ def _census_sql(tp: str) -> str:
                      and (contains(disc, 'Broken') or contains(disc, 'broken'))
                     then 'Yes' else 'No' end as broken
         from nm where hh is not null
+          -- the 187-Ar-4 patch (household.py:427-435) IndexErrors on an
+          -- empty family list (split_on_key([]) has no parts[0]) exactly
+          -- like the reference would; the extractor quarantines the row
+          -- (parse_errors=1, no records), so the oracle emits nothing
+          and not (contains(hh, '187-Ar-4') and n_family = 0)
     """
 
 

@@ -224,3 +224,24 @@ def test_ruled_duplicate_headers_and_extra_cells_positional():
     payload = "A│B│A│C\nc0│c1│c2│c3"
     recs = ruled.extract(payload)["records"]
     assert recs == [{"A": "c0", "B": "c1", "C": "c2"}]
+
+
+def test_patch_household_with_empty_family_is_quarantined():
+    """household.py:427-435's 187-Ar-4 patch IndexErrors on an empty
+    family list, exactly as the reference would — the dispatch-level
+    quarantine converts that to parse_errors=1 instead of a job crash."""
+    from pdf_extractors_spark.extractors import dispatch
+
+    payload = "\n".join([
+        "Catalogue of census declarations", "312",
+        "HOUSEHOLD NO.: 187-Ar-4",
+        "Source: P.Mich. 1 (1)",
+        "Prov., Date: Tebtynis (Arsinoite), 187",
+        "Declarant: Harthotes s. Petesouchos, weaver, 45",
+        "Family members:",
+        "Verif./photo: BL",
+        "Discussion: Register.",
+    ])
+    out = dispatch.extract_one("census_page", payload)
+    assert out["parse_errors"] == 1
+    assert out["records"] == []

@@ -337,3 +337,65 @@ def test_coord_oracle_matches_extractor(tmp_path_factory, rows):
     for r, rec in zip(got.itertuples(index=False), exp):
         assert r.county_code == rec["County Code"]
         assert r.state_code == rec["State Code"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.tuples(
+        st.sampled_from([(117, "Ar", 3), (131, "He", 2), (187, "Ar", 4), (159, "Ox", 1)]),
+        st.sampled_from(["public farmer", "priest of Soknebtynis", "weaver", "nothing known"]),
+        st.integers(0, 3),   # family members
+        st.booleans(),       # non-kin section
+        st.booleans(),       # slaves section
+        st.booleans(),       # wrapped continuation line
+        st.booleans(),       # boilerplate line inside the member section
+        st.booleans(),       # Broken discussion
+    )
+)
+def test_census_wide_oracle_matches_extractor(tmp_path_factory, cfg):
+    """Randomized households within the fixture grammar, including the
+    131-He-2 provenance patch and the 187-Ar-4 non-kin reset, priest-of
+    occupation capture, wrapped lines and interleaved boilerplate."""
+    (year, loc, order), occ, n_fam, nonkin, slaves, wrapped, boiler, broken = cfg
+    lines = [
+        "Catalogue of census declarations",  # page-header lines [0:2] skipped
+        "312",
+        f"HOUSEHOLD NO.: {year}-{loc}-{order}",
+        "Source: P.Mich. 123 (4)",
+        f"Prov., Date: Tebtynis (Arsinoite), {year}",
+        f"Declarant: Harthotes s. Petesouchos, {occ}, 45",
+        "Family members:",
+    ]
+    for i in range(1, n_fam + 1):
+        lines.append(f"({i}) Didymos s. Harthotes and Isidora, 2{i}")
+        if wrapped and i == 1:
+            lines.append("wrapped continuation text")
+        if boiler and i == 1:
+            lines.append("Cambridge Books Online © 2010")
+    if nonkin:
+        lines.append("Free non-kin:")
+        lines.append("(1) Horos s. Taues, 30")
+    if slaves:
+        lines.append("Slaves:")
+        lines.append("(1) Soeris female slave of Harthotes, 20")
+    lines.append("Verif./photo: BL")
+    lines.append("Discussion: Register." + (" Broken at top." if broken else ""))
+    payload = "\n".join(lines)
+    tp = _tp(tmp_path_factory.mktemp("ce"), [("c", 0, "census_page", payload)])
+    got = duckdb.sql(entry._census_sql(tp)).fetchdf()
+    recs = _records("census_page", payload)
+    exp = recs[0]["households"] if recs else []  # [] = quarantined crash
+    assert len(got) == len(exp)
+    if not exp:
+        return
+    g, e = got.iloc[0], exp[0]
+    assert g["hh_year"] == e["household_number_year"]
+    assert g["hh_location"] == e["household_number_location"]
+    assert g["provenance"] == e["provenance"]
+    assert g["provenance_year"] == e["provenance_year"]
+    assert g["declarant_name_1"] == e["declarant_name_1"]
+    assert g["declarant_occupation"] == e["declarant_occupation"]
+    assert int(g["n_family"]) == e["number_of_family_members"]
+    assert int(g["n_nonkin"]) == e["number_of_non_family_members"]
+    assert int(g["n_slaves"]) == e["number_of_slaves"]
+    assert g["broken"] == e["discussion_indicates_substantive_record_brokenness"]
