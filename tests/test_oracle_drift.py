@@ -399,3 +399,81 @@ def test_census_wide_oracle_matches_extractor(tmp_path_factory, cfg):
     assert int(g["n_nonkin"]) == e["number_of_non_family_members"]
     assert int(g["n_slaves"]) == e["number_of_slaves"]
     assert g["broken"] == e["discussion_indicates_substantive_record_brokenness"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(  # plausible item row
+                st.integers(1, 999), st.integers(10, 99999), st.integers(1, 80),
+                st.sampled_from(["12/12", "24/16", "6/2L", "x", "toolong"]),
+                st.floats(1, 99, allow_nan=False),
+            ),
+            st.just(None),  # junk row failing the length predicates
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_fixedwidth_oracle_matches_extractor(tmp_path_factory, rows):
+    from pdf_extractors_spark.fixtures.payloads import _HEADER_CELLS, _fixed_row
+
+    lines = [_fixed_row(_HEADER_CELLS)]
+    for row in rows:
+        if row is None:
+            lines.append(_fixed_row(["", "x", "", "waytoolongsize", "", "", "j", "", "", "", "", "", ""]))
+        else:
+            loc, num, cases, size, price = row
+            lines.append(_fixed_row([
+                str(loc), str(num), "x", str(cases), size, "|", "COKE 12OZ",
+                "z", f"{price:.2f}", "0.10", f"{price*0.95:.2f}", "1.00",
+                f"{price*cases:.2f}",
+            ]))
+    payload = "\n".join(lines)
+    tp = _tp(tmp_path_factory.mktemp("fx"), [("c", 0, "fixedwidth_table", payload)])
+    got = duckdb.sql(entry._fixedwidth_sql(tp)).fetchdf().sort_values("item_no")
+    exp = _records("fixedwidth_table", payload)
+    assert len(got) == len(exp)
+    for r, rec in zip(got.itertuples(index=False), exp):
+        assert (r.loc, r.num, r.cases, r.price, r.total) == (
+            rec["loc"], rec["num"], rec["cases"], rec["price"], rec["total"]
+        )
+        assert bool(r.is_header) == rec["is_header"]
+
+
+_SENT = st.sampled_from([
+    "The quarterly filing shows a material increase in throughput.",
+    "Arrow batches move columnar data between workers.",
+    "tiny",  # under MIN_BLOCK_CHARS
+    "Total amount without VAT 475,00 NOK",
+])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.booleans(),  # nav present
+    st.booleans(),  # cookie banner present
+    st.booleans(),  # main wrapper present (else blocks live in body)
+    st.lists(_SENT, min_size=1, max_size=4),
+    st.booleans(),  # anchor-dense paragraph
+)
+def test_html_oracle_matches_extractor(tmp_path_factory, nav, cookie, main, sents, anchors):
+    parts = ["<html><head><script>var t=1;</script></head><body>"]
+    if nav:
+        parts.append('<nav><a href="/a">A</a> <a href="/b">B</a></nav>')
+    if cookie:
+        parts.append('<header><div class="cookie-banner">We use cookies. <a href="#">OK</a></div></header>')
+    body = "".join(f"<p>{s}</p>" for s in sents)
+    if anchors:
+        body += '<p><a href="#">x</a><a href="#">y</a> ok</p>'  # link-dense
+    if main:
+        parts.append(f"<main><article>{body}</article></main>")
+    else:
+        parts.append(body)
+    parts.append("<footer>© corp <a href='#'>z</a></footer></body></html>")
+    payload = "".join(parts)
+    tp = _tp(tmp_path_factory.mktemp("ht"), [("c", 0, "html_page", payload)])
+    got = duckdb.sql(entry._html_main_sql(tp)).fetchdf().iloc[0]["main_text"]
+    exp = dispatch.extract_one("html_page", payload)["extracted_text"]
+    assert got == exp
