@@ -347,6 +347,51 @@ def test_kmeans_refinement_improves_ivf_recall(spark, embeddings):
     assert refined >= 0.3
 
 
+def test_asof_join_null_values_match_duckdb(spark):
+    """The struct-carry as-of join must agree with DuckDB's native ASOF
+    JOIN even when the matched right row holds NULL value columns — the
+    per-column fill-down formulation would blend columns from different
+    right rows here."""
+    from pdf_extractors_spark.operators import joins
+
+    left_rows = [(i, "u1", i * 10) for i in range(1, 7)]
+    right_rows = [
+        ("u1", 10, 100.0, None),   # ask null
+        ("u1", 25, None, 250.0),   # bid null — must NOT inherit bid=100
+        ("u1", 45, 400.0, 450.0),
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, user_id string, ts long")
+    right = spark.createDataFrame(
+        right_rows, "user_id string, ts long, bid double, ask double"
+    )
+    out = joins.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["bid", "ask"],
+    )
+    got = {
+        r["event_id"]: (r["asof_bid"], r["asof_ask"]) for r in out.collect()
+    }
+    duck = {
+        eid: (b, a)
+        for eid, b, a in duckdb.sql(
+            """
+            with l as (select * from (values (1,'u1',10),(2,'u1',20),(3,'u1',30),
+                                             (4,'u1',40),(5,'u1',50),(6,'u1',60))
+                       t(event_id, user_id, ts)),
+            r as (select * from (values ('u1',10,100.0,NULL),
+                                        ('u1',25,NULL,250.0),
+                                        ('u1',45,400.0,450.0))
+                  t(user_id, ts, bid, ask))
+            select l.event_id, r.bid, r.ask
+            from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+            """
+        ).fetchall()
+    }
+    assert got == duck
+    # the ts=30/40 events sit on the bid-null row: bid must be None
+    assert got[3] == (None, 250.0) and got[4] == (None, 250.0)
+
+
 # -------------------------------------------------------------- multimodal
 
 
