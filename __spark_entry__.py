@@ -1838,26 +1838,25 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": rf"""
             with t as (
               select doc_id,
-                     length(text) as n_chars,
-                     string_split_regex(trim(lower(text)), '\s+') as toks,
-                     length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) as punct
+                     cast(length(text) as bigint) as n_chars,
+                     cast(len(string_split_regex(trim(lower(text)), '\s+')) as bigint) as n_tokens,
+                     cast(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          t -> t in ({sw_en}))) as bigint) as stopword_hits,
+                     cast(length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) as bigint) as punct_chars
               from documents
             )
-            select doc_id,
-                   n_chars,
-                   len(toks) as n_tokens,
-                   round(case when len(toks) > 0 then n_chars * 1.0 / len(toks) else 0.0 end, 4)
-                     as mean_word_len,
-                   len(list_filter(toks, t -> t in ({sw_en}))) as stopword_hits,
-                   punct as punct_chars,
-                   round(
-                     least(n_chars / 500.0, 1.0) * 0.4
-                     + (case when len(toks) > 0
-                             then len(list_filter(toks, t -> t in ({sw_en}))) * 1.0 / len(toks)
-                             else 0.0 end) * 0.4
-                     + (case when n_chars > 0
-                             then 1.0 - least(punct * 5.0 / n_chars, 1.0)
-                             else 0.0 end) * 0.2, 4) as quality
+            select doc_id, n_chars, n_tokens,
+                   case when n_tokens > 0
+                        then (2 * 10000 * n_chars + n_tokens) // (2 * n_tokens)
+                        else 0 end as mean_word_len_bp,
+                   stopword_hits, punct_chars,
+                   8 * least(n_chars, 500)
+                   + (case when n_tokens > 0
+                           then (2 * 4000 * stopword_hits + n_tokens) // (2 * n_tokens)
+                           else 0 end)
+                   + (case when n_chars > 0
+                           then 2000 - least((2 * 10000 * punct_chars + n_chars) // (2 * n_chars), 2000)
+                           else 0 end) as quality_bp
             from t
         """,
         "lang_id": rf"""

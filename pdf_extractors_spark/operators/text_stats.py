@@ -48,23 +48,42 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     en = STOPWORDS["en"]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
     punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
-    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.4
-        + F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0) * 0.4
-        + F.when(
-            n_chars > 0, 1.0 - F.least(punct / n_chars * 5.0, F.lit(1.0))
-        ).otherwise(0.0)
-        * 0.2
-    )
-    return df.select(
+    # All outputs are exact INTEGER basis points (1/10000): float term
+    # sums round-tie differently across engines at the 4th decimal (a
+    # real 1-in-~800-docs mismatch vs the DuckDB oracle at sf0.1), so
+    # every ratio uses exact bigint half-up division, identical anywhere.
+    def div_half_up(a, b):
+        # (2a + b) div (2b): half-up integer division, positive operands
+        return F.expr(f"(2 * ({a}) + ({b})) div (2 * ({b}))")
+
+    base = df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        stop_hits.alias("stopword_hits"),
-        punct.alias("punct_chars"),
-        F.round(score, 4).alias("quality"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        punct.cast("long").alias("punct_chars"),
+    )
+    mean_bp = F.when(
+        F.col("n_tokens") > 0, div_half_up("10000 * n_chars", "n_tokens")
+    ).otherwise(F.lit(0))
+    # quality_bp = 4000·min(nc,500)/500 + 4000·hits/tokens
+    #            + 2000·(1 - min(5·punct/nc, 1)), each term exact
+    term1 = 8 * F.least(F.col("n_chars"), F.lit(500))
+    term2 = F.when(
+        F.col("n_tokens") > 0, div_half_up("4000 * stopword_hits", "n_tokens")
+    ).otherwise(F.lit(0))
+    term3 = F.when(
+        F.col("n_chars") > 0,
+        2000 - F.least(div_half_up("10000 * punct_chars", "n_chars"), F.lit(2000)),
+    ).otherwise(F.lit(0))
+    return base.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        mean_bp.cast("long").alias("mean_word_len_bp"),
+        "stopword_hits",
+        "punct_chars",
+        (term1 + term2 + term3).cast("long").alias("quality_bp"),
     )
 
 

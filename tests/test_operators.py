@@ -244,7 +244,7 @@ def test_token_count_matches_duckdb(spark, documents):
 def test_quality_and_langid_run(spark, documents):
     q = text_stats.quality_score(documents)
     rows = q.collect()
-    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(0 <= r["quality_bp"] <= 10000 for r in rows)
     li = text_stats.lang_id(documents)
     preds = {r["lang_pred"] for r in li.collect()}
     assert preds <= {"en", "de", "fr", "es", "und"}
