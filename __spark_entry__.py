@@ -275,8 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_group_count(spark, sf):
         """A3/X18: group-by counts (household.py:278-280 analogue)."""
         docs = _read(spark, sf, "documents")
-        return docs.groupBy("lang", "source").agg(
-            F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        return _longify(
+            docs.groupBy("lang", "source").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
         )
 
     q["group_count"] = q_group_count
@@ -1659,7 +1662,8 @@ def oracle_sql() -> dict[str, str]:
                         i -> struct_pack(pos := i, word := w[i+1]))) as t(u)
         """,
         "group_count": """
-            select lang, source, count(*) as n_docs, sum(n_chars) as total_chars
+            select lang, source, count(*) as n_docs,
+                   cast(sum(n_chars) as bigint) as total_chars
             from documents group by lang, source
         """,
         "union_all": """

@@ -86,6 +86,25 @@ def main() -> int:
             if len(rows) == 0:
                 failures.append((name, "zero rows"))
             continue
+        # Type lint: the driver's comparator converts DuckDB results via
+        # pandas, where HUGEINT (sum of int32) and nullable-int columns
+        # become float64 and stringify as "123.0" while Spark prints
+        # "123". Round 1's only red row (group_count) was exactly this.
+        # Fail loudly here so the trap never reaches the driver again.
+        _PANDAS_SAFE = {
+            "VARCHAR", "BIGINT", "DOUBLE", "INTEGER", "TIMESTAMP",
+            "BOOLEAN", "FLOAT", "DATE", "SMALLINT", "TINYINT",
+        }
+        rel = con.sql(f"select * from ({oracles[name]}) limit 0")
+        bad_types = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) not in _PANDAS_SAFE
+        ]
+        if bad_types:
+            failures.append((name, f"pandas-hostile oracle types: {bad_types}"))
+            print(f"  {name:28s} TYPE-LINT FAIL {bad_types}")
+            continue
         res = con.execute(oracles[name])
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
