@@ -1369,6 +1369,213 @@ def _census_sql(tp: str) -> str:
     """
 
 
+def _persons_sql(tp: str) -> str:
+    """Re-derive the stage-B persons rows (census_persons.resolve_household,
+    i.e. reference persons.py:348-411 + the J1/J2/J3 resolutions that fire
+    on fixture payloads) in SQL:
+
+    * household segmentation + section fill-down as in ``_census_sql``,
+    * M2 continuation merge via running member-count + string_agg,
+    * X4 name (first token after the "(N) " prefix — the exact value the
+      reference's three-pattern cascade + declarant scrub produces on every
+      fixture entry form), X6 sex (first standalone ``s.``/``d.`` token;
+      ``female`` containment for slaves), X7 age (first ``, <digits>`` match
+      captured to end-of-entry, bug-for-bug incl. wife/continuation tails),
+      X9 persons-variant occupation chain, X10 father/mother/owner,
+      X11 relation-to-declarant ('self' for the ``[declarant]`` entry),
+    * J1 id assignment incl. the Aurelius→Aur. normalized declarant-name
+      match (d1 vs FM ids, with the FM index shift when member 1 takes the
+      declarant id), J2/J3 wife→``[no. 1]`` spouse resolution (both
+      directions become ids; member 1 takes the LAST referencing wife),
+    * the 187-Ar-4 non-kin drop patch (household.py:427-435) and the
+      empty-family quarantine.
+
+    Graph edges beyond the fixture's forms (siblings/children batteries,
+    grandparents, J4 multi-declarant updates) never fire on fixture
+    payloads and stay pinned by tests/test_census.py + test_oracle_drift."""
+    from pdf_extractors_spark.extractors.census_persons import OCCUPATIONS
+
+    occ_cases = []
+    for occ in OCCUPATIONS:
+        if "priest" in occ:
+            part2 = "string_split(entry, 'priest of ')[2]"
+            val = (
+                f"'{occ}' || case when len(string_split(entry, 'priest of ')) = 2 "
+                f"then ' of ' || (case when contains({part2}, ',') "
+                f"then split_part({part2}, ',', 1) else {part2} end) else '' end"
+            )
+        else:
+            val = f"'{occ}'"
+        occ_cases.append(f"when contains(entry, '{occ}') then {val}")
+    occ_expr = "case " + " ".join(occ_cases) + " else '' end"
+    member_re = r"\((1[0-9]|2[0-9]|30|[1-9])\)"
+    name_m = r"""coalesce(
+        nullif(regexp_extract(seg, '^([A-Za-z\s.]+?)\s+s\.', 1), ''),
+        nullif(regexp_extract(seg, '^([A-Za-z\s.]+?)\s+d\.', 1), ''),
+        nullif(regexp_extract(seg, '^([A-Za-z]+( and [A-Za-z]+)*)', 1), ''))"""
+    father_tokens = (
+        r" s\. \(or d\.\?\) of | s\. \(\?\) of | s\./d\. | d\. \(\?\) of "
+        r"|\?d\.|\?s\.| s\.\? of | s\.|d\.|ss\.|son of| daughter of"
+        r"|father of|child of|born to"
+    )
+    return rf"""
+        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          string_split(text, chr(10)) as ls0
+                   from read_parquet('{tp}') where tool = 'census_page'),
+        l as (select conv_id, turn_idx,
+                     unnest(range(3, len(ls0) + 1)) as i, unnest(ls0[3:]) as line
+              from t),
+        c as (select *, case
+                when line = '' then 'empty'
+                when starts_with(line, 'HOUSEHOLD NO.:') then 'hh'
+                when starts_with(line, 'Source:')
+                  or starts_with(substr(line, 2), 'Source:')
+                  or starts_with(line, '*Source:') then 'source'
+                when starts_with(line, 'Prov., Date:') then 'prov'
+                when starts_with(line, 'Declarant') then 'declarant'
+                when starts_with(line, 'Family members') then 'family_marker'
+                when starts_with(line, 'Free non-kin') then 'nonkin_marker'
+                when starts_with(line, 'Slaves:') then 'slaves_marker'
+                when starts_with(line, 'Verif./photo:') then 'verif'
+                when starts_with(line, 'Discussion:') then 'disc'
+                when starts_with(line, 'Cambridge Books')
+                  or starts_with(line, 'https://')
+                  or starts_with(line, 'Catalogue of census declarations') then 'boiler'
+                else 'cont' end as cls
+              from l),
+        s as (select *, last_value(case when cls in
+                       ('declarant','family_marker','nonkin_marker','slaves_marker','verif','disc')
+                       then cls end ignore nulls)
+                     over (partition by conv_id, turn_idx order by i
+                           rows between unbounded preceding and current row) as sect
+              from c),
+        hhn as (select conv_id, turn_idx,
+                   max(case when cls = 'hh' then trim(split_part(line, ':', 2)) end) as hh,
+                   max(case when cls = 'declarant' then trim(split_part(line, ':', 2)) end) as decl
+                from s group by conv_id, turn_idx),
+        nm as (select conv_id, turn_idx, hh, decl,
+                      trim(coalesce(
+                        case when contains(m0, 'd.') then split_part(m0, 'd.', 1) else m0 end,
+                        '')) as name1
+               from (select *, {name_m} as m0
+                     from (select *, trim(coalesce(
+                               case when starts_with(coalesce(decl, ''), '[')
+                                    then substr(decl, 2) else decl end, '')) as seg
+                           from hhn))),
+        ml as (select conv_id, turn_idx, i, line, sect,
+                      case when regexp_matches(line, '{member_re}') then 1 else 0 end as is_m
+               from s where cls = 'cont'
+                 and sect in ('family_marker','nonkin_marker','slaves_marker')),
+        seqd as (select *, sum(is_m) over (partition by conv_id, turn_idx, sect order by i
+                                   rows between unbounded preceding and current row) as seq
+                 from ml),
+        ent as (select conv_id, turn_idx, sect, seq,
+                       string_agg(line, ' ' order by i) as entry
+                from seqd where seq >= 1
+                group by conv_id, turn_idx, sect, seq),
+        -- per-page family count (0 when the page has no family entries at
+        -- all — those pages still emit the J6-inserted declarant below)
+        pageok as (select n.*, coalesce(fe.n_fam, 0) as n_fam
+                   from nm n
+                   left join (select conv_id, turn_idx, cast(count(*) as bigint) as n_fam
+                              from ent where sect = 'family_marker'
+                              group by conv_id, turn_idx) fe using (conv_id, turn_idx)
+                   where n.hh is not null
+                     -- 187-Ar-4 + empty family → IndexError quarantine:
+                     -- the whole page yields no records
+                     and not (contains(n.hh, '187-Ar-4') and coalesce(fe.n_fam, 0) = 0)),
+        ent2 as (select e.conv_id, e.turn_idx, e.seq, e.entry, p.hh, p.name1,
+                        case e.sect when 'family_marker' then 0
+                             when 'nonkin_marker' then 1 else 2 end as sect_no,
+                        0 as is_j6
+                 from ent e
+                 join pageok p using (conv_id, turn_idx)
+                 -- 187-Ar-4 patch: split_on_key leaves parts[1] absent →
+                 -- non-kin list cleared
+                 where not (contains(p.hh, '187-Ar-4') and e.sect = 'nonkin_marker')
+        -- J6 declarant insertion (persons.py:731-769): no 'self' in the
+        -- family list (fixture-grammar: family list empty) → a person is
+        -- synthesized from the declarant line with the d1 id
+                 union all
+                 select conv_id, turn_idx, 1 as seq, decl as entry, hh, name1,
+                        0 as sect_no, 1 as is_j6
+                 from pageok
+                 where n_fam = 0 and decl is not null and name1 <> ''),
+        f as (select *,
+                case when is_j6 = 1 then name1
+                     else regexp_extract(entry, '^\(\d+\)\s*(\S+)', 1) end as name,
+                regexp_replace(entry, '^\s*\(\d+\)\s*', '') as body
+              from ent2),
+        g as (select *,
+                case when sect_no = 2
+                     then case when contains(body, 'female') then 'female'
+                               when contains(body, 'male') then 'male' end
+                     when regexp_extract(entry, '\s([sd]\.)\s', 1) = 'd.' then 'female'
+                     when regexp_extract(entry, '\s([sd]\.)\s', 1) = 's.' then 'male'
+                     end as sex,
+                coalesce(regexp_extract(body, '[;,] ([\[\.\]]*\d.*)', 1), '') as age,
+                case when sect_no = 2 then null else {occ_expr} end as occupation,
+                case when sect_no = 2 then null else
+                  nullif(regexp_extract(trim(
+                    case when contains(entry, ' and ')
+                         then regexp_extract(entry, '(?:{father_tokens})(.*?)and', 1)
+                         else regexp_extract(entry, '(?:{father_tokens})([—\s+\w+.?\[\]()]+)', 1)
+                    end), '\w+'), '') end as father,
+                case when sect_no = 2 then null else
+                  (select case when m is null or contains(m, 'wife') then null
+                               else split_part(trim(m), ' ', 1) end
+                   from (select nullif(regexp_extract(entry,
+                           '\D\s+and\s+([—\s\w+(.?)\[\]]+)', 1), '') as m)) end as mother,
+                case when is_j6 = 1 then 'self'
+                     when sect_no = 0 and contains(entry, '[declarant]')
+                     then 'self' end as relation_to_declarant,
+                case sect_no when 0 then 'family member'
+                     when 1 then 'free non-kin' else 'slave' end as role,
+                case when sect_no = 2
+                     then nullif(regexp_extract(entry, 'slave[ \(\w\)]* of (.*?),', 1), '')
+                     end as owner,
+                case when is_j6 = 0 and sect_no = 0 and contains(entry, 'wife of ')
+                      and contains(entry, '[no. 1]') then 1 else 0 end as is_wife
+              from f),
+        dm as (select *,
+                case when is_j6 = 0 and sect_no = 0 and seq = 1 and name1 <> '' and (
+                       starts_with(replace(name, 'Aurelius', 'Aur.'),
+                                   replace(trim(name1), 'Aurelius', 'Aur.'))
+                    or starts_with(replace(trim(name1), 'Aurelius', 'Aur.'),
+                                   replace(name, 'Aurelius', 'Aur.'))
+                    or contains(replace(name, 'Aurelius', 'Aur.'),
+                                replace(trim(name1), 'Aurelius', 'Aur.'))
+                    or contains(replace(trim(name1), 'Aurelius', 'Aur.'), name))
+                  then 1 else 0 end as dmatch
+               from g),
+        hhagg as (select *,
+                max(dmatch) over (partition by conv_id, turn_idx) as hh_dmatch,
+                max(case when is_wife = 1 then seq end)
+                  over (partition by conv_id, turn_idx) as last_wife_seq
+               from dm),
+        ids as (select *,
+                case when is_j6 = 1 then hh || '-d1'
+                     when sect_no = 0 and seq = 1 and dmatch = 1 then hh || '-d1'
+                     when sect_no = 0 then hh || '-FM' || cast(seq - hh_dmatch as varchar)
+                     when sect_no = 1 then hh || '-NK' || cast(seq as varchar)
+                     else hh || '-S' || cast(seq as varchar) end as person_id,
+                case when hh_dmatch = 1 then hh || '-d1' else hh || '-FM1' end as member1_id
+               from hhagg)
+        select conv_id, turn_idx,
+               cast(row_number() over (partition by conv_id, turn_idx
+                                       order by sect_no, seq) - 1 as bigint) as person_no,
+               hh as household_id, person_id, name, sex, age, occupation,
+               father, mother,
+               case when sect_no = 0 and seq = 1 and last_wife_seq is not null
+                    then hh || '-FM' || cast(last_wife_seq - hh_dmatch as varchar)
+                    when is_wife = 1 and seq > 1 then member1_id
+                    end as spouse,
+               '' as siblings, '' as children,
+               relation_to_declarant, role, owner
+        from ids
+    """
+
+
 def _catalog_sql(tp: str) -> str:
     """Re-derive extractors/mobil.extract's records in SQL for the fixture
     payload shape: marker trim (F4), 'Oil' validity latch, stop-line drop
@@ -2009,6 +2216,7 @@ def oracle_sql() -> dict[str, str]:
                 "invoice_records_flat": _invoice_sql(tp),
                 "coord_rows_flat": _coord_sql(tp),
                 "census_wide_flat": _census_sql(tp),
+                "census_persons_flat": _persons_sql(tp),
                 "html_main_flat": _html_main_sql(tp),
                 "html_spans_flat": _html_spans_sql(tp),
                 "catalog_records_flat": _catalog_sql(tp),

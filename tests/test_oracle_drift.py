@@ -477,3 +477,83 @@ def test_html_oracle_matches_extractor(tmp_path_factory, nav, cookie, main, sent
     got = duckdb.sql(entry._html_main_sql(tp)).fetchdf().iloc[0]["main_text"]
     exp = dispatch.extract_one("html_page", payload)["extracted_text"]
     assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.tuples(
+        st.sampled_from([(117, "Ar", 3), (131, "He", 2), (187, "Ar", 4), (159, "Ox", 1)]),
+        st.sampled_from(
+            ["public farmer", "priest of Soknebtynis", "weaver", "donkey driver"]
+        ),
+        st.sampled_from(["Harthotes", "Didymos", "Aurelius Sarapion"]),  # declarant
+        st.integers(0, 4),                      # family members (0 → J6 insertion)
+        st.booleans(),                          # member 1 name == declarant (d1 id)
+        st.lists(st.booleans(), min_size=0, max_size=3),  # wife suffix per member 2..n
+        st.booleans(),                          # non-kin section
+        st.booleans(),                          # slaves section
+        st.booleans(),                          # wrapped continuation line
+        st.booleans(),                          # boilerplate inside the member section
+    )
+)
+def test_census_persons_oracle_matches_extractor(tmp_path_factory, cfg):
+    """Stage-B persons oracle vs the extractor on randomized households
+    within the fixture grammar: declarant-name id match (d1 vs FM shift),
+    wife→[no. 1] spouse resolution both directions (last wife wins),
+    J6 declarant insertion on an empty family list, the 187-Ar-4 non-kin
+    drop / empty-family quarantine, continuation + boilerplate merging."""
+    (year, loc, order), occ, declarant, n_fam, m1_is_dec, wives, nonkin, slaves, \
+        wrapped, boiler = cfg
+    declarant = declarant.split(" ")[0]
+    m1 = declarant if m1_is_dec else "Tapekysis"
+    lines = [
+        "Catalogue of census declarations",
+        "312",
+        f"HOUSEHOLD NO.: {year}-{loc}-{order}",
+        "Source: P.Mich. 123 (4)",
+        f"Prov., Date: Tebtynis (Arsinoite), {year}",
+        f"Declarant: {declarant} s. Petesouchos, {occ}, 45",
+        "Family members:",
+    ]
+    for i in range(1, n_fam + 1):
+        if i == 1:
+            lines.append(f"(1) {m1} [declarant] s. Petesouchos and Isidora, {occ}, 45")
+        else:
+            entry_line = f"({i}) Soeris d. {declarant} and Taues, 2{i}"
+            if i - 2 < len(wives) and wives[i - 2]:
+                entry_line += f", wife of {declarant} [no. 1]"
+            lines.append(entry_line)
+        if wrapped and i == 1:
+            lines.append("wrapped continuation of the entry text")
+        if boiler and i == 1:
+            lines.append("Cambridge Books Online © 2010")
+    if nonkin:
+        lines.append("Free non-kin:")
+        lines.append("(1) Horos s. Taues, 30")
+    if slaves:
+        lines.append("Slaves:")
+        lines.append("(1) Thenatymis female slave of Harthotes, 20")
+    lines.append("Verif./photo: BL")
+    lines.append("Discussion: Register.")
+    payload = "\n".join(lines)
+    tp = _tp(tmp_path_factory.mktemp("cp"), [("c", 0, "census_page", payload)])
+    got = duckdb.sql(entry._persons_sql(tp)).fetchdf().sort_values("person_no")
+    recs = dispatch.extract_one("census_page", payload)["records"]
+    exp = recs[0]["persons"] if recs else []  # [] = quarantined crash
+    assert len(got) == len(exp)
+    for row, p in zip(got.itertuples(index=False), exp):
+        assert row.household_id == p["household_id"]
+        assert row.person_id == p["id"]
+        assert row.name == p["name"]
+        assert (None if pd.isna(row.sex) else row.sex) == p["sex"]
+        assert row.age == p["age"]
+        assert (None if pd.isna(row.occupation) else row.occupation) == p["occupation"]
+        assert (None if pd.isna(row.father) else row.father) == p["father"]
+        assert (None if pd.isna(row.mother) else row.mother) == p["mother"]
+        assert (None if pd.isna(row.spouse) else row.spouse) == p["spouse"]
+        assert row.siblings == ";".join(p["siblings"] or [])
+        assert row.children == ";".join(p["children"] or [])
+        assert (None if pd.isna(row.relation_to_declarant) else row.relation_to_declarant) \
+            == p["relation_to_declarant"]
+        assert row.role == p["role"]
+        assert (None if pd.isna(row.owner) else row.owner) == p["owner"]
