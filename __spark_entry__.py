@@ -797,6 +797,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["html_main_flat"] = q_html_main_flat
 
+    def q_extracted_text_flat(spark, sf):
+        """The north rule's core deliverable, value-checked for EVERY
+        family at once: per-turn extracted_text equality under stable
+        (conv_id, turn_idx) ordering, against a full SQL re-derivation of
+        all 8 extractors' text pipelines (``_extracted_text_sql``)."""
+        ext = _extracted_pinned(spark)
+        return _longify(
+            ext.select("conv_id", "turn_idx", "kind", "extracted_text")
+        )
+
+    q["extracted_text_flat"] = q_extracted_text_flat
+
     def q_conv_stats(spark, sf):
         """A3 + salted two-level aggregation over the extracted table."""
         from pdf_extractors_spark.operators import salting
@@ -1576,6 +1588,167 @@ def _persons_sql(tp: str) -> str:
     """
 
 
+def _extracted_text_sql(tp: str) -> str:
+    """Re-derive ``extracted_text`` for EVERY turn of every family — the
+    north rule's own deliverable (per-turn text equality under stable
+    (conv_id, turn_idx) ordering), value-checked across all 8 extractors
+    at once:
+
+    * invoice_ocr  — the payload verbatim (nordic.py:139),
+    * census_page  — non-empty, non-boilerplate lines after the 2-line
+      page-header skip (census_household.extract),
+    * catalog_page — lines from the marker onward that pass the F2
+      stop-list, original (unstripped) text joined (mobil.py:174-179),
+    * coord_table  — Arial span texts of the non-header blocks in line
+      order (ffiec.py:60-80),
+    * ruled_table  — non-empty rows, [\\r\\n\\t]→space normalized
+      (ruled.py:62),
+    * fixedwidth_table — non-empty lines verbatim (fixedwidth.py:74),
+    * form_page    — ``name=value`` per valid widget line
+      (form_fields.py:138-140),
+    * html_page    — the boilerplate-stripped main text (full SQL
+      re-derivation, ``_html_main_sql``)."""
+    from pdf_extractors_spark.extractors.mobil import (
+        _MARKER,
+        _STOP_EXACT,
+        _STOP_PREFIX,
+    )
+
+    stops = ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(_STOP_EXACT))
+    stop_prefixes = " or ".join(
+        "starts_with(line, '" + pre.replace("'", "''") + "')" for pre in _STOP_PREFIX
+    )
+    boiler = (
+        "starts_with(line, 'Cambridge Books') or starts_with(line, 'https://') "
+        "or starts_with(line, 'Catalogue of census declarations')"
+    )
+    norm_ws = "replace(replace(replace(line, chr(13), ' '), chr(10), ' '), chr(9), ' ')"
+    return rf"""
+        select conv_id, cast(turn_idx as bigint) as turn_idx,
+               'invoice_ocr' as kind, coalesce(text, '') as extracted_text
+        from read_parquet('{tp}') where tool = 'invoice_ocr'
+
+        union all
+        select t.conv_id, t.turn_idx, 'census_page' as kind,
+               coalesce(k.et, '') as extracted_text
+        from (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                     string_split(text, chr(10)) as ls0
+              from read_parquet('{tp}') where tool = 'census_page') t
+        left join (
+          select conv_id, turn_idx, string_agg(line, chr(10) order by i) as et
+          from (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                       unnest(range(3, len(ls0) + 1)) as i, unnest(ls0[3:]) as line
+                from (select conv_id, turn_idx, string_split(text, chr(10)) as ls0
+                      from read_parquet('{tp}') where tool = 'census_page'))
+          where line <> '' and not ({boiler})
+          group by conv_id, turn_idx
+        ) k using (conv_id, turn_idx)
+
+        union all
+        select t.conv_id, t.turn_idx, 'catalog_page' as kind,
+               coalesce(k.et, '') as extracted_text
+        from (select conv_id, cast(turn_idx as bigint) as turn_idx
+              from read_parquet('{tp}') where tool = 'catalog_page') t
+        left join (
+          select conv_id, turn_idx, string_agg(line0, chr(10) order by i) as et
+          from (select *, trim(line0) as line,
+                       min(case when line0 = '{_MARKER}' then i end)
+                         over (partition by conv_id, turn_idx) as marker_i
+                from (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                             unnest(range(1, len(ls) + 1)) as i, unnest(ls) as line0
+                      from (select conv_id, turn_idx,
+                                   string_split(text, chr(10)) as ls
+                            from read_parquet('{tp}') where tool = 'catalog_page')))
+          where marker_i is not null and i >= marker_i
+            and not (line in ({stops}) or {stop_prefixes})
+          group by conv_id, turn_idx
+        ) k using (conv_id, turn_idx)
+
+        union all
+        select t.conv_id, t.turn_idx, 'coord_table' as kind,
+               coalesce(k.et, '') as extracted_text
+        from (select conv_id, cast(turn_idx as bigint) as turn_idx
+              from read_parquet('{tp}') where tool = 'coord_table') t
+        left join (
+          select conv_id, turn_idx,
+                 string_agg(string_split(line, '|')[4], chr(10) order by i) as et
+          from (select *,
+                       min(case when line <> '' then blk end)
+                         over (partition by conv_id, turn_idx) as hdr_blk
+                from (select *,
+                             sum(case when line = '' then 1 else 0 end)
+                               over (partition by conv_id, turn_idx order by i
+                                     rows between unbounded preceding and current row)
+                               as blk
+                      from (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                                   unnest(range(1, len(ls) + 1)) as i,
+                                   unnest(ls) as line
+                            from (select conv_id, turn_idx,
+                                         string_split(text, chr(10)) as ls
+                                  from read_parquet('{tp}')
+                                  where tool = 'coord_table'))))
+          where line <> '' and blk > hdr_blk
+            and string_split(line, '|')[3] = 'Arial'
+          group by conv_id, turn_idx
+        ) k using (conv_id, turn_idx)
+
+        union all
+        select t.conv_id, t.turn_idx, 'ruled_table' as kind,
+               coalesce(k.et, '') as extracted_text
+        from (select conv_id, cast(turn_idx as bigint) as turn_idx
+              from read_parquet('{tp}') where tool = 'ruled_table') t
+        left join (
+          select conv_id, turn_idx, string_agg({norm_ws}, chr(10) order by i) as et
+          from (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                       unnest(range(1, len(ls) + 1)) as i, unnest(ls) as line
+                from (select conv_id, turn_idx, string_split(text, chr(10)) as ls
+                      from read_parquet('{tp}') where tool = 'ruled_table'))
+          where line <> ''
+          group by conv_id, turn_idx
+        ) k using (conv_id, turn_idx)
+
+        union all
+        select t.conv_id, t.turn_idx, 'fixedwidth_table' as kind,
+               coalesce(k.et, '') as extracted_text
+        from (select conv_id, cast(turn_idx as bigint) as turn_idx
+              from read_parquet('{tp}') where tool = 'fixedwidth_table') t
+        left join (
+          select conv_id, turn_idx, string_agg(line, chr(10) order by i) as et
+          from (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                       unnest(range(1, len(ls) + 1)) as i, unnest(ls) as line
+                from (select conv_id, turn_idx, string_split(text, chr(10)) as ls
+                      from read_parquet('{tp}') where tool = 'fixedwidth_table'))
+          where line <> ''
+          group by conv_id, turn_idx
+        ) k using (conv_id, turn_idx)
+
+        union all
+        select t.conv_id, t.turn_idx, 'form_page' as kind,
+               coalesce(k.et, '') as extracted_text
+        from (select conv_id, cast(turn_idx as bigint) as turn_idx
+              from read_parquet('{tp}') where tool = 'form_page') t
+        left join (
+          select conv_id, turn_idx,
+                 string_agg(sp[1] || '=' || sp[2], chr(10) order by i) as et
+          from (select conv_id, cast(turn_idx as bigint) as turn_idx, i, line,
+                       string_split(line, '|') as sp
+                from (select conv_id, turn_idx,
+                             unnest(range(1, len(ls) + 1)) as i, unnest(ls) as line
+                      from (select conv_id, turn_idx,
+                                   string_split(text, chr(10)) as ls
+                            from read_parquet('{tp}') where tool = 'form_page')))
+          where line <> '' and len(sp) = 3
+            and regexp_matches(trim(sp[3]), '^[+-]?\d+$')
+          group by conv_id, turn_idx
+        ) k using (conv_id, turn_idx)
+
+        union all
+        select conv_id, turn_idx, 'html_page' as kind,
+               main_text as extracted_text
+        from ({_html_main_sql(tp)})
+    """
+
+
 def _catalog_sql(tp: str) -> str:
     """Re-derive extractors/mobil.extract's records in SQL for the fixture
     payload shape: marker trim (F4), 'Oil' validity latch, stop-line drop
@@ -1810,6 +1983,56 @@ def _html_spans_sql(tp: str) -> str:
         for label, pat in pats.items()
     )
     return f"with m as ({base}) {selects}"
+
+
+def _conv_stats_sql(tp: str) -> str:
+    """Oracle for the salted per-conversation rollup: plain GROUP BY over
+    the per-turn extracted table re-derived in SQL — turns, extracted
+    characters (``_extracted_text_sql``), span counts (nordic's 13-field
+    battery per segment + the html span patterns; every other family
+    emits no spans), parse errors (fixture payloads are clean by
+    construction; the quarantine paths are pinned by pytest). Salting is
+    value-invariant because every aggregate is algebraic — which is
+    exactly the claim this oracle checks."""
+    from pdf_extractors_spark.extractors.nordic import PATTERNS
+
+    battery = ", ".join(
+        f"nullif(regexp_extract(part, '{p.pattern}', 1), '') as {k}"
+        for k, p in PATTERNS.items()
+    )
+    nmatch = " + ".join(
+        f"(case when {k} is not null then 1 else 0 end)" for k in PATTERNS
+    )
+    return f"""
+        with et as ({_extracted_text_sql(tp)}),
+        invseg as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          {battery}
+                   from (select conv_id, turn_idx,
+                                case when starts_with(p0, ':')
+                                     then 'Order No.' || p0 else p0 end as part
+                         from (select conv_id, turn_idx,
+                                      unnest(range(1, len(parts) + 1)) as idx,
+                                      unnest(parts) as p0
+                               from (select conv_id, turn_idx,
+                                            string_split(text, 'Order No.') as parts
+                                     from read_parquet('{tp}')
+                                     where tool = 'invoice_ocr')))),
+        inv as (select conv_id, turn_idx,
+                       cast(sum({nmatch}) as bigint) as n_spans
+                from invseg group by conv_id, turn_idx),
+        hsp as (select conv_id, turn_idx, cast(count(*) as bigint) as n_spans
+                from ({_html_spans_sql(tp)}) group by conv_id, turn_idx)
+        select e.conv_id,
+               cast(count(*) as bigint) as turns,
+               cast(sum(length(e.extracted_text)) as bigint) as extracted_chars,
+               cast(0 as bigint) as parse_errors,
+               cast(sum(coalesce(i.n_spans, 0) + coalesce(h.n_spans, 0)) as bigint)
+                 as n_spans
+        from et e
+        left join inv i using (conv_id, turn_idx)
+        left join hsp h using (conv_id, turn_idx)
+        group by e.conv_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2217,6 +2440,8 @@ def oracle_sql() -> dict[str, str]:
                 "coord_rows_flat": _coord_sql(tp),
                 "census_wide_flat": _census_sql(tp),
                 "census_persons_flat": _persons_sql(tp),
+                "extracted_text_flat": _extracted_text_sql(tp),
+                "conv_stats_salted": _conv_stats_sql(tp),
                 "html_main_flat": _html_main_sql(tp),
                 "html_spans_flat": _html_spans_sql(tp),
                 "catalog_records_flat": _catalog_sql(tp),

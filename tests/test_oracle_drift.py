@@ -557,3 +557,47 @@ def test_census_persons_oracle_matches_extractor(tmp_path_factory, cfg):
             == p["relation_to_declarant"]
         assert row.role == p["role"]
         assert (None if pd.isna(row.owner) else row.owner) == p["owner"]
+
+
+def test_extracted_text_oracle_matches_extractor_all_families(tmp_path):
+    """Per-turn extracted_text equality (the north rule's deliverable)
+    for every family at once, on adversarial payloads: marker-less
+    catalog page, stop-prefix lines, boilerplate inside census sections,
+    non-Arial and left-of-header coord spans, tab-bearing ruled rows,
+    malformed form widget lines, and an html page whose main is empty."""
+    payloads = [
+        ("c0", 0, "invoice_ocr", "Invoice 123 Invoice Date: 01.02.2024\nOrder No.: 555 Loading date 02.02.2024"),
+        ("c0", 1, "catalog_page", "no marker here\njust noise"),  # -> ''
+        ("c0", 2, "catalog_page", "\n".join([
+            "preamble", _MARKER, "MANUFACTURER-MODEL-ENGINE", "Oil",
+            "TOYOTA", "2021", "Camry", "V6-3.5L", "M1-111A",
+            "Premium Filter Recommended. tail",  # stop prefix dropped
+            "  Recommended. padded",             # stripped before the check
+        ])),
+        ("c0", 3, "census_page", "\n".join([
+            "Catalogue of census declarations", "312",
+            "HOUSEHOLD NO.: 117-Ar-3", "Source: P.Mich. 1 (2)",
+            "Prov., Date: Tebtynis (Arsinoite), 117",
+            "Declarant: Harthotes s. Petesouchos, weaver, 45",
+            "Family members:", "(1) Didymos [declarant] s. A and B, weaver, 30",
+            "Cambridge Books Online © 2010", "", "wrapped tail",
+            "Verif./photo: BL", "Discussion: Register.",
+        ])),
+        ("c0", 4, "coord_table", "\n".join([
+            "10.0|5.0|Arial,Bold|State Code", "80.0|5.0|Arial,Bold|County Code",
+            "", "9.0|9.0|Arial|left-of-header", "85.0|9.0|Arial|042",
+            "99.0|9.0|Times|dropped-font", "", "85.0|11.0|Arial|043",
+        ])),
+        ("c0", 5, "ruled_table", "h1│h2\ta\nr1│r2\n\nr3│r4"),
+        ("c0", 6, "fixedwidth_table", "A" * 80 + "\n\n" + "B" * 80),
+        ("c0", 7, "form_page", "a|Yes|1\nbad-line\nb|x|notint\nc|v|0"),
+        ("c0", 8, "html_page", "<html><body><nav>Nav</nav><main></main>"
+         "<div>Long enough body text outside main to be dropped.</div></body></html>"),
+    ]
+    tp = _tp(tmp_path, payloads)
+    got = duckdb.sql(entry._extracted_text_sql(tp)).fetchdf()
+    got = {(r.conv_id, r.turn_idx): r.extracted_text for r in got.itertuples(index=False)}
+    assert len(got) == len(payloads)
+    for conv, turn, kind, text in payloads:
+        exp = dispatch.extract_one(kind, text)["extracted_text"]
+        assert got[(conv, turn)] == exp, (kind, turn, got[(conv, turn)], exp)
