@@ -809,6 +809,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extracted_text_flat"] = q_extracted_text_flat
 
+    def q_csv_export(spark, sf):
+        """S12 quote-all CSV sink (isobic_pdf_to_csv.py:72,84): write with
+        quoteAll + RFC quote-escaping, re-read, and return the rows — the
+        oracle recomputes them straight from the parquet, so the query
+        passes only if every value (embedded quotes, commas, newlines)
+        survives the round-trip byte-exact."""
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0)
+        out = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(
+                F.lit('said "'), F.col("lang"), F.lit('" and, then\n'),
+                F.col("source"),
+            ).alias("tricky"),
+        )
+        name = os.path.basename(sf.rstrip("/")) or "sf"
+        path = f"/tmp/spark_graft_csv_export_{name}"
+        (
+            out.write.mode("overwrite")
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .option("header", True)
+            .csv(path)
+        )
+        back = (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(path)
+        )
+        return back.select(F.col("doc_id").cast("long").alias("doc_id"), "tricky")
+
+    q["csv_export"] = q_csv_export
+
     def q_conv_stats(spark, sf):
         """A3 + salted two-level aggregation over the extracted table."""
         from pdf_extractors_spark.operators import salting
@@ -2095,6 +2128,11 @@ def oracle_sql() -> dict[str, str]:
             select lang, source, count(*) as n_docs,
                    cast(sum(n_chars) as bigint) as total_chars
             from documents group by lang, source
+        """,
+        "csv_export": """
+            select cast(doc_id as bigint) as doc_id,
+                   'said "' || lang || '" and, then' || chr(10) || source as tricky
+            from documents where doc_id % 20 = 0
         """,
         "union_all": """
             select doc_id, lang from documents where doc_id % 2 = 0

@@ -140,6 +140,7 @@ def lsh_candidates(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.5, max_shingle_df: int = 100,
+    cache: bool = True, checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle.
 
@@ -153,12 +154,28 @@ def ngram_jaccard_pairs(
     shingles collide in 64 bits (~n²/2⁶⁴ — at 10¹² distinct shingles
     collisions would perturb a few counts by ±1, which is noise at the
     0.5-Jaccard decision boundary this feeds).
+
+    The exploded shingle table is consumed three times (sizes, document
+    frequencies, the self-join). How to materialize it is a scale
+    decision, so it's a parameter:
+
+    * ``cache=True`` (default) — ``.cache()``; right up to the point the
+      explosion (~n× corpus tokens) fits the cluster's storage memory.
+    * ``checkpoint_path`` — write the shingle table as parquet once and
+      read it back; the 100-TB path, where caching the explosion would
+      spill-storm every executor. Values identical by construction.
+    * ``cache=False`` and no path — recompute per consumer; cheapest in
+      memory, pays the shingling twice more, still one shuffle per use.
     """
     sh = (
         shingles(df, text_col, id_col, n)
         .select(id_col, F.xxhash64("shingle").alias("shingle"))
-        .cache()
     )
+    if checkpoint_path is not None:
+        sh.write.mode("overwrite").parquet(checkpoint_path)
+        sh = df.sparkSession.read.parquet(checkpoint_path)
+    elif cache:
+        sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     rare = (
         sh.join(

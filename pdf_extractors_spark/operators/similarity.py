@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -152,12 +153,24 @@ def kmeans_centroids(
     return cents
 
 
+def _rotation_planes(dim: int, n_planes: int, seed: int):
+    """Seeded gaussian hyperplane matrix (dim × n_planes) — deterministic
+    for a given (dim, n_planes, seed), so runs are reproducible and an
+    oracle can replay the bucketing from the same literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
 def signbit_buckets(
     vectors: DataFrame,
     bands: int = 4,
     rows: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation_seed: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Hyperplane-LSH bucket keys for cosine similarity: band ``b`` hashes
     the vector to the sign pattern of components ``[b*rows, (b+1)*rows)``
@@ -172,7 +185,48 @@ def signbit_buckets(
     Vectors must have ≥ bands·rows dimensions: under Spark's ANSI mode
     (the session default) an out-of-range ``element_at`` FAILS the job
     with INVALID_ARRAY_INDEX — loud, not a silent all-zeros-key bucket
-    collapse. Do not swap in ``try_element_at`` here."""
+    collapse. Do not swap in ``try_element_at`` here.
+
+    ``rotation_seed`` switches from axis-aligned planes to a seeded
+    random gaussian hyperplane matrix — the recall-correct choice for
+    real embeddings, whose components are axis-correlated (axis-aligned
+    signs then collapse into a few mega-buckets: recall survives but
+    candidate volume explodes). The projection runs as ONE Arrow-batched
+    matmul per batch (pandas UDF) — the per-plane ``zip_with``
+    formulation was rejected for the same reason simhash's per-bit form
+    was: higher-order lambdas run interpreted and Catalyst does not CSE
+    their bodies. Deterministic for a fixed seed under any partitioning."""
+    if rotation_seed is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        if dim is None:
+            first = vectors.select(vec_col).first()
+            if first is None:
+                return vectors.select(
+                    id_col, F.lit(0).alias("band"), F.lit("").alias("key")
+                ).limit(0)
+            dim = len(first[0])
+        planes = _rotation_planes(dim, bands * rows, rotation_seed)
+
+        @pandas_udf("string")
+        def _sign_key(v: pd.Series) -> pd.Series:
+            import numpy as np
+
+            mat = np.stack(v.to_numpy())
+            bits = np.where(mat @ planes > 0, "1", "0")
+            return pd.Series(["".join(row) for row in bits])
+
+        keyed = vectors.select(id_col, _sign_key(F.col(vec_col)).alias("_k"))
+        banded = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("_k", b * rows + 1, rows).alias("key"),
+            )
+            for b in range(bands)
+        ]
+        return keyed.select(
+            id_col, F.explode(F.array(*banded)).alias("bk")
+        ).select(id_col, "bk.band", "bk.key")
     entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -199,6 +253,7 @@ def embedding_neardup_pairs(
     rows: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation_seed: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection, the scale path:
 
@@ -211,7 +266,9 @@ def embedding_neardup_pairs(
     Returns (id_a, id_b, cos), id_a < id_b. The candidate join carries only
     (id, band, key); embeddings are re-joined for the (much smaller)
     verification, so shuffles never move vectors for non-candidates."""
-    b = signbit_buckets(vectors, bands, rows, id_col, vec_col)
+    b = signbit_buckets(
+        vectors, bands, rows, id_col, vec_col, rotation_seed=rotation_seed
+    )
     cand = (
         b.alias("l")
         .join(

@@ -132,6 +132,29 @@ def test_ngram_jaccard(spark):
     assert (1, 4) not in pairs  # no shared shingle
 
 
+def test_ngram_jaccard_materialization_invariant(spark, tmp_path):
+    """The cached, uncached, and checkpointed shingle-table paths return
+    identical pairs — materialization is a scale knob, not a semantic."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "a b c d e f x y"),
+        (4, "q r s t u v w z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(
+            tuple(r) for r in dedup.ngram_jaccard_pairs(
+                df, n=2, threshold=0.0, **kw
+            ).collect()
+        )
+
+    cached = run(cache=True)
+    assert run(cache=False) == cached
+    assert run(checkpoint_path=str(tmp_path / "shingles")) == cached
+
+
 def test_simhash_identical_and_different(spark):
     rows = [
         (1, "alpha beta gamma delta"),
@@ -217,6 +240,52 @@ def test_embedding_neardup_no_false_positives_on_base(spark, embeddings):
     """On the raw table (max pairwise cosine ≈ 0.51) the verify stage
     leaves nothing — buckets alone never produce output pairs."""
     assert similarity.embedding_neardup_pairs(embeddings, threshold=0.9).count() == 0
+
+
+def test_embedding_neardup_rotation_recall_vs_brute_force(spark):
+    """The seeded random-rotation LSH variant recovers ≥0.9 of the
+    brute-force ground-truth pairs at threshold 0.9 — on embeddings with
+    a shared positive bias, where axis-aligned planes degenerate (every
+    vector has the same sign pattern on the biased axes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, n_base, n_dup = 32, 60, 25
+    base = rng.standard_normal((n_base, dim)) + 1.2  # axis-correlated bias
+    dups = base[:n_dup] + 0.05 * rng.standard_normal((n_dup, dim))
+    vecs = np.vstack([base, dups])
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    truth = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if round(sims[i, j], 4) >= 0.9
+    }
+    assert truth, "planting produced no ground-truth pairs"
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            df, threshold=0.9, rotation_seed=42
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"rotation-LSH recall {recall:.2f} < 0.9"
+    assert got <= truth  # exact verify: no pair below threshold survives
+
+    # determinism: same seed → same buckets → same pairs
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            df, threshold=0.9, rotation_seed=42
+        ).collect()
+    }
+    assert again == got
 
 
 # -------------------------------------------------------------- text stats
