@@ -751,8 +751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Stage B flattened: one row per resolved person (persons.py
         shape) — X4-X11 field extraction plus the J1-J7 within-household
         entity resolution, run co-located inside the per-document pass.
-        Not SQL-expressible (regex cascades + graph resolution); exact
-        parity vs the reference semantics is pinned by tests/test_census.py."""
+        Value-checked against a full SQL re-derivation (``_persons_sql``:
+        J1 id match, J2/J3 wife→[no. 1] spouse links, J6 declarant
+        insertion, household patches); the graph batteries beyond the
+        fixture grammar stay pinned by tests/test_census.py."""
         ext = _extracted(spark, sf).filter(F.col("kind") == "census_page")
         recs = ext.select(
             "conv_id",
