@@ -755,7 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         J1 id match, J2/J3 wife→[no. 1] spouse links, J6 declarant
         insertion, household patches); the graph batteries beyond the
         fixture grammar stay pinned by tests/test_census.py."""
-        ext = _extracted(spark, sf).filter(F.col("kind") == "census_page")
+        ext = _extracted_pinned(spark).filter(F.col("kind") == "census_page")
         recs = ext.select(
             "conv_id",
             "turn_idx",
@@ -825,8 +825,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("source"),
             ).alias("tricky"),
         )
+        # keyed by applicationId: unlike the write-once transcripts cache
+        # this directory is rewritten per execution, so concurrent
+        # sessions at the same sf must not share it
         name = os.path.basename(sf.rstrip("/")) or "sf"
-        path = f"/tmp/spark_graft_csv_export_{name}"
+        app_id = spark.sparkContext.applicationId
+        path = f"/tmp/spark_graft_csv_export_{name}_{app_id}"
         (
             out.write.mode("overwrite")
             .option("quoteAll", True)
@@ -845,10 +849,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_export"] = q_csv_export
 
     def q_conv_stats(spark, sf):
-        """A3 + salted two-level aggregation over the extracted table."""
+        """A3 + salted two-level aggregation over the extracted table.
+        Pinned to the oracle tier like every transcript-oracled query:
+        the oracle SQL is static, so query and oracle must agree on the
+        dataset at every sf."""
         from pdf_extractors_spark.operators import salting
 
-        return salting.salted_conv_stats(_extracted(spark, sf), heavy_keys=[])
+        return salting.salted_conv_stats(_extracted_pinned(spark), heavy_keys=[])
 
     q["conv_stats_salted"] = q_conv_stats
 
@@ -1300,6 +1307,53 @@ def _coord_sql(tp: str) -> str:
     """
 
 
+def _census_boiler_pred(col: str = "line") -> str:
+    """F1 boilerplate predicate, generated from the extractor's own
+    constant so the SQL oracles cannot silently desynchronize from
+    ``census_household._BOILER_PREFIXES``."""
+    from pdf_extractors_spark.extractors.census_household import _BOILER_PREFIXES
+
+    return " or ".join(
+        f"starts_with({col}, '" + p.replace("'", "''") + "')"
+        for p in _BOILER_PREFIXES
+    )
+
+
+def _census_section_ctes(tp: str) -> str:
+    """Shared t/l/c/s CTE block — census payload → page-header skip,
+    M1 line classification, section fill-down. Used verbatim by both the
+    household (``_census_sql``) and persons (``_persons_sql``) oracles so
+    the segmentation rules exist in exactly one place."""
+    return rf"""t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
+                          string_split(text, chr(10)) as ls0
+                   from read_parquet('{tp}') where tool = 'census_page'),
+        l as (select conv_id, turn_idx,
+                     unnest(range(3, len(ls0) + 1)) as i, unnest(ls0[3:]) as line
+              from t),
+        c as (select *, case
+                when line = '' then 'empty'
+                when starts_with(line, 'HOUSEHOLD NO.:') then 'hh'
+                when starts_with(line, 'Source:')
+                  or starts_with(substr(line, 2), 'Source:')
+                  or starts_with(line, '*Source:') then 'source'
+                when starts_with(line, 'Prov., Date:') then 'prov'
+                when starts_with(line, 'Declarant') then 'declarant'
+                when starts_with(line, 'Family members') then 'family_marker'
+                when starts_with(line, 'Free non-kin') then 'nonkin_marker'
+                when starts_with(line, 'Slaves:') then 'slaves_marker'
+                when starts_with(line, 'Verif./photo:') then 'verif'
+                when starts_with(line, 'Discussion:') then 'disc'
+                when {_census_boiler_pred()} then 'boiler'
+                else 'cont' end as cls
+              from l),
+        s as (select *, last_value(case when cls in
+                       ('declarant','family_marker','nonkin_marker','slaves_marker','verif','disc')
+                       then cls end ignore nulls)
+                     over (partition by conv_id, turn_idx order by i
+                           rows between unbounded preceding and current row) as sect
+              from c)"""
+
+
 def _census_sql(tp: str) -> str:
     """Re-derive extractors/census_household.extract's wide rows in SQL:
     page-header skip, the M1 key-prefix line classifier, section
@@ -1335,36 +1389,7 @@ def _census_sql(tp: str) -> str:
         nullif(regexp_extract(seg, '^([A-Za-z\s.]+?)\s+d\.', 1), ''),
         nullif(regexp_extract(seg, '^([A-Za-z]+( and [A-Za-z]+)*)', 1), ''))"""
     return rf"""
-        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
-                          string_split(text, chr(10)) as ls0
-                   from read_parquet('{tp}') where tool = 'census_page'),
-        l as (select conv_id, turn_idx,
-                     unnest(range(3, len(ls0) + 1)) as i, unnest(ls0[3:]) as line
-              from t),
-        c as (select *, case
-                when line = '' then 'empty'
-                when starts_with(line, 'HOUSEHOLD NO.:') then 'hh'
-                when starts_with(line, 'Source:')
-                  or starts_with(substr(line, 2), 'Source:')
-                  or starts_with(line, '*Source:') then 'source'
-                when starts_with(line, 'Prov., Date:') then 'prov'
-                when starts_with(line, 'Declarant') then 'declarant'
-                when starts_with(line, 'Family members') then 'family_marker'
-                when starts_with(line, 'Free non-kin') then 'nonkin_marker'
-                when starts_with(line, 'Slaves:') then 'slaves_marker'
-                when starts_with(line, 'Verif./photo:') then 'verif'
-                when starts_with(line, 'Discussion:') then 'disc'
-                when starts_with(line, 'Cambridge Books')
-                  or starts_with(line, 'https://')
-                  or starts_with(line, 'Catalogue of census declarations') then 'boiler'
-                else 'cont' end as cls
-              from l),
-        s as (select *, last_value(case when cls in
-                       ('declarant','family_marker','nonkin_marker','slaves_marker','verif','disc')
-                       then cls end ignore nulls)
-                     over (partition by conv_id, turn_idx order by i
-                           rows between unbounded preceding and current row) as sect
-              from c),
+        with {_census_section_ctes(tp)},
         agg as (select conv_id, turn_idx,
            max(case when cls = 'hh' then trim(split_part(line, ':', 2)) end) as hh,
            max(case when cls = 'source' then trim(split_part(line, 'Source:', 2)) end) as source,
@@ -1466,36 +1491,7 @@ def _persons_sql(tp: str) -> str:
         r"|father of|child of|born to"
     )
     return rf"""
-        with t as (select conv_id, cast(turn_idx as bigint) as turn_idx,
-                          string_split(text, chr(10)) as ls0
-                   from read_parquet('{tp}') where tool = 'census_page'),
-        l as (select conv_id, turn_idx,
-                     unnest(range(3, len(ls0) + 1)) as i, unnest(ls0[3:]) as line
-              from t),
-        c as (select *, case
-                when line = '' then 'empty'
-                when starts_with(line, 'HOUSEHOLD NO.:') then 'hh'
-                when starts_with(line, 'Source:')
-                  or starts_with(substr(line, 2), 'Source:')
-                  or starts_with(line, '*Source:') then 'source'
-                when starts_with(line, 'Prov., Date:') then 'prov'
-                when starts_with(line, 'Declarant') then 'declarant'
-                when starts_with(line, 'Family members') then 'family_marker'
-                when starts_with(line, 'Free non-kin') then 'nonkin_marker'
-                when starts_with(line, 'Slaves:') then 'slaves_marker'
-                when starts_with(line, 'Verif./photo:') then 'verif'
-                when starts_with(line, 'Discussion:') then 'disc'
-                when starts_with(line, 'Cambridge Books')
-                  or starts_with(line, 'https://')
-                  or starts_with(line, 'Catalogue of census declarations') then 'boiler'
-                else 'cont' end as cls
-              from l),
-        s as (select *, last_value(case when cls in
-                       ('declarant','family_marker','nonkin_marker','slaves_marker','verif','disc')
-                       then cls end ignore nulls)
-                     over (partition by conv_id, turn_idx order by i
-                           rows between unbounded preceding and current row) as sect
-              from c),
+        with {_census_section_ctes(tp)},
         hhn as (select conv_id, turn_idx,
                    max(case when cls = 'hh' then trim(split_part(line, ':', 2)) end) as hh,
                    max(case when cls = 'declarant' then trim(split_part(line, ':', 2)) end) as decl
@@ -1653,10 +1649,7 @@ def _extracted_text_sql(tp: str) -> str:
     stop_prefixes = " or ".join(
         "starts_with(line, '" + pre.replace("'", "''") + "')" for pre in _STOP_PREFIX
     )
-    boiler = (
-        "starts_with(line, 'Cambridge Books') or starts_with(line, 'https://') "
-        "or starts_with(line, 'Catalogue of census declarations')"
-    )
+    boiler = _census_boiler_pred()
     norm_ws = "replace(replace(replace(line, chr(13), ' '), chr(10), ' '), chr(9), ' ')"
     return rf"""
         select conv_id, cast(turn_idx as bigint) as turn_idx,

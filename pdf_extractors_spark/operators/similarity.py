@@ -195,7 +195,9 @@ def signbit_buckets(
     matmul per batch (pandas UDF) — the per-plane ``zip_with``
     formulation was rejected for the same reason simhash's per-bit form
     was: higher-order lambdas run interpreted and Catalyst does not CSE
-    their bodies. Deterministic for a fixed seed under any partitioning."""
+    their bodies. Deterministic for a fixed seed under any partitioning.
+    Pass ``dim`` explicitly when the vectors lineage is expensive —
+    otherwise it is inferred with a one-row job."""
     if rotation_seed is not None:
         from pyspark.sql.functions import pandas_udf
 
@@ -216,7 +218,13 @@ def signbit_buckets(
             bits = np.where(mat @ planes > 0, "1", "0")
             return pd.Series(["".join(row) for row in bits])
 
-        keyed = vectors.select(id_col, _sign_key(F.col(vec_col)).alias("_k"))
+        # cached: the bucket table feeds both sides of the candidate
+        # self-join, and this frame is tiny (id + bands·rows chars per
+        # vector) — without it the matmul UDF would run twice over the
+        # full vectors lineage
+        keyed = vectors.select(
+            id_col, _sign_key(F.col(vec_col)).alias("_k")
+        ).cache()
         banded = [
             F.struct(
                 F.lit(b).alias("band"),
@@ -254,6 +262,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rotation_seed: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection, the scale path:
 
@@ -267,7 +276,8 @@ def embedding_neardup_pairs(
     (id, band, key); embeddings are re-joined for the (much smaller)
     verification, so shuffles never move vectors for non-candidates."""
     b = signbit_buckets(
-        vectors, bands, rows, id_col, vec_col, rotation_seed=rotation_seed
+        vectors, bands, rows, id_col, vec_col,
+        rotation_seed=rotation_seed, dim=dim,
     )
     cand = (
         b.alias("l")

@@ -65,9 +65,9 @@ def run_at(cpus: int, sf_dir: str, pin_cores: str | None = None) -> dict:
     env.setdefault("SPARK_GRAFT_REPLICATE", REPLICATE)
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--extract-only"]
     if pin_cores:
-        # pin BOTH cluster sizes to the same physical core set so the
-        # small-N run cannot borrow the idle box's turbo/cache/bandwidth
-        # headroom — isolates PLAN scaling from host asymmetry.
+        # each level is pinned to a core set proportional to its worker
+        # count (see main()): a 4N-executor cluster brings 4× the
+        # hardware, so proportional pinning is the faithful stand-in.
         cmd = ["taskset", "-c", pin_cores] + cmd
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=3600, cwd=REPO
@@ -85,14 +85,19 @@ def main() -> int:
     host = {p: round(host_per_core_rate(p), 0) for p in (n, four_n, 16, 32)}
     host_retention = round(host[four_n] / host[n], 3)
 
-    # pin both levels to the same 2×4N core set: identical memory/turbo
-    # domain, with headroom for the JVM's own threads (shuffle, GC, Arrow
-    # IPC) in BOTH configs — a real cluster's executors each bring their
-    # own cores, so the single-JVM oversubscription at high N is a sandbox
-    # artifact, not a plan property.
-    pin = f"0-{2 * four_n - 1}" if os.path.exists("/usr/bin/taskset") else None
-    lo = run_at(n, sf_dir, pin_cores=pin)
-    hi = run_at(four_n, sf_dir, pin_cores=pin)
+    # pin each level to 2× its own worker count (PROPORTIONAL resources):
+    # a 4N-executor cluster brings 4× the hardware, so the faithful
+    # sandbox stand-in gives each level cores proportional to its size.
+    # The 2× headroom covers the JVM's own threads (shuffle, GC, Arrow
+    # IPC serialization) identically at both levels — a fixed shared pin
+    # instead would hand the small level 4× relative headroom and
+    # saturate the large one, measuring the sandbox's oversubscription
+    # rather than the plan.
+    have_taskset = os.path.exists("/usr/bin/taskset")
+    pin_lo = f"0-{2 * n - 1}" if have_taskset else None
+    pin_hi = f"0-{2 * four_n - 1}" if have_taskset else None
+    lo = run_at(n, sf_dir, pin_cores=pin_lo)
+    hi = run_at(four_n, sf_dir, pin_cores=pin_hi)
     tps_lo = lo["extraction"]["turns_per_sec"]
     tps_hi = hi["extraction"]["turns_per_sec"]
     efficiency = (tps_hi / tps_lo) / (four_n / n)
@@ -107,7 +112,7 @@ def main() -> int:
         "scaling_efficiency": round(efficiency, 3),
         "host_per_core_rate": host,
         "host_retention_n_to_4n": host_retention,
-        "pinned_cores": pin,
+        "pinned_cores": {"n": pin_lo, "4n": pin_hi},
         "gate": ">=0.8",
         "pass": efficiency >= 0.8,
     }
@@ -159,9 +164,12 @@ shared-core contention).
   explode — the timed job is far above scheduler overhead;
 * Python worker pool warmed (one task per core) before timing;
 * wall-clock = median of 3 runs per level, separate JVM per level;
-* BOTH levels pinned to the same core set (`taskset -c {{pin}}`) so the
-  small-N run cannot borrow idle-box turbo/cache headroom the 4N run
-  doesn't get — the comparison measures plan scaling, not host asymmetry.
+* each level pinned to 2× its own worker count
+  (`taskset -c {pin_lo}` / `taskset -c {pin_hi}`) — PROPORTIONAL
+  resources, because a 4N-executor cluster brings 4× the hardware; the
+  2× headroom absorbs the JVM's shuffle/GC/Arrow threads identically at
+  both levels, so neither level borrows relative headroom the other
+  doesn't get.
 
 ## Why the plan scales
 

@@ -26,6 +26,12 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+_PANDAS_SAFE = {
+    "VARCHAR", "BIGINT", "DOUBLE", "INTEGER", "TIMESTAMP",
+    "BOOLEAN", "FLOAT", "DATE", "SMALLINT", "TINYINT",
+}
+_INT_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"}
+
 
 def _norm_value(v) -> str:
     # distinct sentinel for null/NaN: collapsing them with "" would hide
@@ -91,19 +97,29 @@ def main() -> int:
         # become float64 and stringify as "123.0" while Spark prints
         # "123". Round 1's only red row (group_count) was exactly this.
         # Fail loudly here so the trap never reaches the driver again.
-        _PANDAS_SAFE = {
-            "VARCHAR", "BIGINT", "DOUBLE", "INTEGER", "TIMESTAMP",
-            "BOOLEAN", "FLOAT", "DATE", "SMALLINT", "TINYINT",
-        }
         rel = con.sql(f"select * from ({oracles[name]}) limit 0")
+        duck_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
         bad_types = [
-            (c, str(t))
-            for c, t in zip(rel.columns, rel.types)
-            if str(t) not in _PANDAS_SAFE
+            (c, t) for c, t in duck_types.items() if t not in _PANDAS_SAFE
         ]
         if bad_types:
             failures.append((name, f"pandas-hostile oracle types: {bad_types}"))
             print(f"  {name:28s} TYPE-LINT FAIL {bad_types}")
+            continue
+        # Nullable-int coercion lint: an integer column CONTAINING nulls
+        # passes the static check above but still becomes float64 in the
+        # driver's pandas conversion ("123.0" vs Spark's "123"). Detect
+        # the coercion on the materialized frame directly.
+        pdf = con.execute(oracles[name]).df()
+        coerced = [
+            c
+            for c in pdf.columns
+            if duck_types.get(c, "") in _INT_TYPES
+            and str(pdf[c].dtype) == "float64"
+        ]
+        if coerced:
+            failures.append((name, f"nullable-int pandas coercion: {coerced}"))
+            print(f"  {name:28s} TYPE-LINT FAIL nullable-int→float64 {coerced}")
             continue
         res = con.execute(oracles[name])
         duck_cols = [d[0] for d in res.description]
