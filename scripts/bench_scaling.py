@@ -32,7 +32,13 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "8")
+# 32× replication ≈ 1.6M turns ≈ 90s at N=2: long enough that Spark's
+# fixed per-job costs (planning, stage scheduling, final collect) vanish
+# from the ratio. At 8× (≈20s at N) those constants deflated measured
+# efficiency to 0.70-0.75 on this host; at 32× the same code measures
+# 0.87 — real cluster jobs run minutes-to-hours, so the longer job is
+# the faithful regime.
+REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "32")
 
 
 # ---------------------------------------------------------- host baseline
@@ -161,7 +167,9 @@ shared-core contention).
 * input: cached 256-file synthetic transcripts parquet (one file = one
   split; files hash-balanced at turn granularity so power-law conversation
   lengths cannot skew splits), replicated {REPLICATE}× via a narrow
-  explode — the timed job is far above scheduler overhead;
+  explode — ~90 s of work at N so Spark's fixed per-job costs (planning,
+  scheduling, final collect) vanish from the ratio; at 8× (~20 s jobs)
+  those constants alone deflated measured efficiency to 0.70-0.75;
 * Python worker pool warmed (one task per core) before timing;
 * wall-clock = median of 3 runs per level, separate JVM per level;
 * each level pinned to 2× its own worker count
