@@ -357,6 +357,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_candidates"] = q_lsh_candidates
 
+    def q_dedup_clusters(spark, sf):
+        """Candidate pairs → duplicate clusters: min-label-propagation
+        connected components over the LSH candidate graph; cluster_id is
+        the smallest doc_id in each component (the dedup keep-list
+        representative). Value-checked against a DuckDB recursive-CTE
+        reachability oracle over the same candidate SQL."""
+        sigs = dedup.minhash_signatures(_spread(_read(spark, sf, "documents")), k=8)
+        pairs = dedup.lsh_candidates(sigs, bands=4, rows=2)
+        comp = dedup.connected_components(pairs)
+        return _longify(
+            comp.select(
+                F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+            )
+        )
+
+    q["dedup_clusters"] = q_dedup_clusters
+
+    def q_lm_score(spark, sf):
+        """Unigram-LM quality scoring (CCNet-style, corpus-own model):
+        mean log2 token probability under the add-one-smoothed corpus
+        unigram distribution."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        return text_stats.unigram_lm_score(_spread(docs))
+
+    q["lm_score"] = q_lm_score
+
+    _STRATA_BP = {"en": 8000, "de": 5000, "fr": 2500, "es": 1000}
+
+    def q_stratified_sample(spark, sf):
+        """Deterministic per-stratum downsampling by portable hash —
+        reproducible under retries/repartitioning, exact in basis
+        points."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return _longify(
+            sampling.stratified_sample(docs, _STRATA_BP, strata_col="lang")
+            .select("doc_id", "lang")
+        )
+
+    q["stratified_sample"] = q_stratified_sample
+
     # ---------------------- similarity family ---------------------------
 
     def q_cosine_topk(spark, sf):
@@ -2218,6 +2262,72 @@ def oracle_sql() -> dict[str, str]:
             select distinct a.doc_id as id_a, b.doc_id as id_b
             from banded a join banded b using (band, key)
             where a.doc_id < b.doc_id
+        """,
+        # connected components: recursive reachability (node, comp) over
+        # the symmetric closure of the SAME candidate-pair SQL as
+        # minhash_lsh_candidates, min per node = smallest id in the
+        # component — exactly the fixpoint the Spark label propagation
+        # converges to
+        "dedup_clusters": f"""
+            with recursive t as (select doc_id, string_split({norm}, ' ') as w
+                                 from documents),
+            sh as (select doc_id, unnest({shingle3}) as shingle from t),
+            hb as (select doc_id,
+                          cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
+                            % {_MINHASH_P} as hb
+                   from sh),
+            sig as (
+              select doc_id, {_minhash_mins(8)}
+              from hb group by doc_id
+            ),
+            banded as (
+              select doc_id, b.band,
+                     case b.band
+                       when 0 then concat(cast(h0 as varchar), ',', cast(h1 as varchar))
+                       when 1 then concat(cast(h2 as varchar), ',', cast(h3 as varchar))
+                       when 2 then concat(cast(h4 as varchar), ',', cast(h5 as varchar))
+                       else concat(cast(h6 as varchar), ',', cast(h7 as varchar))
+                     end as key
+              from sig, (values (0),(1),(2),(3)) b(band)
+            ),
+            pairs as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from banded a join banded b using (band, key)
+              where a.doc_id < b.doc_id
+            ),
+            e as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+            reach as (
+              select a as node, a as comp from e
+              union
+              select e.b, r.comp from reach r join e on e.a = r.node
+            )
+            select cast(node as bigint) as doc_id,
+                   cast(min(comp) as bigint) as cluster_id
+            from reach group by node
+        """,
+        "lm_score": r"""
+            with toks as (
+              select doc_id, tok
+              from (select doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+                    from documents)
+              where tok <> ''
+            ),
+            counts as (select tok, count(*) as tf from toks group by tok),
+            scal as (select sum(tf) as n_tokens, count(*) as vocab from counts)
+            select doc_id,
+                   round(avg(log2((tf + 1.0) / (n_tokens + vocab))), 4) as lm_score
+            from toks join counts using (tok), scal
+            group by doc_id
+        """,
+        "stratified_sample": """
+            select cast(doc_id as bigint) as doc_id, lang from documents
+            where cast(concat('0x', substr(md5('strat:' || cast(doc_id as varchar)), 1, 8))
+                       as bigint) % 10000
+                  < case lang when 'en' then 8000 when 'de' then 5000
+                              when 'fr' then 2500 when 'es' then 1000
+                              else 0 end
         """,
         "ivf_ann_topk": """
             with e as (select vec_id, cast(embedding as double[]) as embedding

@@ -137,6 +137,77 @@ def lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from a candidate-pair list: min-label
+    propagation to a fixpoint. Returns ``(node, comp)`` for every id in
+    ``pairs``, where ``comp`` is the smallest id in the node's connected
+    component — the canonical cluster representative for dedup keep-lists.
+
+    Each round is one equi-join (labels onto edge endpoints) + one
+    map-side-combined ``min`` aggregation; lineage is truncated per round
+    with ``localCheckpoint`` so the plan stays O(1) deep (at cluster
+    scale swap in reliable ``checkpoint`` against the checkpoint dir).
+    Converges in O(component diameter) rounds — near-dup graphs are
+    dense clusters with tiny diameters (2-4 rounds in practice); a graph
+    that has not converged after ``max_iter`` raises instead of
+    returning silently-wrong clusters (pathological million-hop chains
+    want the alternating large-star/small-star contraction instead).
+
+    Deterministic under any partitioning: the fixpoint (min id reachable)
+    is partition-order-free."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.5, max_shingle_df: int = 100,

@@ -51,3 +51,31 @@ def split_counts(
     return hash_split(df, weights, key_col, salt).groupBy("split").agg(
         F.count("*").alias("n_rows")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions_bp: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. rebalance languages
+    or sources before training): keep a row iff
+    ``hash(salt:key) mod 10000 < fractions_bp[stratum]``.
+
+    Fractions are integer basis points (10000 = keep all), so the
+    decision is exact in every engine; the hash is the portable
+    md5-bigint of the stable key, so the sample is reproducible under
+    retries, repartitioning and engine swaps — never ``sampleBy`` (RNG
+    seeded per partition). Strata absent from the map are dropped
+    (fraction 0). Pure filter: pushes down, no shuffle."""
+    bucket = F.pmod(
+        md5_bigint(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        F.lit(10000),
+    )
+    frac_map = F.create_map(
+        *[F.lit(x) for kv in fractions_bp.items() for x in kv]
+    )
+    keep_bp = F.coalesce(frac_map[F.col(strata_col)], F.lit(0))
+    return df.filter(bucket < keep_bp)

@@ -204,3 +204,42 @@ def fingerprint(
             "fingerprint"
         ),
     )
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality signal with no external model: the mean
+    log2 probability of each document's tokens under the corpus's OWN
+    add-one-smoothed unigram distribution. Very low scores flag
+    gibberish / rare-token documents; very high scores flag repetitive
+    boilerplate — the two tails a training-data filter trims.
+
+    Plan: one explode, token counts via map-side-combined groupBy, the
+    corpus totals as a 1-row aggregate broadcast back in (no driver
+    collect), then tokens ⋈ counts on the token key (the counts side
+    comes out of the same exchange) and a per-document average. Two
+    exchanges total; no UDF; replayable in ANSI SQL."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    scalars = counts.agg(
+        F.sum("tf").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    F.log2(
+                        (F.col("tf") + F.lit(1.0))
+                        / (F.col("n_tokens") + F.col("vocab"))
+                    )
+                ),
+                4,
+            ).alias("lm_score")
+        )
+    )

@@ -9,6 +9,7 @@ from pdf_extractors_spark.operators import (
     dedup,
     multimodal,
     salting,
+    sampling,
     similarity,
     text_stats,
 )
@@ -481,3 +482,78 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"bytes", "image", fake=False)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation equals a sequential union-find on graphs
+    that need several rounds: chains, a star, two merged clusters, a
+    singleton pair — and the result is the component's min id."""
+    pairs = [
+        (2, 1), (3, 2), (4, 3), (5, 4),      # chain 1-5 (diameter 4)
+        (10, 11), (10, 12), (10, 13),        # star at 10
+        (20, 21), (22, 23), (21, 22),        # two clusters merged
+        (30, 31),                            # singleton pair
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    expected = {}
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    for n in parent:
+        expected[n] = roots[find(n)]
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_raises_on_max_iter(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iter=1)
+
+
+def test_unigram_lm_score_orders_common_vs_rare(spark):
+    """Documents made of corpus-common tokens score higher (less
+    negative) than documents of hapax tokens; exact value checked on a
+    hand-computable corpus."""
+    rows = [
+        (1, "a a a a"),        # 'a' tf=4 of 6 tokens
+        (2, "b zz"),           # rare tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_score"] for r in text_stats.unigram_lm_score(df).collect()}
+    # corpus: tf(a)=4, tf(b)=1, tf(zz)=1; N=6, V=3
+    import math
+    exp1 = round(math.log2((4 + 1.0) / 9), 4)
+    exp2 = round((math.log2(2 / 9) + math.log2(2 / 9)) / 2, 4)
+    assert got == {1: exp1, 2: exp2}
+    assert got[1] > got[2]
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, documents):
+    bp = {"en": 10000, "de": 0}
+    s1 = sampling.stratified_sample(documents, bp).select("doc_id").collect()
+    s2 = sampling.stratified_sample(documents, bp).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    langs = {
+        r["lang"]
+        for r in sampling.stratified_sample(documents, bp).select("lang").distinct().collect()
+    }
+    assert langs <= {"en"}  # de and unmapped strata dropped entirely
+    n_en = documents.filter("lang = 'en'").count()
+    assert len(s1) == n_en  # 10000 bp keeps every row of the stratum
