@@ -91,17 +91,23 @@ def _longify(df: DataFrame) -> DataFrame:
 _TRANSCRIPT_CONVS = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 1500}
 
 
+def _transcripts_path(sf_dir: str) -> str:
+    from pdf_extractors_spark.fixtures.payloads import FIXTURE_VERSION
+
+    name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n_convs = _TRANSCRIPT_CONVS.get(name, 150)
+    return f"/tmp/spark_graft_transcripts_{name}_{n_convs}_v{FIXTURE_VERSION}"
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic transcripts sized to the sf tier, cached as
     parquet under /tmp (FIXTURES.md §1; exact input_hint schema)."""
     from pdf_extractors_spark.fixtures import gen
 
     _ship_package(spark)
-    from pdf_extractors_spark.fixtures.payloads import FIXTURE_VERSION
-
     name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
     n_convs = _TRANSCRIPT_CONVS.get(name, 150)
-    path = f"/tmp/spark_graft_transcripts_{name}_{n_convs}_v{FIXTURE_VERSION}"
+    path = _transcripts_path(sf_dir)
     gen.materialize(spark, path, n_convs=n_convs, max_turns=200)
     return spark.read.parquet(path)
 
@@ -400,6 +406,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stratified_sample"] = q_stratified_sample
+
+    _STREAM_COUNTER = [0]
+
+    def q_stream_extracted_text(spark, sf):
+        """Streaming/batch parity, value-checked: the SAME extraction
+        kernel run through Structured Streaming (file source over the
+        pinned transcripts dir, 16 files per micro-batch, availableNow,
+        memory sink) must produce byte-identical per-turn extracted text
+        — oracled by the same SQL re-derivation as extracted_text_flat."""
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        _transcripts(spark, "sf0.01")  # materialize + ship package
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_extract_{_STREAM_COUNTER[0]}"
+        stream = es.extract_stream(
+            es.read_transcript_stream(spark, _transcripts_path("sf0.01"))
+        )
+        query = (
+            stream.select("conv_id", "turn_idx", "kind", "extracted_text")
+            .writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return _longify(spark.table(qn))
+
+    q["stream_extracted_text"] = q_stream_extracted_text
 
     # ---------------------- similarity family ---------------------------
 
@@ -2584,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
                 "census_wide_flat": _census_sql(tp),
                 "census_persons_flat": _persons_sql(tp),
                 "extracted_text_flat": _extracted_text_sql(tp),
+                "stream_extracted_text": _extracted_text_sql(tp),
                 "conv_stats_salted": _conv_stats_sql(tp),
                 "html_main_flat": _html_main_sql(tp),
                 "html_spans_flat": _html_spans_sql(tp),
