@@ -538,8 +538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["decontaminate"] = q_decontaminate
 
     # ------------- extraction families over synthetic transcripts -------
-    # (per-document state machines — not SQL-expressible; rows-only check
-    # here, exact parity vs the pandas oracle in tests/test_pipeline.py)
+    # (unified per-family rows: records carry canonical JSON, so these are
+    # rows-only here; every component is value-oracled separately — text
+    # via extracted_text_flat, records via the *_flat queries, spans via
+    # html_spans_flat — and exact parity vs the pandas oracle is pinned in
+    # tests/test_pipeline.py)
 
     def _family(kind: str):
         def run(spark, sf):

@@ -557,3 +557,45 @@ def test_stratified_sample_deterministic_and_proportional(spark, documents):
     assert langs <= {"en"}  # de and unmapped strata dropped entirely
     n_en = documents.filter("lang = 'en'").count()
     assert len(s1) == n_en  # 10000 bp keeps every row of the stratum
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Random graphs (hypothesis) vs sequential union-find. One Spark
+    session, several drawn graphs per run — Spark startup dominates, so
+    examples are batched into a single test body."""
+    import random
+
+    rng = random.Random(99)
+    for _ in range(6):
+        n_nodes = rng.randint(2, 24)
+        n_edges = rng.randint(1, 30)
+        pairs = [
+            (rng.randint(0, n_nodes - 1), rng.randint(0, n_nodes - 1))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        roots: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            roots[r] = min(roots.get(r, node), node)
+        expected = {node: roots[find(node)] for node in parent}
+
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == expected, (pairs, got, expected)
