@@ -391,6 +391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_score"] = q_lm_score
 
+    def q_gopher_flags(spark, sf):
+        """Gopher/DataComp structural quality rules — exact integer
+        cross-multiplication thresholds, no float division."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.gopher_quality_flags(_read(spark, sf, "documents"))
+
+    q["gopher_flags"] = q_gopher_flags
+
     _STRATA_BP = {"en": 8000, "de": 5000, "fr": 2500, "es": 1000}
 
     def q_stratified_sample(spark, sf):
@@ -2357,6 +2366,49 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2((tf + 1.0) / (n_tokens + vocab))), 4) as lm_score
             from toks join counts using (tok), scal
             group by doc_id
+        """,
+        "gopher_flags": r"""
+            with t as (
+              select doc_id, text,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 w -> w <> '') as words,
+                     string_split(text, chr(10)) as lines
+              from documents),
+            m as (
+              select doc_id,
+                     cast(len(words) as bigint) as n_words,
+                     cast(len(lines) as bigint) as n_lines,
+                     cast(coalesce(list_sum(list_transform(words,
+                            w -> length(w))), 0) as bigint) as word_chars,
+                     cast(len(list_filter(lines, l ->
+                            starts_with(ltrim(l), '-')
+                            or starts_with(ltrim(l), '*')
+                            or starts_with(ltrim(l), '•'))) as bigint) as bullet,
+                     cast(len(list_filter(lines, l ->
+                            ends_with(rtrim(l), '...'))) as bigint) as ell,
+                     cast(length(text) - length(replace(text, '#', ''))
+                          as bigint) as hashes,
+                     cast(len(regexp_extract_all(text, '\.\.\.'))
+                          as bigint) as dots,
+                     cast(len(list_filter(words, w -> w in
+                            ('the','and','of','to','in','is','that','for')))
+                          as bigint) as stop_hits
+              from t)
+            select doc_id, n_words, n_lines,
+                   (n_words < 10 or n_words > 100000) as flag_word_count,
+                   (word_chars < 2 * n_words or word_chars > 12 * n_words)
+                     as flag_mean_word_len,
+                   (10 * (hashes + dots) > n_words) as flag_symbol_ratio,
+                   (10 * bullet > 9 * n_lines) as flag_bullet_lines,
+                   (10 * ell > 3 * n_lines) as flag_ellipsis_lines,
+                   (50 * stop_hits < n_words) as flag_stopword_frac,
+                   not ((n_words < 10 or n_words > 100000)
+                        or (word_chars < 2 * n_words or word_chars > 12 * n_words)
+                        or (10 * (hashes + dots) > n_words)
+                        or (10 * bullet > 9 * n_lines)
+                        or (10 * ell > 3 * n_lines)
+                        or (50 * stop_hits < n_words)) as gopher_pass
+            from m
         """,
         "stratified_sample": """
             select cast(doc_id as bigint) as doc_id, lang from documents

@@ -243,3 +243,68 @@ def unigram_lm_score(
             ).alias("lm_score")
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/DataComp-style structural quality rules, one boolean per
+    rule plus the combined pass flag:
+
+    * word count outside [10, 100000],
+    * mean word length outside [2, 12] chars,
+    * symbol-to-word ratio ('#' chars + '...' runs) > 0.1,
+    * >90% of lines start with a bullet (- * •),
+    * >30% of lines end with an ellipsis,
+    * stopword fraction < 2% (non-natural-language signal).
+
+    Every threshold is evaluated with exact integer cross-multiplication
+    (``10·bullets > 9·lines``), never float division — the same
+    engine-exactness idiom as quality_score, so the DuckDB oracle
+    matches bit-for-bit. Pure column expressions; no UDF, no shuffle."""
+    text = F.col(text_col)
+    words = F.filter(tokens(text), lambda t: t != F.lit(""))
+    n_words = F.size(words).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    ).cast("long")
+    ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("long")
+    hashes = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("long")
+    dots = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0)).cast("long")
+    en = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(words, lambda t: t.isin(en))).cast("long")
+
+    f_words = (n_words < 10) | (n_words > 100000)
+    f_mwl = (word_chars < 2 * n_words) | (word_chars > 12 * n_words)
+    f_sym = 10 * (hashes + dots) > n_words
+    f_bullet = 10 * bullet > 9 * n_lines
+    f_ell = 10 * ellipsis > 3 * n_lines
+    f_stop = 50 * stop_hits < n_words
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        f_words.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_bullet.alias("flag_bullet_lines"),
+        f_ell.alias("flag_ellipsis_lines"),
+        f_stop.alias("flag_stopword_frac"),
+        (~(f_words | f_mwl | f_sym | f_bullet | f_ell | f_stop)).alias(
+            "gopher_pass"
+        ),
+    )

@@ -599,3 +599,27 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in dedup.connected_components(df).collect()
         }
         assert got == expected, (pairs, got, expected)
+
+
+def test_gopher_flags_adversarial_docs(spark):
+    """Each rule fires on a purpose-built document and stays quiet on a
+    clean one (exact integer thresholds, no float division)."""
+    clean = "the quick brown fox jumps over the lazy dog and runs for cover in the field"
+    rows = [
+        (1, clean),                                      # passes everything
+        (2, "short text"),                               # < 10 words
+        (3, " ".join(["pneumonoultramicroscopic"] * 20)),  # mean word len > 12, no stopwords
+        (4, clean + " " + "#" * 30),                     # symbol ratio
+        (5, "\n".join(["- item " + str(i) for i in range(10)])),  # all bullet lines
+        (6, "\n".join([clean, "truncated line...", "another one...", "and more..."])),
+        (7, " ".join(["zz"] * 60)),                      # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text_stats.gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["flag_word_count"] and not got[2]["gopher_pass"]
+    assert got[3]["flag_mean_word_len"]
+    assert got[4]["flag_symbol_ratio"]
+    assert got[5]["flag_bullet_lines"]
+    assert got[6]["flag_ellipsis_lines"]
+    assert got[7]["flag_stopword_frac"] and not got[7]["gopher_pass"]
