@@ -160,7 +160,12 @@ def extract_transcripts(
     Both run the identical extraction kernel and produce identical rows
     (pinned by tests/test_pipeline.py).
     """
-    df = transcripts
+    # Manual column pruning: Catalyst cannot prune INTO an opaque
+    # mapInArrow/mapInPandas stage, so without this projection every
+    # input column (role, ts, ...) is Arrow-serialized into the Python
+    # worker and straight back out unused. Only the four columns the
+    # kernel reads cross the IPC boundary.
+    df = transcripts.select("conv_id", "turn_idx", "tool", "text")
     if repartition_to:
         # round-robin, not hash: the stage is stateless per turn, so we
         # only want even card counts, never key co-location.
