@@ -400,6 +400,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_flags"] = q_gopher_flags
 
+    def q_dedup_paragraphs(spark, sf):
+        """Within-document repetition removal (planted-data pattern: the
+        fixture corpus has no natural repeats, so a duplicated block is
+        appended deterministically in BOTH the query and the oracle)."""
+        docs = _read(spark, sf, "documents").filter(F.length("text") > 0)
+        planted = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n", "text", F.lit("REPEATED BLOCK"), F.lit("REPEATED BLOCK")
+            ).alias("text"),
+        )
+        return _longify(dedup.dedup_paragraphs(planted))
+
+    q["dedup_paragraphs"] = q_dedup_paragraphs
+
+    def q_pack_units(spark, sf):
+        """Deterministic sequence packing: bucket-sharded greedy packing
+        by running size total (n_chars as the size column), exact
+        integer replay in SQL."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return _longify(
+            sampling.pack_units(docs, token_col="n_chars", budget=4000, n_buckets=16)
+        )
+
+    q["pack_units"] = q_pack_units
+
     _STRATA_BP = {"en": 8000, "de": 5000, "fr": 2500, "es": 1000}
 
     def q_stratified_sample(spark, sf):
@@ -2366,6 +2394,41 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2((tf + 1.0) / (n_tokens + vocab))), 4) as lm_score
             from toks join counts using (tok), scal
             group by doc_id
+        """,
+        "dedup_paragraphs": """
+            with p as (select doc_id,
+                              text || chr(10) || 'REPEATED BLOCK'
+                                   || chr(10) || 'REPEATED BLOCK' as text
+                       from documents where length(text) > 0),
+            parts as (select doc_id, pos, para,
+                             count(*) over (partition by doc_id) as n_parts
+                      from (select doc_id, unnest(range(0, len(ls))) as pos,
+                                   unnest(ls) as para
+                            from (select doc_id,
+                                         string_split(text, chr(10)) as ls
+                                  from p))),
+            first as (select * from (
+                        select *, row_number() over (
+                          partition by doc_id, para order by pos) as rn
+                        from parts)
+                      where rn = 1)
+            select cast(doc_id as bigint) as doc_id,
+                   string_agg(para, chr(10) order by pos) as dedup_text,
+                   cast(max(n_parts) - count(*) as bigint) as n_removed
+            from first group by doc_id
+        """,
+        "pack_units": """
+            with s as (select doc_id, n_chars as tokens,
+                   cast(concat('0x', substr(md5('pack:' || cast(doc_id as varchar)), 1, 8))
+                        as bigint) as h
+                   from documents)
+            select cast(doc_id as bigint) as doc_id,
+                   cast(h % 16 as bigint) as bucket,
+                   cast(floor((sum(tokens) over (partition by h % 16
+                                order by h, doc_id
+                                rows between unbounded preceding and current row)
+                               - tokens) / 4000.0) as bigint) as pack_id
+            from s
         """,
         "gopher_flags": r"""
             with t as (

@@ -362,3 +362,42 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Within-document repetition removal: drop repeated paragraphs
+    (``sep``-delimited blocks), keeping each block's FIRST occurrence,
+    and reassemble the text in original order. The standard cleanup for
+    templated/boilerplate repetition inside a single document.
+
+    One explode + one window over (doc, block-hash) ordered by position
+    + one ordered re-aggregation — entirely per-document partitions, so
+    it scales with the corpus, never across it."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("n_parts", F.count("*").over(Window.partitionBy(id_col)))
+    first = parts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(id_col, F.xxhash64("para")).orderBy("pos")
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("dedup_text"),
+            (F.max("n_parts") - F.count("*")).cast("long").alias("n_removed"),
+        )
+    )

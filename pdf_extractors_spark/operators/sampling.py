@@ -9,7 +9,7 @@ Spark, DuckDB and plain Python, and survives engine swaps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .hashing import md5_bigint
 
@@ -79,3 +79,49 @@ def stratified_sample(
     )
     keep_bp = F.coalesce(frac_map[F.col(strata_col)], F.lit(0))
     return df.filter(bucket < keep_bp)
+
+
+def pack_units(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic budget-aligned sharding for training prep: assign
+    each document to a (bucket, pack) unit by its preceding cumulative
+    token offset — pack ``p`` holds the documents whose offset falls in
+    ``[p·budget, (p+1)·budget)``. Guarantee: within a pack, everything
+    EXCEPT the last document fits the budget (the last may overflow it),
+    so a pack never exceeds ``budget + max_doc_tokens``. Strict
+    ≤-budget bin packing is a sequential fold (running reset), which a
+    window cannot express — when that guarantee is required, run a
+    per-bucket ``applyInPandas`` greedy pass over this same sharding.
+
+    Scale design: a single global running total would serialize on one
+    partition, so documents are first sharded into ``n_buckets`` by the
+    portable hash of the stable id, and offsets accumulate independently
+    per bucket (one window per bucket partition). Order within a bucket
+    is (hash, id) — deterministic under any partitioning/retries. The
+    pack id is ``floor((cumsum - tokens) / budget)``: exact integer
+    math, so the assignment replays identically in SQL."""
+    h = md5_bigint(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(token_col).alias("tokens"),
+        h.alias("h"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    return staged.select(
+        id_col,
+        "bucket",
+        F.floor(
+            (F.sum("tokens").over(w) - F.col("tokens")) / F.lit(budget)
+        ).cast("long").alias("pack_id"),
+    )

@@ -623,3 +623,34 @@ def test_gopher_flags_adversarial_docs(spark):
     assert got[5]["flag_bullet_lines"]
     assert got[6]["flag_ellipsis_lines"]
     assert got[7]["flag_stopword_frac"] and not got[7]["gopher_pass"]
+
+
+def test_dedup_paragraphs_removes_repeats_keeps_order(spark):
+    rows = [
+        (1, "alpha\nbeta\nalpha\ngamma\nbeta"),   # two repeats dropped
+        (2, "one\ntwo\nthree"),                   # nothing to drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dedup_text"], r["n_removed"])
+           for r in dedup.dedup_paragraphs(df).collect()}
+    assert got[1] == ("alpha\nbeta\ngamma", 2)
+    assert got[2] == ("one\ntwo\nthree", 0)
+
+
+def test_pack_units_budget_and_determinism(spark):
+    """Budget-aligned sharding guarantee: within a pack, everything
+    except the largest/last member fits the budget, so no pack exceeds
+    budget + max member; assignment is deterministic."""
+    rows = [(i, 1000) for i in range(40)] + [(100, 9999)]  # one over-budget doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out1 = sampling.pack_units(df, budget=2500, n_buckets=4).collect()
+    out2 = sampling.pack_units(df, budget=2500, n_buckets=4).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    from collections import defaultdict
+    sizes = {d: t for d, t in rows}
+    packs = defaultdict(list)
+    for r in out1:
+        packs[(r["bucket"], r["pack_id"])].append(sizes[r["doc_id"]])
+    assert len(packs) > 1
+    for members in packs.values():
+        assert sum(members) <= 2500 + max(members)
