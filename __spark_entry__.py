@@ -428,6 +428,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_units"] = q_pack_units
 
+    def q_corpus_stats(spark, sf):
+        """Per-language corpus report: counts + exact interpolated
+        length percentiles (Spark `percentile` ≡ DuckDB
+        `quantile_cont`, both linear interpolation)."""
+        docs = _read(spark, sf, "documents")
+        return _longify(
+            docs.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+                F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
+                F.round(F.expr("percentile(n_chars, 0.99)"), 2).alias("p99_chars"),
+                F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+            )
+        )
+
+    q["corpus_stats"] = q_corpus_stats
+
     _STRATA_BP = {"en": 8000, "de": 5000, "fr": 2500, "es": 1000}
 
     def q_stratified_sample(spark, sf):
@@ -2394,6 +2411,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2((tf + 1.0) / (n_tokens + vocab))), 4) as lm_score
             from toks join counts using (tok), scal
             group by doc_id
+        """,
+        "corpus_stats": """
+            select lang, count(*) as n_docs,
+                   round(quantile_cont(n_chars, 0.5), 2) as p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 2) as p90_chars,
+                   round(quantile_cont(n_chars, 0.99), 2) as p99_chars,
+                   round(avg(n_chars), 2) as mean_chars
+            from documents group by lang
         """,
         "dedup_paragraphs": """
             with p as (select doc_id,

@@ -135,3 +135,30 @@ def windowed_conv_stats(transcripts: DataFrame, window: str = "10 minutes", wate
             F.sum(F.length("text")).alias("chars"),
         )
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup across micro-batches: the built-in stateful
+    ``dropDuplicates`` keyed on the portable normalized-text hash — a row
+    whose text was seen in ANY earlier micro-batch is dropped. State is
+    one entry per distinct hash; pass ``watermark_col`` to use
+    ``dropDuplicatesWithinWatermark`` so state expires instead of growing
+    unboundedly (the 100-TB configuration — infinite retention is only
+    for bounded replays)."""
+    from ..operators.dedup import normalize_text
+    from ..operators.hashing import md5_bigint
+
+    hashed = docs.withColumn(
+        "text_hash", md5_bigint(normalize_text(F.col(text_col)))
+    )
+    if watermark_col is not None:
+        return hashed.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["text_hash"])
+    return hashed.dropDuplicates(["text_hash"])

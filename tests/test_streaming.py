@@ -97,3 +97,34 @@ def test_stateful_conversation_snapshots_cross_batch(spark, tmp_path):
     # conv A: 2 turns in batch 1 + 1 in batch 2 → cumulative 3 / 12 chars
     assert best["A"] == (3, 12)
     assert best["B"] == (1, 2)
+
+
+def test_dedup_stream_across_micro_batches(spark, tmp_path):
+    """Rows whose text already appeared in an EARLIER micro-batch are
+    dropped by the stateful dropDuplicates — one survivor per distinct
+    normalized text across the whole stream."""
+    src = str(tmp_path / "docs")
+    rows1 = [(1, "alpha beta gamma"), (2, "unique one")]
+    rows2 = [(3, "ALPHA  beta   gamma"), (4, "unique two")]  # 3 ≡ 1 normalized
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2")
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        es.dedup_stream(sdf)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_stream_t").collect()
+    texts = sorted(r["text_hash"] for r in got)
+    assert len(got) == 3                    # 4 rows in, 1 cross-batch dup out
+    assert len(set(texts)) == 3             # one survivor per distinct text
