@@ -91,12 +91,21 @@ def _longify(df: DataFrame) -> DataFrame:
 _TRANSCRIPT_CONVS = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 1500}
 
 
-def _transcripts_path(sf_dir: str) -> str:
+def _transcripts_spec(sf_dir: str) -> tuple[str, int]:
+    """(cache path, n_convs) for a tier — single source of truth for the
+    tier→size mapping and the cache-path scheme."""
     from pdf_extractors_spark.fixtures.payloads import FIXTURE_VERSION
 
     name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
     n_convs = _TRANSCRIPT_CONVS.get(name, 150)
-    return f"/tmp/spark_graft_transcripts_{name}_{n_convs}_v{FIXTURE_VERSION}"
+    return (
+        f"/tmp/spark_graft_transcripts_{name}_{n_convs}_v{FIXTURE_VERSION}",
+        n_convs,
+    )
+
+
+def _transcripts_path(sf_dir: str) -> str:
+    return _transcripts_spec(sf_dir)[0]
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,9 +114,7 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_extractors_spark.fixtures import gen
 
     _ship_package(spark)
-    name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
-    n_convs = _TRANSCRIPT_CONVS.get(name, 150)
-    path = _transcripts_path(sf_dir)
+    path, n_convs = _transcripts_spec(sf_dir)
     gen.materialize(spark, path, n_convs=n_convs, max_turns=200)
     return spark.read.parquet(path)
 
@@ -382,8 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_lm_score(spark, sf):
         """Unigram-LM quality scoring (CCNet-style, corpus-own model):
-        mean log2 token probability under the add-one-smoothed corpus
-        unigram distribution."""
+        per-token floor-bit surprisal under the add-one-smoothed corpus
+        unigram distribution — integer-exact, no float log anywhere."""
         from pdf_extractors_spark.operators import text_stats
 
         docs = _read(spark, sf, "documents")
@@ -1142,6 +1149,47 @@ def _minhash_mins(k: int) -> str:
         f"min(({a} * hb + {b}) % {_MINHASH_P}) as h{i}"
         for i, (a, b) in enumerate(_affine_perms(k))
     )
+
+
+_SHINGLE3_SQL = (
+    "case when len(w) >= 3 then "
+    "list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> array_to_string(w[i:i+2], ' '))) "
+    "else [] end"
+)
+
+
+def _lsh_pairs_ctes() -> str:
+    """Shared minhash/banding CTE chain ending in ``pairs`` (id_a <
+    id_b) — used verbatim by BOTH the minhash_lsh_candidates oracle and
+    the dedup_clusters oracle, so the two can never silently validate
+    against different candidate graphs."""
+    return f"""t as (select doc_id, string_split({_NORM_SQL}, ' ') as w
+                                 from documents),
+            sh as (select doc_id, unnest({_SHINGLE3_SQL}) as shingle from t),
+            hb as (select doc_id,
+                          cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
+                            % {_MINHASH_P} as hb
+                   from sh),
+            sig as (
+              select doc_id, {_minhash_mins(8)}
+              from hb group by doc_id
+            ),
+            banded as (
+              select doc_id, b.band,
+                     case b.band
+                       when 0 then concat(cast(h0 as varchar), ',', cast(h1 as varchar))
+                       when 1 then concat(cast(h2 as varchar), ',', cast(h3 as varchar))
+                       when 2 then concat(cast(h4 as varchar), ',', cast(h5 as varchar))
+                       else concat(cast(h6 as varchar), ',', cast(h7 as varchar))
+                     end as key
+              from sig, (values (0),(1),(2),(3)) b(band)
+            ),
+            pairs as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from banded a join banded b using (band, key)
+              where a.doc_id < b.doc_id
+            )"""
 
 
 def _form_widget_ctes(tp: str) -> str:
@@ -2210,12 +2258,7 @@ def oracle_sql() -> dict[str, str]:
     norm = _NORM_SQL
     # documents with fewer than n tokens yield ZERO shingles (matches
     # dedup.shingles; a truncated last gram would be a phantom shingle)
-    shingle3 = (
-        "case when len(w) >= 3 then "
-        "list_distinct(list_transform(range(1, len(w) - 1), "
-        "i -> array_to_string(w[i:i+2], ' '))) "
-        "else [] end"
-    )
+    shingle3 = _SHINGLE3_SQL
 
     oracles = {
         "boilerplate_filter": """
@@ -2330,29 +2373,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql(),
         "minhash_lsh_candidates": f"""
-            with t as (select doc_id, string_split({norm}, ' ') as w from documents),
-            sh as (select doc_id, unnest({shingle3}) as shingle from t),
-            hb as (select doc_id,
-                          cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
-                            % {_MINHASH_P} as hb
-                   from sh),
-            sig as (
-              select doc_id, {_minhash_mins(8)}
-              from hb group by doc_id
-            ),
-            banded as (
-              select doc_id, b.band,
-                     case b.band
-                       when 0 then concat(cast(h0 as varchar), ',', cast(h1 as varchar))
-                       when 1 then concat(cast(h2 as varchar), ',', cast(h3 as varchar))
-                       when 2 then concat(cast(h4 as varchar), ',', cast(h5 as varchar))
-                       else concat(cast(h6 as varchar), ',', cast(h7 as varchar))
-                     end as key
-              from sig, (values (0),(1),(2),(3)) b(band)
-            )
-            select distinct a.doc_id as id_a, b.doc_id as id_b
-            from banded a join banded b using (band, key)
-            where a.doc_id < b.doc_id
+            with {_lsh_pairs_ctes()}
+            select id_a, id_b from pairs
         """,
         # connected components: recursive reachability (node, comp) over
         # the symmetric closure of the SAME candidate-pair SQL as
@@ -2360,32 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         # component — exactly the fixpoint the Spark label propagation
         # converges to
         "dedup_clusters": f"""
-            with recursive t as (select doc_id, string_split({norm}, ' ') as w
-                                 from documents),
-            sh as (select doc_id, unnest({shingle3}) as shingle from t),
-            hb as (select doc_id,
-                          cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
-                            % {_MINHASH_P} as hb
-                   from sh),
-            sig as (
-              select doc_id, {_minhash_mins(8)}
-              from hb group by doc_id
-            ),
-            banded as (
-              select doc_id, b.band,
-                     case b.band
-                       when 0 then concat(cast(h0 as varchar), ',', cast(h1 as varchar))
-                       when 1 then concat(cast(h2 as varchar), ',', cast(h3 as varchar))
-                       when 2 then concat(cast(h4 as varchar), ',', cast(h5 as varchar))
-                       else concat(cast(h6 as varchar), ',', cast(h7 as varchar))
-                     end as key
-              from sig, (values (0),(1),(2),(3)) b(band)
-            ),
-            pairs as (
-              select distinct a.doc_id as id_a, b.doc_id as id_b
-              from banded a join banded b using (band, key)
-              where a.doc_id < b.doc_id
-            ),
+            with recursive {_lsh_pairs_ctes()},
             e as (select id_a as a, id_b as b from pairs
                   union select id_b, id_a from pairs),
             reach as (
@@ -2406,11 +2403,22 @@ def oracle_sql() -> dict[str, str]:
               where tok <> ''
             ),
             counts as (select tok, count(*) as tf from toks group by tok),
-            scal as (select sum(tf) as n_tokens, count(*) as vocab from counts)
-            select doc_id,
-                   round(avg(log2((tf + 1.0) / (n_tokens + vocab))), 4) as lm_score
-            from toks join counts using (tok), scal
-            group by doc_id
+            scal as (select cast(sum(tf) as bigint) as corpus_tokens,
+                            cast(count(*) as bigint) as vocab from counts),
+            scored as (
+              select doc_id,
+                     cast(count(*) as bigint) as n_tokens,
+                     cast(sum(length(bin((corpus_tokens + vocab) // (tf + 1))) - 1)
+                          as bigint) as total_bits
+              from toks join counts using (tok), scal
+              group by doc_id)
+            select d.doc_id,
+                   coalesce(s.n_tokens, 0) as n_tokens,
+                   coalesce(s.total_bits, 0) as total_bits,
+                   coalesce(cast((2 * 10000 * s.total_bits + s.n_tokens)
+                                 // (2 * s.n_tokens) as bigint), 0) as mean_bits_bp
+            from (select doc_id from documents) d
+            left join scored s using (doc_id)
         """,
         "corpus_stats": """
             select lang, count(*) as n_docs,
@@ -2449,10 +2457,10 @@ def oracle_sql() -> dict[str, str]:
                    from documents)
             select cast(doc_id as bigint) as doc_id,
                    cast(h % 16 as bigint) as bucket,
-                   cast(floor((sum(tokens) over (partition by h % 16
+                   cast((sum(tokens) over (partition by h % 16
                                 order by h, doc_id
                                 rows between unbounded preceding and current row)
-                               - tokens) / 4000.0) as bigint) as pack_id
+                               - tokens) // 4000 as bigint) as pack_id
             from s
         """,
         "gopher_flags": r"""

@@ -166,46 +166,52 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(
-                labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("bcomp").alias("ncomp"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+    try:
+        labels = (
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("comp").alias("bcomp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("bcomp").alias("ncomp"))
+            )
+            new_labels = (
+                labels.join(neigh, labels["node"] == neigh["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            # drop the previous round's checkpoint blocks — otherwise up
+            # to max_iter label snapshots pile up in executor storage
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
         )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    edges.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(component diameter exceeds max_iter)"
-    )
+    finally:
+        edges.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -376,9 +382,13 @@ def dedup_paragraphs(
     One explode + one window over (doc, block-hash) ordered by position
     + one ordered re-aggregation — entirely per-document partitions, so
     it scales with the corpus, never across it."""
+    # F.split takes a Java REGEX while array_join re-joins the literal
+    # separator — quote the separator (\Q..\E) so both agree for any sep
     parts = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+        ).alias("pos", "para"),
     ).withColumn("n_parts", F.count("*").over(Window.partitionBy(id_col)))
     first = parts.withColumn(
         "rn",

@@ -118,10 +118,15 @@ def pack_units(
         h.alias("h"),
         F.pmod(h, F.lit(n_buckets)).alias("bucket"),
     )
+    cum = F.sum("tokens").over(w) - F.col("tokens")
     return staged.select(
         id_col,
         "bucket",
-        F.floor(
-            (F.sum("tokens").over(w) - F.col("tokens")) / F.lit(budget)
-        ).cast("long").alias("pack_id"),
+        # integer floor-division, not double `/`: past 2^53 cumulative
+        # tokens a double is inexact and floor() could misassign a pack
+        cum.alias("_off"),
+    ).select(
+        id_col,
+        "bucket",
+        F.expr(f"_off div {int(budget)}").cast("long").alias("pack_id"),
     )

@@ -209,38 +209,66 @@ def fingerprint(
 def unigram_lm_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """CCNet-style LM quality signal with no external model: the mean
-    log2 probability of each document's tokens under the corpus's OWN
-    add-one-smoothed unigram distribution. Very low scores flag
-    gibberish / rare-token documents; very high scores flag repetitive
-    boilerplate — the two tails a training-data filter trims.
+    """CCNet-style LM quality signal with no external model: per-token
+    surprisal under the corpus's OWN add-one-smoothed unigram
+    distribution, in integer floor-bits —
+    ``floor(log2((N+V)/(tf+1))) = bit_length((N+V) div (tf+1)) - 1``,
+    computed exactly via binary-string length (no float log anywhere:
+    float log2 + double summation rounds differently across engines and
+    partition orders — the exact flake class quality_score's integer
+    basis points were introduced to kill). High mean surprisal flags
+    gibberish / rare-token documents; very low flags repetitive
+    boilerplate.
+
+    Output per document: ``n_tokens``, ``total_bits`` (exact sum),
+    ``mean_bits_bp`` (half-up integer basis points). Documents with no
+    tokens are PRESERVED with zeros (left join back to the input), not
+    silently dropped.
 
     Plan: one explode, token counts via map-side-combined groupBy, the
     corpus totals as a 1-row aggregate broadcast back in (no driver
-    collect), then tokens ⋈ counts on the token key (the counts side
-    comes out of the same exchange) and a per-document average. Two
-    exchanges total; no UDF; replayable in ANSI SQL."""
+    collect), tokens ⋈ counts on the token key, per-document sum, left
+    join to the id set. No UDF; replayable in ANSI SQL."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     scalars = counts.agg(
-        F.sum("tf").alias("n_tokens"), F.count("*").alias("vocab")
+        F.sum("tf").alias("corpus_tokens"), F.count("*").alias("vocab")
     )
-    return (
+    bits = (
+        F.length(
+            F.conv(
+                F.expr("(corpus_tokens + vocab) div (tf + 1)").cast("string"),
+                10,
+                2,
+            )
+        )
+        - 1
+    ).cast("long")
+    scored = (
         toks.join(counts, "tok")
         .crossJoin(F.broadcast(scalars))
         .groupBy(id_col)
         .agg(
-            F.round(
-                F.avg(
-                    F.log2(
-                        (F.col("tf") + F.lit(1.0))
-                        / (F.col("n_tokens") + F.col("vocab"))
-                    )
-                ),
-                4,
-            ).alias("lm_score")
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(bits).alias("total_bits"),
+        )
+        .withColumn(
+            "mean_bits_bp",
+            F.expr(
+                "(2 * 10000 * total_bits + n_tokens) div (2 * n_tokens)"
+            ).cast("long"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("total_bits", F.lit(0)).cast("long").alias("total_bits"),
+            F.coalesce("mean_bits_bp", F.lit(0)).cast("long").alias("mean_bits_bp"),
         )
     )
 

@@ -47,12 +47,12 @@ def read_transcript_stream(spark: SparkSession, input_dir: str, max_files_per_tr
 
 
 def extract_stream(transcripts: DataFrame) -> DataFrame:
-    """The batch extraction kernel, applied to a streaming DataFrame —
-    mapInPandas is supported in append-mode streams because it is
-    stateless."""
-    return transcripts.mapInPandas(
-        pipeline._extract_batches, schema=pipeline.EXTRACTED_SCHEMA
-    )
+    """The batch extraction stage, applied to a streaming DataFrame —
+    the select + mapInArrow plan is stateless, so it is stream-safe
+    unchanged. Reusing pipeline.extract_transcripts keeps the two paths
+    from drifting (and gets its manual column pruning for free: Catalyst
+    cannot prune into the opaque Arrow stage on streams either)."""
+    return pipeline.extract_transcripts(transcripts)
 
 
 def start_extraction(
@@ -152,10 +152,13 @@ def dedup_stream(
     unboundedly (the 100-TB configuration — infinite retention is only
     for bounded replays)."""
     from ..operators.dedup import normalize_text
-    from ..operators.hashing import md5_bigint
 
+    # full 128-bit md5, not the portable 32-bit bigint: dedup keyed on a
+    # 32-bit hash silently drops distinct documents on collision (~50%
+    # chance of one by 77k docs). The 32-bit form exists only so DuckDB
+    # oracles can replay values; streaming state has no such constraint.
     hashed = docs.withColumn(
-        "text_hash", md5_bigint(normalize_text(F.col(text_col)))
+        "text_hash", F.md5(normalize_text(F.col(text_col)))
     )
     if watermark_col is not None:
         return hashed.withWatermark(

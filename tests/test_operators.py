@@ -527,22 +527,24 @@ def test_connected_components_raises_on_max_iter(spark):
         dedup.connected_components(df, max_iter=1)
 
 
-def test_unigram_lm_score_orders_common_vs_rare(spark):
-    """Documents made of corpus-common tokens score higher (less
-    negative) than documents of hapax tokens; exact value checked on a
-    hand-computable corpus."""
+def test_unigram_lm_score_surprisal_orders_common_vs_rare(spark):
+    """Rare-token documents carry higher mean floor-bit surprisal than
+    corpus-common ones; exact integer values on a hand-computable
+    corpus, and zero-token documents are preserved with zeros."""
     rows = [
         (1, "a a a a"),        # 'a' tf=4 of 6 tokens
-        (2, "b zz"),           # rare tokens
+        (2, "b zz"),           # hapax tokens
+        (3, ""),               # no tokens at all
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r["lm_score"] for r in text_stats.unigram_lm_score(df).collect()}
-    # corpus: tf(a)=4, tf(b)=1, tf(zz)=1; N=6, V=3
-    import math
-    exp1 = round(math.log2((4 + 1.0) / 9), 4)
-    exp2 = round((math.log2(2 / 9) + math.log2(2 / 9)) / 2, 4)
-    assert got == {1: exp1, 2: exp2}
-    assert got[1] > got[2]
+    got = {r["doc_id"]: (r["n_tokens"], r["total_bits"], r["mean_bits_bp"])
+           for r in text_stats.unigram_lm_score(df).collect()}
+    # corpus: tf(a)=4, tf(b)=tf(zz)=1; N=6, V=3, N+V=9
+    # 'a': floor(log2(9/5)) = 0; 'b'/'zz': floor(log2(9/2)) = 2
+    assert got[1] == (4, 0, 0)
+    assert got[2] == (2, 4, 20000)
+    assert got[3] == (0, 0, 0)
+    assert got[2][2] > got[1][2]
 
 
 def test_stratified_sample_deterministic_and_proportional(spark, documents):
