@@ -387,6 +387,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = q_dedup_clusters
 
+    def q_neardup_keep(spark, sf):
+        """The near-dup keep-list a pipeline actually consumes: drop
+        every clustered document except its representative (the cluster
+        min id); unclustered documents pass through. Anti-join against
+        the non-representative set — the big side streams, the dropped
+        set is ids only."""
+        docs = _read(spark, sf, "documents")
+        sigs = dedup.minhash_signatures(_spread(docs), k=8)
+        pairs = dedup.lsh_candidates(sigs, bands=4, rows=2)
+        comp = dedup.connected_components(pairs)
+        drop = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("doc_id")
+        )
+        return _longify(
+            docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
+        )
+
+    q["neardup_keep"] = q_neardup_keep
+
     def q_lm_score(spark, sf):
         """Unigram-LM quality scoring (CCNet-style, corpus-own model):
         per-token floor-bit surprisal under the add-one-smoothed corpus
@@ -2393,6 +2412,21 @@ def oracle_sql() -> dict[str, str]:
             select cast(node as bigint) as doc_id,
                    cast(min(comp) as bigint) as cluster_id
             from reach group by node
+        """,
+        "neardup_keep": f"""
+            with recursive {_lsh_pairs_ctes()},
+            e as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+            reach as (
+              select a as node, a as comp from e
+              union
+              select e.b, r.comp from reach r join e on e.a = r.node
+            ),
+            drop_ids as (select node from reach
+                         group by node having node <> min(comp))
+            select cast(doc_id as bigint) as doc_id, lang
+            from documents
+            where doc_id not in (select node from drop_ids)
         """,
         "lm_score": r"""
             with toks as (
