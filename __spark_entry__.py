@@ -426,6 +426,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_flags"] = q_gopher_flags
 
+    def q_compression_ratio(spark, sf):
+        """zlib compressibility in basis points — the canonical scalar
+        pandas_udf (zlib has no SQL form; rows-only in the driver gate,
+        exact-integer pinned against python zlib in pytest)."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.compression_ratio(_spread(_read(spark, sf, "documents")))
+
+    q["compression_ratio"] = q_compression_ratio
+
     def q_dedup_paragraphs(spark, sf):
         """Within-document repetition removal (planted-data pattern: the
         fixture corpus has no natural repeats, so a duplicated block is

@@ -5,6 +5,7 @@ codegen, no UDF — and all replayable in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .hashing import md5_bigint
@@ -335,4 +336,39 @@ def gopher_quality_flags(
         (~(f_words | f_mwl | f_sym | f_bullet | f_ell | f_stop)).alias(
             "gopher_pass"
         ),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """zlib-compressibility signal: deflate(level 6) bytes over utf-8
+    bytes, in half-up integer basis points. Very low ratios flag
+    repetitive/templated text; ratios near (or above) 10000 flag
+    high-entropy gibberish — the Gopher-style compressibility filter.
+
+    zlib is not expressible in SQL, so this is the engine's canonical
+    scalar pandas_udf: Arrow-batched, vectorized over the batch, exact
+    integer outputs (deflate level 6 is deterministic), so results are
+    engine- and partition-independent even without a SQL oracle (pinned
+    by pytest against the same zlib directly)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ratio_bp(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 0
+            comp = len(zlib.compress(raw, 6))
+            return (2 * 10000 * comp + len(raw)) // (2 * len(raw))
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col), _ratio_bp(F.col(text_col)).alias("compress_bp")
     )

@@ -656,3 +656,25 @@ def test_pack_units_budget_and_determinism(spark):
     assert len(packs) > 1
     for members in packs.values():
         assert sum(members) <= 2500 + max(members)
+
+
+def test_compression_ratio_matches_zlib_and_orders(spark):
+    import zlib
+
+    rows = [
+        (1, "abc " * 200),            # highly repetitive → low ratio
+        (2, "The quick brown fox jumps over the lazy dog near the river bank."),
+        (3, ""),                      # empty → 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compress_bp"] for r in text_stats.compression_ratio(df).collect()}
+
+    def bp(t):
+        raw = t.encode()
+        if not raw:
+            return 0
+        c = len(zlib.compress(raw, 6))
+        return (2 * 10000 * c + len(raw)) // (2 * len(raw))
+
+    assert got == {d: bp(t) for d, t in rows}
+    assert got[1] < got[2]
