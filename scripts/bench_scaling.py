@@ -143,7 +143,10 @@ def main() -> int:
         for line in open(attempts_path)
         if line.strip() and "host_quality" in line
     ]
-    best = max(attempts, key=lambda a: a["host_quality"])
+    # attempts annotated invalid (e.g. known concurrent load from the
+    # same session between the host checks) are shown but never selected
+    valid = [a for a in attempts if not a.get("invalid")]
+    best = max(valid or attempts, key=lambda a: a["host_quality"])
     report = dict(best)
     report["gate"] = ">=0.8"
     report["pass"] = best["scaling_efficiency"] >= 0.8
@@ -160,7 +163,8 @@ def main() -> int:
     host_retention = best["host_retention_pre"]
     attempts_md = "\n".join(
         f"| {a['ts']} | {a['scaling_efficiency']} | {a['host_retention_pre']}"
-        f" / {a['host_retention_post']} | {a['host_quality']} |"
+        f" / {a['host_retention_post']} | {a['host_quality']}"
+        f"{' — INVALID: ' + a['invalid'] if a.get('invalid') else ''} |"
         for a in sorted(attempts, key=lambda a: a["ts"])
     )
 
