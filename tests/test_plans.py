@@ -154,3 +154,65 @@ def test_window_fill_down_single_shuffle(spark, small_transcripts, tmp_path):
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Window" in plan
+
+
+def test_stratified_sample_is_pure_pushdown_filter(spark, tmp_path):
+    """The sample predicate is a pure filter — no Exchange anywhere, and
+    the scan's ReadSchema stays pruned to the selected columns."""
+    from pdf_extractors_spark.operators import sampling
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "t", "en"), (2, "u", "de")], "doc_id long, text string, lang string"
+    ).write.parquet(path)
+    df = sampling.stratified_sample(
+        spark.read.parquet(path), {"en": 5000}, strata_col="lang"
+    ).select("doc_id", "lang")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_pack_units_single_bucket_exchange(spark):
+    """Packing shuffles once on the bucket key (the window partition) —
+    a global window would show a single-partition Exchange instead."""
+    from pdf_extractors_spark.operators import sampling
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    plan = _plan(sampling.pack_units(df, budget=10, n_buckets=8))
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(bucket" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_lm_score_no_cartesian_and_broadcast_scalars(spark):
+    """The corpus totals ride as a broadcast nested loop over ONE row
+    (the only acceptable 'cartesian' — its right side is a 1-row
+    aggregate); the token⋈counts join is an equi-join, never a
+    cross product of row-bearing sides."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d")], "doc_id long, text string"
+    )
+    plan = _plan(text_stats.unigram_lm_score(df))
+    assert "CartesianProduct" not in plan
+    # the scalars side joins via BroadcastNestedLoopJoin over 1 row
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_paragraphs_partitions_by_document(spark):
+    """All wide operations key on the document id — repetition removal
+    never shuffles across documents."""
+    from pdf_extractors_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "x\ny")], "doc_id long, text string"
+    )
+    plan = _plan(dedup.dedup_paragraphs(df))
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "doc_id" in line, line
