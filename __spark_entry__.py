@@ -481,6 +481,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_stats"] = q_corpus_stats
 
+    def q_domain_counts(spark, sf):
+        """Per-domain URL extraction + rollup (the provenance/blocklist
+        staple of web-scale pipelines): one regexp_extract_all + explode
+        + count, all codegen. Planted-data pattern: fixture documents
+        carry no URLs, so deterministic URLs are appended in BOTH the
+        query and the oracle."""
+        docs = _read(spark, sf, "documents")
+        planted = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    "text",
+                    F.lit(" https://site-"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.org/page and http://mirror.example.net/x"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return _longify(
+            planted.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        "text", F.lit(r"https?://([A-Za-z0-9.-]+)"), 1
+                    )
+                ).alias("domain")
+            )
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_urls"))
+        )
+
+    q["domain_counts"] = q_domain_counts
+
     _STRATA_BP = {"en": 8000, "de": 5000, "fr": 2500, "es": 1000}
 
     def q_stratified_sample(spark, sf):
@@ -2463,6 +2496,18 @@ def oracle_sql() -> dict[str, str]:
                                  // (2 * s.n_tokens) as bigint), 0) as mean_bits_bp
             from (select doc_id from documents) d
             left join scored s using (doc_id)
+        """,
+        "domain_counts": r"""
+            select domain, count(*) as n_urls
+            from (select unnest(regexp_extract_all(
+                           case when doc_id % 10 = 0
+                                then text || ' https://site-'
+                                     || cast(doc_id % 7 as varchar)
+                                     || '.example.org/page and http://mirror.example.net/x'
+                                else text end,
+                           'https?://([A-Za-z0-9.-]+)', 1)) as domain
+                  from documents)
+            group by domain
         """,
         "corpus_stats": """
             select lang, count(*) as n_docs,
