@@ -161,6 +161,9 @@ def main() -> int:
     tps_lo, tps_hi = best["turns_per_sec_at_n"], best["turns_per_sec_at_4n"]
     host = best["host_per_core_rate"]
     host_retention = best["host_retention_pre"]
+    # the md must describe the SELECTED attempt's geometry, which may
+    # differ from this invocation's N (attempts at several N coexist)
+    n, four_n = best["n_cores"], best["four_n_cores"]
     attempts_md = "\n".join(
         f"| {a['ts']} | {a['scaling_efficiency']} | {a['host_retention_pre']}"
         f" / {a['host_retention_post']} | {a['host_quality']}"
