@@ -162,8 +162,11 @@ def main() -> int:
     host = best["host_per_core_rate"]
     host_retention = best["host_retention_pre"]
     # the md must describe the SELECTED attempt's geometry, which may
-    # differ from this invocation's N (attempts at several N coexist)
+    # differ from this invocation's N (attempts at several N coexist) —
+    # including its pins; REPLICATE is derivable from the attempt's turns
     n, four_n = best["n_cores"], best["four_n_cores"]
+    pin_lo = best["pinned_cores"]["n"]
+    pin_hi = best["pinned_cores"]["4n"]
     attempts_md = "\n".join(
         f"| {a['ts']} | {a['scaling_efficiency']} | {a['host_retention_pre']}"
         f" / {a['host_retention_post']} | {a['host_quality']}"
@@ -227,7 +230,7 @@ shared-core contention).
 
 * input: cached 256-file synthetic transcripts parquet (one file = one
   split; files hash-balanced at turn granularity so power-law conversation
-  lengths cannot skew splits), replicated {REPLICATE}× via a narrow
+  lengths cannot skew splits), replicated to {report["turns"]} turns via a narrow
   explode — ~90 s of work at N so Spark's fixed per-job costs (planning,
   scheduling, final collect) vanish from the ratio; at 8× (~20 s jobs)
   those constants alone deflated measured efficiency to 0.70-0.75;

@@ -213,6 +213,8 @@ def test_dedup_paragraphs_partitions_by_document(spark):
         [(1, "a\nb\na"), (2, "x\ny")], "doc_id long, text string"
     )
     plan = _plan(dedup.dedup_paragraphs(df))
-    for line in plan.splitlines():
-        if "hashpartitioning" in line:
-            assert "doc_id" in line, line
+    assert "SinglePartition" not in plan  # a global window would funnel
+    hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_lines  # the per-document shuffle must actually exist
+    for line in hash_lines:
+        assert "doc_id" in line, line
