@@ -187,3 +187,23 @@ def test_arrow_batch_size_invariance(spark, small_transcripts):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", orig)
     assert small == big
+
+
+def test_records_serialization_orjson_stdlib_parity():
+    """dumps_records must produce identical bytes with and without
+    orjson (the driver environment may lack it): sorted keys, compact
+    separators, unescaped UTF-8, nested lists/dicts/None/ints."""
+    from pdf_extractors_spark.extractors import dispatch
+
+    records = [
+        {"b": 1, "a": None, "z": ["x", {"k": "v", "a": 2}], "u": "héllo §"},
+        {"nested": {"q": [1, 2, 3], "s": 'quote " and \\ backslash'}},
+    ]
+    with_orjson = dispatch.dumps_records(records)
+    saved = dispatch._orjson
+    try:
+        dispatch._orjson = None
+        stdlib = dispatch.dumps_records(records)
+    finally:
+        dispatch._orjson = saved
+    assert with_orjson == stdlib
