@@ -558,6 +558,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_extracted_text"] = q_stream_extracted_text
 
+    def q_stream_windowed_stats(spark, sf):
+        """Streaming windowed rollup, value-checked: 10-minute event-time
+        windows × conv_id over the transcript stream, complete-mode
+        memory sink under availableNow (append mode would drop the tail
+        windows of a bounded replay — the watermark never passes them).
+        The oracle is a plain epoch-bucketed GROUP BY."""
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        _transcripts(spark, "sf0.01")
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_winstats_{_STREAM_COUNTER[0]}"
+        sdf = es.read_transcript_stream(spark, _transcripts_path("sf0.01"))
+        agg = (
+            sdf.groupBy(F.window("ts", "10 minutes"), F.col("conv_id"))
+            .agg(
+                F.count("*").alias("turns"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return _longify(
+            spark.table(qn).select(
+                F.col("window.start").alias("w_start"),
+                F.col("window.end").alias("w_end"),
+                "conv_id",
+                "turns",
+                F.col("chars").cast("long").alias("chars"),
+            )
+        )
+
+    q["stream_windowed_stats"] = q_stream_windowed_stats
+
     # ---------------------- similarity family ---------------------------
 
     def q_cosine_topk(spark, sf):
@@ -2859,6 +2898,17 @@ def oracle_sql() -> dict[str, str]:
                 "census_persons_flat": _persons_sql(tp),
                 "extracted_text_flat": _extracted_text_sql(tp),
                 "stream_extracted_text": _extracted_text_sql(tp),
+                "stream_windowed_stats": f"""
+                    select make_timestamp(cast(floor(epoch(ts) / 600) * 600
+                                               as bigint) * 1000000) as w_start,
+                           make_timestamp(cast(floor(epoch(ts) / 600) * 600 + 600
+                                               as bigint) * 1000000) as w_end,
+                           conv_id,
+                           cast(count(*) as bigint) as turns,
+                           cast(sum(length(text)) as bigint) as chars
+                    from read_parquet('{tp}')
+                    group by 1, 2, 3
+                """,
                 "conv_stats_salted": _conv_stats_sql(tp),
                 "html_main_flat": _html_main_sql(tp),
                 "html_spans_flat": _html_spans_sql(tp),
