@@ -188,6 +188,93 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 
+# The driver's correctness gate records exactly the FIRST 50 registry
+# entries, so insertion order is part of the contract (round 2 learned
+# this the hard way: 12 mid-registry insertions evicted the 18 deepest
+# value checks from CORRECTNESS_r02). This list IS the gate window —
+# every entry has a full DuckDB value oracle; deepest checks first.
+# queries() reorders its registry to this list and appends the rest.
+_GATE_WINDOW = 50
+_GATE_ORDER = [
+    # extraction flats — the engine's deepest value checks (all 8
+    # families' extracted text/records/persons re-derived in SQL; they
+    # share one cached extraction run via _extracted_pinned)
+    "extracted_text_flat",
+    "census_persons_flat",
+    "census_wide_flat",
+    "catalog_records_flat",
+    "invoice_records_flat",
+    "coord_rows_flat",
+    "ruled_rows_flat",
+    "fixedwidth_items_flat",
+    "html_main_flat",
+    "html_spans_flat",
+    "form_widgets_flat",
+    "form_questions_flat",
+    "conv_stats_salted",
+    "conv_stitch",
+    "csv_export",
+    # streaming surfaces (batch parity, same oracles)
+    "stream_extracted_text",
+    "stream_windowed_stats",
+    "stream_dedup",
+    # joins / sessionization / aggregation
+    "asof_join",
+    "range_join_counts",
+    "salted_user_stats",
+    "time_rollup",
+    "pricing_summary",
+    "sessionize",
+    "regex_field_extract",
+    "multimodal_features",
+    # dedup family
+    "exact_dedup",
+    "dedup_keep",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "dedup_clusters",
+    "neardup_keep",
+    "ngram_jaccard",
+    "simhash",
+    "dedup_paragraphs",
+    "decontaminate",
+    # similarity search
+    "ivf_ann_topk",
+    "embedding_neardup",
+    # text analysis / scoring
+    "lm_score",
+    "gopher_flags",
+    "lang_id",
+    "repetition_score",
+    "vocab_topk",
+    "fingerprint",
+    "pii_scrub",
+    "corpus_stats",
+    "domain_counts",
+    # sampling / packing
+    "train_split_counts",
+    "stratified_sample",
+    "pack_units",
+]
+
+# Past the window (still registered; value-checked locally per replay by
+# scripts/check_oracles.py where an oracle exists):
+#   extract_* unified-row twins (8) — rows-only by design; their value
+#     checks ARE the *_flat queries in the window
+#   compression_ratio — zlib is not SQL-expressible (exact-integer
+#     outputs pinned vs zlib directly in pytest)
+#   cosine_topk — the labeled O(N·Q) brute-force baseline; ivf_ann_topk
+#     is the gated top-k value check
+#   smoke checks whose operator has a deeper value-checked cover in the
+#   window: boilerplate_filter→html_main_flat, whitespace_norm→
+#   ruled_rows_flat/extracted_text_flat, explode_lines→the flats'
+#   line explosion, forward_fill→invoice_records_flat (M7/M8 carry),
+#   group_count→pricing_summary/domain_counts, union_all→
+#   extracted_text_flat (8-family union), broadcast_join→decontaminate
+#   (broadcast dim) + pricing_summary, token_count→lm_score/gopher_flags
+#   tokenization, quality_score→gopher_flags
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -596,6 +683,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_windowed_stats"] = q_stream_windowed_stats
+
+    def q_stream_dedup(spark, sf):
+        """Streaming exact dedup parity, value-checked: dedup_stream
+        (stateful dropDuplicates keyed on the full md5 of normalized
+        text, streaming/extract_stream.py) replayed over the pinned
+        transcript file stream must surface exactly the batch-distinct
+        key set — oracled by a plain DISTINCT md5 in DuckDB. The output
+        is the surviving KEY set (one row per distinct hash): WHICH row
+        survives a collision is first-seen and scheduler-dependent, the
+        set of keys is not."""
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        _transcripts(spark, "sf0.01")
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_dedup_{_STREAM_COUNTER[0]}"
+        deduped = es.dedup_stream(
+            es.read_transcript_stream(spark, _transcripts_path("sf0.01"))
+        )
+        query = (
+            deduped.select("text_hash")
+            .writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(qn).select("text_hash")
+
+    q["stream_dedup"] = q_stream_dedup
 
     # ---------------------- similarity family ---------------------------
 
@@ -1229,7 +1345,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = q_multimodal
 
-    return q
+    # reorder to the gate-window contract (see _GATE_ORDER above): the
+    # driver records the first _GATE_WINDOW entries, so the value-oracled
+    # queries go first; everything else keeps its relative order after
+    missing = [n for n in _GATE_ORDER if n not in q]
+    assert not missing, f"_GATE_ORDER names absent from registry: {missing}"
+    assert len(_GATE_ORDER) == _GATE_WINDOW, len(_GATE_ORDER)
+    ordered = {name: q[name] for name in _GATE_ORDER}
+    for name, fn in q.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 # -------------------------------------------------------------- oracles
@@ -2898,6 +3024,15 @@ def oracle_sql() -> dict[str, str]:
                 "census_persons_flat": _persons_sql(tp),
                 "extracted_text_flat": _extracted_text_sql(tp),
                 "stream_extracted_text": _extracted_text_sql(tp),
+                # the streaming dedup's surviving key set ≡ batch DISTINCT
+                # of the same normalized-text md5 (null text → '' class,
+                # matching dedup_stream's coalesce-before-hash)
+                "stream_dedup": f"""
+                    select distinct md5(coalesce(
+                             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             '')) as text_hash
+                    from read_parquet('{tp}')
+                """,
                 "stream_windowed_stats": f"""
                     select make_timestamp(cast(floor(epoch(ts) / 600) * 600
                                                as bigint) * 1000000) as w_start,

@@ -27,6 +27,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .hashing import MINHASH_PRIME, affine_perms, md5_bigint
 
 
+def _regex_quote(s: str) -> str:
+    """Quote a literal for a Java regex. ``re.escape`` never escapes
+    alphanumerics, and Java permits a backslash before any non-alphabetic
+    character, so the escape set is Java-safe — unlike ``\\Q..\\E``,
+    which silently breaks when the literal itself contains ``\\E``."""
+    import re
+
+    return re.escape(s)
+
+
 def normalize_text(col):
     """Lowercase, collapse whitespace — the canonical form all dedup
     strategies share."""
@@ -381,13 +391,21 @@ def dedup_paragraphs(
 
     One explode + one window over (doc, block-hash) ordered by position
     + one ordered re-aggregation — entirely per-document partitions, so
-    it scales with the corpus, never across it."""
+    it scales with the corpus, never across it.
+
+    Null-text rows are preserved (dedup_text null, n_removed 0) — the
+    same contract as ``unigram_lm_score`` — via a per-row null flag, not
+    a join, so the plan stays one exchange."""
     # F.split takes a Java REGEX while array_join re-joins the literal
-    # separator — quote the separator (\Q..\E) so both agree for any sep
+    # separator — per-char escape (never \Q..\E, which breaks for
+    # separators containing \E) so both agree for any sep
     parts = df.select(
         F.col(id_col),
+        F.col(text_col).isNull().alias("_null_text"),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), _regex_quote(sep), -1
+            )
         ).alias("pos", "para"),
     ).withColumn("n_parts", F.count("*").over(Window.partitionBy(id_col)))
     first = parts.withColumn(
@@ -399,15 +417,22 @@ def dedup_paragraphs(
     return (
         first.groupBy(id_col)
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
+            F.when(F.first("_null_text"), F.lit(None).cast("string"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                        ),
+                        lambda s: s["para"],
                     ),
-                    lambda s: s["para"],
-                ),
-                sep,
-            ).alias("dedup_text"),
-            (F.max("n_parts") - F.count("*")).cast("long").alias("n_removed"),
+                    sep,
+                )
+            )
+            .alias("dedup_text"),
+            F.when(F.first("_null_text"), F.lit(0))
+            .otherwise(F.max("n_parts") - F.count("*"))
+            .cast("long")
+            .alias("n_removed"),
         )
     )

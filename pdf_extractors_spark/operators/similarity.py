@@ -171,6 +171,7 @@ def signbit_buckets(
     vec_col: str = "embedding",
     rotation_seed: int | None = None,
     dim: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Hyperplane-LSH bucket keys for cosine similarity: band ``b`` hashes
     the vector to the sign pattern of components ``[b*rows, (b+1)*rows)``
@@ -197,7 +198,15 @@ def signbit_buckets(
     was: higher-order lambdas run interpreted and Catalyst does not CSE
     their bodies. Deterministic for a fixed seed under any partitioning.
     Pass ``dim`` explicitly when the vectors lineage is expensive —
-    otherwise it is inferred with a one-row job."""
+    otherwise it is inferred with a one-row job.
+
+    ``cache`` (rotation path only): the keyed frame feeds both sides of
+    the downstream candidate self-join, so by default it is ``.cache()``d
+    to run the matmul UDF once — the caller owns the lifetime (unpersist
+    via ``df.sparkSession.catalog.clearCache()`` or keep the session
+    short). Pass ``cache=False`` in long-lived sessions to recompute per
+    consumer instead of accumulating executor storage (the same
+    materialization contract as ``ngram_jaccard_pairs``)."""
     if rotation_seed is not None:
         from pyspark.sql.functions import pandas_udf
 
@@ -218,13 +227,13 @@ def signbit_buckets(
             bits = np.where(mat @ planes > 0, "1", "0")
             return pd.Series(["".join(row) for row in bits])
 
-        # cached: the bucket table feeds both sides of the candidate
-        # self-join, and this frame is tiny (id + bands·rows chars per
-        # vector) — without it the matmul UDF would run twice over the
-        # full vectors lineage
-        keyed = vectors.select(
-            id_col, _sign_key(F.col(vec_col)).alias("_k")
-        ).cache()
+        # cached by default: the bucket table feeds both sides of the
+        # candidate self-join, and this frame is tiny (id + bands·rows
+        # chars per vector) — without it the matmul UDF runs twice over
+        # the full vectors lineage. Lifetime is caller-owned (cache=).
+        keyed = vectors.select(id_col, _sign_key(F.col(vec_col)).alias("_k"))
+        if cache:
+            keyed = keyed.cache()
         banded = [
             F.struct(
                 F.lit(b).alias("band"),
@@ -263,6 +272,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     rotation_seed: int | None = None,
     dim: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection, the scale path:
 
@@ -277,7 +287,7 @@ def embedding_neardup_pairs(
     verification, so shuffles never move vectors for non-candidates."""
     b = signbit_buckets(
         vectors, bands, rows, id_col, vec_col,
-        rotation_seed=rotation_seed, dim=dim,
+        rotation_seed=rotation_seed, dim=dim, cache=cache,
     )
     cand = (
         b.alias("l")

@@ -157,8 +157,13 @@ def dedup_stream(
     # 32-bit hash silently drops distinct documents on collision (~50%
     # chance of one by 77k docs). The 32-bit form exists only so DuckDB
     # oracles can replay values; streaming state has no such constraint.
+    # null text coalesces to '' BEFORE hashing: md5(NULL) is NULL, and
+    # dropDuplicates treats null keys as equal — without the coalesce
+    # every distinct null-text row after the first would be dropped.
+    # Empty and null text are one explicit class (both hash md5('')).
     hashed = docs.withColumn(
-        "text_hash", F.md5(normalize_text(F.col(text_col)))
+        "text_hash",
+        F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))),
     )
     if watermark_col is not None:
         return hashed.withWatermark(

@@ -639,6 +639,29 @@ def test_dedup_paragraphs_removes_repeats_keeps_order(spark):
     assert got[2] == ("one\ntwo\nthree", 0)
 
 
+def test_dedup_paragraphs_preserves_null_text_rows(spark):
+    """unigram_lm_score's preserve-with-zeros contract: null-text docs
+    stay in the output as (null, 0) instead of vanishing in the explode."""
+    rows = [(1, "a\nb\na"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dedup_text"], r["n_removed"])
+           for r in dedup.dedup_paragraphs(df).collect()}
+    assert got[1] == ("a\nb", 1)
+    assert got[2] == (None, 0)
+    assert got[3] == ("", 0)
+
+
+def test_dedup_paragraphs_metachar_and_quote_end_separators(spark):
+    r"""The separator is escaped per-char, so regex metachars and the
+    \Q..\E terminator itself are safe as literal separators."""
+    sep = r"\E|."  # would terminate a \Q..\E quote AND inject metachars
+    rows = [(1, sep.join(["a", "b", "a", "c"]))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.dedup_paragraphs(df, sep=sep).collect()[0]
+    assert got["dedup_text"] == sep.join(["a", "b", "c"])
+    assert got["n_removed"] == 1
+
+
 def test_pack_units_budget_and_determinism(spark):
     """Budget-aligned sharding guarantee: within a pack, everything
     except the largest/last member fits the budget, so no pack exceeds
