@@ -140,10 +140,16 @@ def main() -> int:
         )
         return time.time() - t0, agg_row
 
-    # median of 3 in every mode: the sandbox host is a noisy shared VM and
-    # single runs swing ±3x
+    # median-of-k in every mode: the sandbox host is a noisy shared VM and
+    # single runs swing ±3x. In full mode the extraction number is the
+    # headline the rounds are compared on, so it gets 5 reps (the
+    # per-query suite stays at 3). In --extract-only (scaling) mode the
+    # jobs are minutes long by design and the scaling driver already
+    # brackets each attempt with host-health checks — 3 reps keeps an
+    # attempt inside its timeout.
     n_reps = 3
-    runs = [_one_extract_run() for _ in range(n_reps)]
+    extract_reps = 3 if extract_only else 5
+    runs = [_one_extract_run() for _ in range(extract_reps)]
     runs.sort(key=lambda r: r[0])
     extract_secs, agg = runs[len(runs) // 2]
     timings["extract_transcripts"] = round(extract_secs, 3)

