@@ -66,6 +66,38 @@ def dedup_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_against(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup — the daily-ingest path: keep the rows of
+    ``new`` whose normalized text was never seen in ``corpus`` and which
+    are first (min id) within ``new`` itself. Returns the kept rows of
+    ``new`` with all their columns.
+
+    Scale shape: both sides reduce to (hash[, id]) BEFORE any shuffle —
+    the corpus's payload bytes never move, and ``new``'s payloads move
+    exactly once, in the final semi join keyed on id. Keys are the FULL
+    128-bit md5 (collision-safe; the 32-bit bigint form exists only for
+    DuckDB oracle replay — never key real dedup on it). At 10^12-doc
+    corpus scale the ``seen`` side would come pre-distinct from the
+    previous run's state table (this same function's output hashes), so
+    the distinct here prices at one map-side-combined pass over hashes.
+    Null text coalesces to '' — one explicit class, same contract as
+    ``dedup_stream``."""
+    key = F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit("")))
+    seen = corpus.select(key.alias("text_hash")).distinct()
+    first_in_new = (
+        new.select(F.col(id_col), key.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    fresh = first_in_new.join(seen, "text_hash", "left_anti")
+    return new.join(fresh.select(id_col), id_col, "left_semi")
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, as (id, shingle).
     Built with native higher-order functions (transform over a range) —

@@ -6,7 +6,7 @@ codegen, no UDF — and all replayable in ANSI SQL for the DuckDB oracle.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .hashing import md5_bigint
 
@@ -371,4 +371,148 @@ def compression_ratio(
 
     return df.select(
         F.col(id_col), _ratio_bp(F.col(text_col)).alias("compress_bp")
+    )
+
+
+def segment_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Offset-preserving segmentation: explode each document into its
+    ``sep``-delimited segments with EXACT character offsets
+    (seg_start/seg_end index into the original text, ``text[start:end]``
+    == segment), the unit-of-work transform for span-labeled training
+    data — downstream span labels stay translatable back to document
+    coordinates. Null-text rows are preserved as a single null segment
+    (seg_idx 0, offsets null), the engine's preserve-don't-drop contract.
+
+    One narrow explode + one per-document window (cumulative sum of
+    prior segment lengths); partitions only by document, so it scales
+    with the corpus. Offsets are exact integers — engine-independent,
+    replayable in ANSI SQL."""
+    from .dedup import _regex_quote
+
+    parts = df.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("_null_text"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _regex_quote(sep), -1)
+        ).alias("seg_idx", "segment"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("seg_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # start = chars of all previous segments + one separator per boundary
+    start = (
+        F.coalesce(F.sum(F.length("segment")).over(w), F.lit(0))
+        + F.col("seg_idx") * len(sep)
+    ).cast("long")
+    return parts.select(
+        F.col(id_col),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.when(F.col("_null_text"), F.lit(None).cast("string"))
+        .otherwise(F.col("segment"))
+        .alias("segment"),
+        F.when(F.col("_null_text"), F.lit(None).cast("long"))
+        .otherwise(start)
+        .alias("seg_start"),
+        F.when(F.col("_null_text"), F.lit(None).cast("long"))
+        .otherwise(start + F.length("segment"))
+        .alias("seg_end"),
+    )
+
+
+def dup_ngram_char_frac(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Gopher/RefinedWeb duplicated-n-gram CHARACTER fraction: the
+    char-weighted cousin of ``repetition_score`` — basis points of
+    text characters covered by word n-grams that occur more than once in
+    the document (every occurrence of a duplicated gram counts, so
+    overlapping repeats weigh more; capped at 10000). Catches documents
+    whose repeats are a few LONG blocks, which the count-based ratio
+    underweights.
+
+    Per-document column math only — no shuffle, no UDF: the grams are
+    SORTED once per row, making duplicates adjacent, so "occurs more
+    than once" is one linear zip over neighbors (O(G log G) per doc)
+    instead of a per-gram rescan (O(G²)) or an exploded groupBy (a full
+    shuffle of the gram stream at corpus scale). Every intermediate
+    array is materialized as a real column before any lambda references
+    it — higher-order-function bodies run interpreted and Catalyst does
+    not CSE them, so an inline sub-expression would recompute per
+    element. Null/short texts yield (0, 0) — preserve-with-zeros.
+    Exact integer basis points (half-up): engine- and
+    partition-independent."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(
+            # length of the whitespace-COLLAPSED form — the same string
+            # the tokens were cut from, so the fraction's denominator
+            # matches its numerator (and the SQL oracle) exactly
+            F.length(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+            ),
+            F.lit(0),
+        ).cast("long").alias("norm_chars"),
+        F.array_sort(grams).alias("sg"),
+    )
+    # pair_eq[i] ⇔ sg[i] == sg[i+1]; an occurrence is duplicated iff it
+    # equals its left OR right sorted neighbor
+    staged = base.withColumn(
+        "pair_eq",
+        F.when(
+            F.size("sg") >= 2,
+            F.zip_with(
+                F.slice("sg", F.lit(1), F.size("sg") - 1),
+                F.slice("sg", F.lit(2), F.size("sg") - 1),
+                lambda a, b: a == b,
+            ),
+        ).otherwise(F.array().cast("array<boolean>")),
+    ).withColumn(
+        "dup_flags",
+        F.zip_with(
+            F.concat(F.array(F.lit(False)), F.col("pair_eq")),
+            F.concat(F.col("pair_eq"), F.array(F.lit(False))),
+            lambda a, b: a | b,
+        ),
+    )
+    dup_chars = F.aggregate(
+        F.zip_with(
+            F.col("sg"),
+            F.col("dup_flags"),
+            lambda g, f: F.when(f, F.length(g)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    agg = staged.select(
+        F.col(id_col), F.col("norm_chars"), dup_chars.alias("dup_chars")
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("dup_chars"),
+        F.when(
+            F.col("norm_chars") > 0,
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr(
+                    "(2 * (10000 * dup_chars) + norm_chars)"
+                    " div (2 * norm_chars)"
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_char_bp"),
     )

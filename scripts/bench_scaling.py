@@ -256,7 +256,10 @@ of 11 — the envelope, not the center — and was replaced by this gate.)
 Attempts from earlier rounds (a slower extraction kernel and the
 superseded best-attempt selection) are archived verbatim in
 `BENCH/attempts_r2.jsonl`; this log holds only attempts of the current
-kernel + protocol, so the median compares like with like.
+kernel, so the median compares like with like. (Each attempt's `turns`
+field records its replication: the first logged attempt ran at 32×
+before the job was lengthened to 64× — it sits below the quality floor
+regardless.)
 
 Reading the spread: shared-host contention can only SUBTRACT from
 measured efficiency — background load steals proportionally more from

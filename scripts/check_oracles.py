@@ -73,6 +73,19 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Gate-window lint: the driver records only the first _GATE_WINDOW
+    # registry entries, so every one of them must carry a value oracle —
+    # a rows-only query inside the window burns a gate slot (round 2's
+    # regression was exactly this, in the other direction).
+    window = list(queries)[: entrymod._GATE_WINDOW]
+    unoracled = [n for n in window if n not in oracles]
+    if unoracled:
+        print(
+            f"GATE-WINDOW LINT FAIL: first {entrymod._GATE_WINDOW} entries "
+            f"without oracles: {unoracled}",
+            file=sys.stderr,
+        )
+        return 2
     if only:
         unknown = set(only) - set(queries)
         if unknown:

@@ -40,12 +40,14 @@ FALLBACK = {
 def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    window = entrymod._GATE_WINDOW
     rows = []
-    for name, fn in queries.items():
+    for i, (name, fn) in enumerate(queries.items()):
         doc = (fn.__doc__ or FALLBACK.get(name, "")).strip().split("\n")[0].rstrip(".")
         check = "DuckDB value-hash" if name in oracles else "rows-only + pytest"
-        rows.append((name, check, doc))
-    n_oracle = sum(1 for _, c, _ in rows if c.startswith("DuckDB"))
+        gated = "driver-gated" if i < window else "local replay"
+        rows.append((name, check, gated, doc))
+    n_oracle = sum(1 for _, c, _, _ in rows if c.startswith("DuckDB"))
     lines = [
         "# COVERAGE — driver-contract queries and how each is checked",
         "",
@@ -55,11 +57,16 @@ def main() -> int:
         "the driver gate and exactly parity-tested in pytest (per-document",
         "state machines / iterative algorithms).",
         "",
-        "| query | check | what it covers |",
-        "|---|---|---|",
+        f"The driver's correctness gate records the first {window} registry",
+        "entries (the `_GATE_ORDER` contract in `__spark_entry__.py`); queries",
+        "past the window are verified by the same comparator run locally",
+        "(`scripts/check_oracles.py`) and by pytest.",
+        "",
+        "| query | check | where checked | what it covers |",
+        "|---|---|---|---|",
     ]
-    for name, check, doc in rows:
-        lines.append(f"| `{name}` | {check} | {doc} |")
+    for name, check, gated, doc in rows:
+        lines.append(f"| `{name}` | {check} | {gated} | {doc} |")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "docs", "COVERAGE.md")
     with open(path, "w") as f:

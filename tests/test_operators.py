@@ -662,6 +662,66 @@ def test_dedup_paragraphs_metachar_and_quote_end_separators(spark):
     assert got["n_removed"] == 1
 
 
+def test_segment_paragraphs_offsets_are_exact(spark):
+    """text[seg_start:seg_end] == segment for every row; null text is
+    preserved as one null segment."""
+    rows = [(1, "alpha\nbeta gamma\n\ndelta"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_stats.segment_paragraphs(df).collect()
+    texts = dict(rows)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    segs1 = sorted(by_doc[1], key=lambda r: r["seg_idx"])
+    assert [r["segment"] for r in segs1] == ["alpha", "beta gamma", "", "delta"]
+    for r in segs1:
+        assert texts[1][r["seg_start"]:r["seg_end"]] == r["segment"]
+    assert [(r["segment"], r["seg_start"], r["seg_end"]) for r in by_doc[2]] == [
+        ("", 0, 0)
+    ]
+    assert [(r["segment"], r["seg_start"], r["seg_end"]) for r in by_doc[3]] == [
+        (None, None, None)
+    ]
+
+
+def test_dup_ngram_char_frac_counts_duplicated_gram_chars(spark):
+    # doc 1: "a b c a b c a b c" → all 7 3-grams duplicated; every gram
+    # is 5 chars → dup_chars 35; norm len 17 → bp min(10000, half-up)
+    rows = [
+        (1, "a b c a b c a b c"),
+        (2, "one two three four five"),  # no repeats
+        (3, "x y"),                      # too short: zero grams
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_chars"], r["dup_char_bp"])
+           for r in text_stats.dup_ngram_char_frac(df).collect()}
+    assert got[1] == (35, 10000)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+
+
+def test_dedup_against_keeps_unseen_first_occurrences(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen text"), (2, "other corpus doc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen text"),        # already in corpus → dropped
+            (11, "brand new"),        # kept
+            (12, "brand new"),        # dup within batch → dropped
+            (13, "Seen   TEXT"),      # normalizes to corpus doc → dropped
+            (14, None),               # null class, unseen → kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_against(corpus, new).collect()
+    )
+    assert kept == [11, 14]
+
+
 def test_pack_units_budget_and_determinism(spark):
     """Budget-aligned sharding guarantee: within a pack, everything
     except the largest/last member fits the budget, so no pack exceeds

@@ -218,3 +218,51 @@ def test_dedup_paragraphs_partitions_by_document(spark):
     assert hash_lines  # the per-document shuffle must actually exist
     for line in hash_lines:
         assert "doc_id" in line, line
+
+
+def test_dup_ngram_char_frac_has_no_exchange(spark):
+    """The char-weighted repetition signal is pure per-row column math
+    (sorted-adjacency inside the array) — zero shuffles, unlike the
+    exploded-groupBy formulation it replaces."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z w")], "doc_id long, text string"
+    )
+    plan = _plan(text_stats.dup_ngram_char_frac(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_segment_paragraphs_partitions_by_document(spark):
+    """Offsets are a per-document running sum: exactly one exchange,
+    keyed on the document id — never a global (SinglePartition) window."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "a\nbb\nccc"), (2, "x")], "doc_id long, text string"
+    )
+    import re
+
+    plan = _plan(text_stats.segment_paragraphs(df))
+    assert "SinglePartition" not in plan
+    # formatted plans list each node twice (tree + detail): count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_lines and all("doc_id" in l for l in hash_lines)
+
+
+def test_dedup_against_joins_are_keyed(spark):
+    """Incremental dedup is an anti-join + semi-join on the text hash /
+    id — no cartesian, no nested loop; corpus payload columns are pruned
+    before any exchange (only the hash projection of the corpus moves)."""
+    from pdf_extractors_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen"), (11, "new")], "doc_id long, text string"
+    )
+    plan = _plan(dedup.dedup_against(corpus, new))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
