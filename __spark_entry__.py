@@ -2588,6 +2588,14 @@ def oracle_sql() -> dict[str, str]:
         tp = None
     sw_en = _stopword_sql(STOPWORDS["en"])
     norm = _NORM_SQL
+    # null-safe 32-bit md5 bigint (hashing.md5_bigint_sql): DuckDB's
+    # concat skips NULL, so the unguarded form casts the literal '0x'
+    # and raises on a null-text document — the case-when preserves the
+    # Spark side's null-in → null-out (null-text rows form ONE null-key
+    # group under GROUP BY, exactly like Spark's groupBy on a null hash)
+    from pdf_extractors_spark.operators.hashing import md5_bigint_sql
+
+    md5_32 = md5_bigint_sql(norm)
     # documents with fewer than n tokens yield ZERO shingles (matches
     # dedup.shingles; a truncated last gram would be a phantom shingle)
     shingle3 = _SHINGLE3_SQL
@@ -2662,7 +2670,7 @@ def oracle_sql() -> dict[str, str]:
             group by c_nationkey
         """,
         "exact_dedup": f"""
-            select cast(concat('0x', substr(md5({norm}),1,8)) as bigint) as text_hash,
+            select {md5_32} as text_hash,
                    count(*) as n_dups, min(doc_id) as keep_id
             from documents group by text_hash
         """,
@@ -2670,7 +2678,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang, source from documents
             where doc_id in (
               select min(doc_id) from documents
-              group by cast(concat('0x', substr(md5({norm}),1,8)) as bigint)
+              group by {md5_32}
             )
         """,
         "minhash_signatures": f"""
@@ -2897,7 +2905,7 @@ def oracle_sql() -> dict[str, str]:
                 select doc_id from ({_GOPHER_SQL}) g where g.gopher_pass)
               and d.doc_id in (
                 select min(doc_id) from documents
-                group by cast(concat('0x', substr(md5({norm}),1,8)) as bigint))
+                group by {md5_32})
         """,
         "stratified_sample": """
             select cast(doc_id as bigint) as doc_id, lang from documents

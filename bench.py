@@ -130,7 +130,8 @@ def main() -> int:
         transcripts.limit(64 * cpus), repartition_to=cpus
     ).count()
 
-    # ---- extraction throughput (the headline number): median of 3
+    # ---- extraction throughput (the headline number): median of
+    # extract_reps runs (5 full mode / 3 scaling mode, see below)
     def _one_extract_run() -> tuple[float, object]:
         t0 = time.time()
         agg_row = (

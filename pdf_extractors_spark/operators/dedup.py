@@ -22,6 +22,8 @@ replay every step bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .hashing import MINHASH_PRIME, affine_perms, md5_bigint
@@ -31,9 +33,8 @@ def _regex_quote(s: str) -> str:
     """Quote a literal for a Java regex. ``re.escape`` never escapes
     alphanumerics, and Java permits a backslash before any non-alphabetic
     character, so the escape set is Java-safe — unlike ``\\Q..\\E``,
-    which silently breaks when the literal itself contains ``\\E``."""
-    import re
-
+    which silently breaks when the literal itself contains ``\\E``.
+    (Also used by text_stats.segment_paragraphs.)"""
     return re.escape(s)
 
 

@@ -27,8 +27,14 @@ def md5_bigint_py(s: str) -> int:
 
 
 def md5_bigint_sql(expr: str) -> str:
-    """DuckDB SQL fragment computing the same hash."""
-    return f"cast(concat('0x', substr(md5({expr}), 1, 8)) as bigint)"
+    """DuckDB SQL fragment computing the same hash. Null-safe: DuckDB's
+    ``concat`` SKIPS null arguments, so the unguarded form would try to
+    cast the literal '0x' and raise — the case-when preserves the Spark
+    side's null-in → null-out."""
+    return (
+        f"case when ({expr}) is null then null "
+        f"else cast(concat('0x', substr(md5({expr}), 1, 8)) as bigint) end"
+    )
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1: a*h + b stays < 2^62, no overflow

@@ -98,10 +98,10 @@ def main() -> int:
     # a shared VM whose background load drifts on minute timescales, and
     # the two levels run minutes apart — an attempt whose host baseline
     # degrades mid-run measures the neighbors' workload, not the plan.
-    # Every attempt is appended to BENCH/attempts.jsonl; BASELINE.md is
-    # generated from the LEAST-CONTENDED attempt (max of min(pre, post)
-    # host retention — selection by measurement conditions, never by
-    # outcome) with every attempt published alongside.
+    # Every attempt is appended to BENCH/attempts.jsonl; BASELINE.md's
+    # headline is the lower-median efficiency across valid attempts with
+    # host quality (min of pre/post retention) >= QUALITY_FLOOR — see
+    # _finalize — with every attempt published alongside.
     host = {p: round(host_per_core_rate(p), 0) for p in (n, four_n, 16, 32)}
     pre_retention = round(host[four_n] / host[n], 3)
 
@@ -172,6 +172,14 @@ def _finalize() -> int:
     valid = [a for a in attempts if not a.get("invalid")]
     well = [a for a in valid if a["host_quality"] >= QUALITY_FLOOR]
     pool = well or valid or attempts
+    # the fallback must be loud, not silent: a headline computed from
+    # contended attempts is a different (weaker) claim than the
+    # well-conditioned median, and the report has to say which one it is
+    pool_mode = (
+        f"host_quality>={QUALITY_FLOOR}"
+        if well
+        else f"FALLBACK-all-valid (no attempt met host-quality {QUALITY_FLOOR})"
+    )
     by_eff = sorted(pool, key=lambda a: a["scaling_efficiency"])
     # lower median: the conservative middle attempt, which also serves as
     # the representative whose raw numbers the tables below show
@@ -182,6 +190,7 @@ def _finalize() -> int:
     report["n_attempts"] = len(attempts)
     report["n_pool"] = len(pool)
     report["quality_floor"] = QUALITY_FLOOR
+    report["pool_mode"] = pool_mode
     report["pool_efficiencies"] = [a["scaling_efficiency"] for a in by_eff]
     print(json.dumps(report))
     lo = {"extraction": {
@@ -240,11 +249,11 @@ This sandbox is a shared VM whose background load drifts on minute
 timescales; the two levels run minutes apart, so an attempt whose own
 host baseline (pure multiprocess CPU work, no Spark) degrades mid-run is
 measuring the neighbors' workload, not the plan. Every attempt is
-recorded. The headline above is the **lower-median efficiency across all
-valid attempts whose host-quality bracket (min of pre/post retention, an
-outcome-blind instrument) is ≥ {QUALITY_FLOOR}** — i.e. the gate has to
+recorded. The headline above is the **lower-median efficiency across
+{"all valid attempts whose host-quality bracket (min of pre/post retention, an outcome-blind instrument) is ≥ " + str(QUALITY_FLOOR) if well else "ALL valid attempts — NO attempt met the host-quality floor of " + str(QUALITY_FLOOR) + ", so this headline was measured under sustained contention (deflation-only) and understates the plan"}**
+— i.e. the gate has to
 survive the MIDDLE of the well-conditioned distribution, not its best
-member. Pool: {len(pool)} of {len(attempts)} attempts; efficiencies
+member. Pool ({pool_mode}): {len(pool)} of {len(attempts)} attempts; efficiencies
 {effs}; min {min_eff}, median {median_eff}, max {max_eff}. (An earlier
 protocol revision selected the single max-quality attempt; it passed 2
 of 11 — the envelope, not the center — and was replaced by this gate.)
