@@ -1450,6 +1450,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_keep"] = q_quality_keep
 
+    def q_conv_pairs(spark, sf):
+        """(context, response) supervised-pair assembly over the pinned
+        transcripts: bounded 4-turn context window per assistant turn —
+        the fine-tuning data transform."""
+        return pipeline.conv_pairs(_transcripts(spark, "sf0.01"))
+
+    q["conv_pairs"] = q_conv_pairs
+
+    def q_temperature_sample(spark, sf):
+        """Temperature-balanced (α=0.5) mixture sampling from the
+        corpus's own language counts — sampled size ∝ sqrt(n_lang)."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return sampling.temperature_sample(docs).select(
+            "doc_id", "lang", "source"
+        )
+
+    q["temperature_sample"] = q_temperature_sample
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -2883,6 +2903,18 @@ def oracle_sql() -> dict[str, str]:
             join first f on d.doc_id = f.doc_id
             where f.h not in (select h from seen)
         """,
+        "temperature_sample": """
+            with c as (select lang, count(*) as n from documents group by lang),
+            m as (select min(n) as nmin from c),
+            r as (select lang,
+                         cast(floor(10000 * sqrt(cast(nmin as double) / n))
+                              as bigint) as keep_bp
+                  from c, m)
+            select d.doc_id, d.lang, d.source
+            from documents d join r using (lang)
+            where cast(concat('0x', substr(md5('temp:' || cast(doc_id as varchar)),
+                                           1, 8)) as bigint) % 10000 < keep_bp
+        """,
         "pack_units": """
             with s as (select doc_id, n_chars as tokens,
                    cast(concat('0x', substr(md5('pack:' || cast(doc_id as varchar)), 1, 8))
@@ -3154,6 +3186,19 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     if tp is not None:
+        oracles["conv_pairs"] = f"""
+            with w as (
+              select conv_id, turn_idx, role,
+                     coalesce(string_agg(coalesce(text, ''), chr(10)) over (
+                        partition by conv_id order by turn_idx
+                        rows between 4 preceding and 1 preceding), '')
+                       as context,
+                     coalesce(text, '') as response
+              from read_parquet('{tp}'))
+            select conv_id, cast(turn_idx as bigint) as turn_idx,
+                   context, response
+            from w where role = 'assistant'
+        """
         oracles["conv_stitch"] = f"""
             select conv_id, count(*) as n_turns,
                    string_agg(coalesce(text, ''), chr(10) || chr(10)

@@ -81,6 +81,45 @@ def stratified_sample(
     return df.filter(bucket < keep_bp)
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-balanced mixture sampling (the T5/mT5 α = 0.5 mixing
+    rule): a stratum with n_s rows is kept with per-row probability
+    ``sqrt(n_min / n_s)`` — sampled size ∝ sqrt(n_s), flattening the
+    head languages/sources without starving the tail. The smallest
+    stratum keeps everything.
+
+    α is fixed at 0.5 because sqrt is the one power both engines (and
+    any IEEE-754 engine) round identically; an arbitrary ``pow(x, α)``
+    could flip the basis-point floor at the boundary and break the
+    value-hash oracle. Rates come from the corpus's OWN stratum counts
+    via one tiny aggregate joined back as a broadcast (counts move,
+    payloads never do); the keep decision is the portable hash of the
+    stable key — reproducible under retries, repartitioning and engine
+    swaps."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        F.floor(10000 * F.sqrt(F.col("_nmin") / F.col("_n")))
+        .cast("long")
+        .alias("_keep_bp"),
+    )
+    bucket = F.pmod(
+        md5_bigint(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        F.lit(10000),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(bucket < F.col("_keep_bp"))
+        .drop("_keep_bp")
+    )
+
+
 def pack_units(
     df: DataFrame,
     token_col: str = "n_tokens",

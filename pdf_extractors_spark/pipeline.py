@@ -273,6 +273,42 @@ def conv_stitch(transcripts: DataFrame, sep: str = "\n\n") -> DataFrame:
     ).applyInPandas(stitch, schema="conv_id string, n_turns long, stitched_text string")
 
 
+def conv_pairs(
+    transcripts: DataFrame,
+    context_turns: int = 4,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """(context, response) supervised-pair assembly — the transform a
+    fine-tuning data pipeline runs after extraction: for every turn
+    whose role is ``response_role``, the context is the up-to-
+    ``context_turns`` immediately preceding turns' text (in turn order,
+    null text as ''), newline-joined; the response is that turn's text.
+
+    One window keyed on conv_id with a BOUNDED frame (``context_turns``
+    preceding rows) — per-conversation partitions, context bytes per row
+    capped by the frame, no global sort (the A6 keyed-order contract).
+    The role filter runs after the window so context still counts
+    non-response turns."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    ctx = F.array_join(
+        F.collect_list(F.coalesce(F.col("text"), F.lit(""))).over(w), "\n"
+    )
+    return (
+        transcripts.withColumn("context", ctx)
+        .filter(F.col("role") == response_role)
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "context",
+            F.coalesce(F.col("text"), F.lit("")).alias("response"),
+        )
+    )
+
+
 def explode_turn_lines(transcripts: DataFrame) -> DataFrame:
     """S4/M9 as a pure-Spark op: payload → ordered lines via
     posexplode(split()), preserving reading order without any UDF."""

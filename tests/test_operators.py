@@ -722,7 +722,46 @@ def test_dedup_against_keeps_unseen_first_occurrences(spark):
     assert kept == [11, 14]
 
 
-def test_pack_units_budget_and_determinism(spark):
+def test_conv_pairs_bounded_context_in_order(spark):
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        ("c1", 0, "user", "u0"),
+        ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "tool", None),        # null turn → '' in context
+        ("c1", 3, "user", "u3"),
+        ("c1", 4, "assistant", "a4"),
+        ("c1", 5, "user", "u5"),
+        ("c1", 6, "assistant", "a6"),   # context capped at 4 turns
+        ("c2", 0, "assistant", "solo"), # no preceding turns → ''
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["conv_id"], r["turn_idx"]): (r["context"], r["response"])
+           for r in pipeline.conv_pairs(df, context_turns=4).collect()}
+    assert got[("c1", 1)] == ("u0", "a1")
+    assert got[("c1", 4)] == ("u0\na1\n\nu3", "a4")      # null → ''
+    assert got[("c1", 6)] == ("\nu3\na4\nu5", "a6")      # only last 4
+    assert got[("c2", 0)] == ("", "solo")
+    assert len(got) == 4  # only assistant turns emit pairs
+
+
+def test_temperature_sample_flattens_toward_sqrt(spark):
+    from pdf_extractors_spark.operators import sampling
+
+    # 3200 'en', 800 'de', 200 'fr': sqrt flattening keeps all of the
+    # smallest stratum and ~sqrt(n_min/n) of the others
+    rows = [(i, "en") for i in range(3200)] + \
+           [(10000 + i, "de") for i in range(800)] + \
+           [(20000 + i, "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = sampling.temperature_sample(df).groupBy("lang").count().collect()
+    out2 = sampling.temperature_sample(df).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in out1}
+    assert counts == {r["lang"]: r["count"] for r in out2}  # deterministic
+    assert counts["fr"] == 200                 # smallest stratum: keep all
+    # expected keeps: en 3200*sqrt(200/3200)=800, de 800*sqrt(200/800)=400
+    assert abs(counts["en"] - 800) < 120       # hash noise ~±3σ
+    assert abs(counts["de"] - 400) < 90
     """Budget-aligned sharding guarantee: within a pack, everything
     except the largest/last member fits the budget, so no pack exceeds
     budget + max member; assignment is deterministic."""
