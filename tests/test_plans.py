@@ -266,3 +266,32 @@ def test_dedup_against_joins_are_keyed(spark):
     plan = _plan(dedup.dedup_against(corpus, new))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_conv_pairs_partitions_by_conversation(spark):
+    """Pair assembly is one bounded window keyed on conv_id — never a
+    global sort/SinglePartition funnel."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "u"), ("c1", 1, "assistant", "a")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(pipeline.conv_pairs(df))
+    assert "SinglePartition" not in plan
+    hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_lines and all("conv_id" in l for l in hash_lines)
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """The stratum-rate side joins as a broadcast (counts, never
+    payloads); no cartesian of row-bearing sides."""
+    from pdf_extractors_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 4 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(sampling.temperature_sample(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
