@@ -269,9 +269,6 @@ _GATE_ORDER = [
     "range_join_counts",
     "salted_user_stats",
     "time_rollup",
-    "pricing_summary",
-    "sessionize",
-    "regex_field_extract",
     "multimodal_features",
     # dedup family
     "exact_dedup",
@@ -283,24 +280,27 @@ _GATE_ORDER = [
     "ngram_jaccard",
     "simhash",
     "dedup_paragraphs",
+    "dedup_against",
     "decontaminate",
     # similarity search
     "ivf_ann_topk",
     "embedding_neardup",
     # text analysis / scoring
+    "segment_paragraphs",
+    "dup_ngram_frac",
     "lm_score",
     "gopher_flags",
     "lang_id",
     "repetition_score",
-    "vocab_topk",
-    "fingerprint",
     "pii_scrub",
     "corpus_stats",
     "domain_counts",
+    "quality_keep",
     # sampling / packing
-    "train_split_counts",
     "stratified_sample",
     "pack_units",
+    "conv_pairs",
+    "temperature_sample",
 ]
 
 # Past the window (still registered; value-checked locally per replay by
@@ -319,6 +319,10 @@ _GATE_ORDER = [
 #   extracted_text_flat (8-family union), broadcast_join→decontaminate
 #   (broadcast dim) + pricing_summary, token_count→lm_score/gopher_flags
 #   tokenization, quality_score→gopher_flags
+#   demoted with green CORRECTNESS_r02 rows and unchanged semantics
+#   since (making room for round-3's six new queries):
+#   pricing_summary, sessionize, regex_field_extract,
+#   train_split_counts, vocab_topk, fingerprint
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
