@@ -1474,6 +1474,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_sample"] = q_temperature_sample
 
+    def q_conv_validate(spark, sf):
+        """Per-conversation transcript-structure validation (the
+        integrity gate before extraction): duplicate/missing turn
+        indices, role-alternation breaks, blank assistant turns, orphan
+        tool results. Fixture conversations are structurally perfect, so
+        defects are planted deterministically (md5-bucket of conv_id)
+        in BOTH the query and the oracle: bucket 0 duplicates turn 0
+        (dup idx + user,user repeat), bucket 1 appends turns 999/1000
+        (index gap + orphan tool result), bucket 2 blanks the first
+        assistant turn."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        bkt = F.pmod(
+            md5_bigint(F.concat(F.lit("cv:"), F.col("conv_id"))), F.lit(10)
+        )
+        base = t.withColumn(
+            "text",
+            F.when(
+                (bkt == 2) & (F.col("turn_idx") == 1), F.lit("")
+            ).otherwise(F.col("text")),
+        )
+        dup = t.filter((bkt == 0) & (F.col("turn_idx") == 0))
+        gap_src = t.filter((bkt == 1) & (F.col("turn_idx") == 0))
+        tail_user = gap_src.select(
+            "conv_id",
+            F.lit(999).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("PLANTED").alias("text"),
+        )
+        tail_tool = gap_src.select(
+            "conv_id",
+            F.lit(1000).cast("int").alias("turn_idx"),
+            F.lit("tool").alias("role"),
+            F.lit(None).cast("string").alias("text"),
+        )
+        planted = base.unionByName(dup).unionByName(tail_user).unionByName(
+            tail_tool
+        )
+        return _longify(pipeline.conv_validate(planted))
+
+    q["conv_validate"] = q_conv_validate
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3202,6 +3247,56 @@ def oracle_sql() -> dict[str, str]:
             select conv_id, cast(turn_idx as bigint) as turn_idx,
                    context, response
             from w where role = 'assistant'
+        """
+        oracles["conv_validate"] = f"""
+            with b as (
+              select conv_id, turn_idx, role, text,
+                     cast(concat('0x', substr(md5('cv:' || conv_id), 1, 8))
+                          as bigint) % 10 as bkt
+              from read_parquet('{tp}')),
+            planted as (
+              select conv_id, turn_idx, role,
+                     case when bkt = 2 and turn_idx = 1 then ''
+                          else text end as text
+              from b
+              union all
+              select conv_id, turn_idx, role, text
+              from b where bkt = 0 and turn_idx = 0
+              union all
+              select conv_id, 999, 'user', 'PLANTED'
+              from b where bkt = 1 and turn_idx = 0
+              union all
+              select conv_id, 1000, 'tool', cast(null as varchar)
+              from b where bkt = 1 and turn_idx = 0),
+            pt as (
+              select conv_id, turn_idx, role, text,
+                     lag(role) over (partition by conv_id
+                                     order by turn_idx, role) as prev_role
+              from planted),
+            agg as (
+              select conv_id,
+                     cast(count(*) as bigint) as n_turns,
+                     cast(count(*) - count(distinct turn_idx) as bigint)
+                       as n_dup_idx,
+                     cast(max(turn_idx) - min(turn_idx) + 1
+                          - count(distinct turn_idx) as bigint) as n_gap_idx,
+                     cast(min(turn_idx) as bigint) as min_idx,
+                     cast(sum(case when prev_role in ('user', 'assistant')
+                                    and prev_role = role
+                              then 1 else 0 end) as bigint) as n_role_repeats,
+                     cast(sum(case when role = 'assistant'
+                                    and trim(coalesce(text, '')) = ''
+                              then 1 else 0 end) as bigint)
+                       as n_empty_assistant,
+                     cast(sum(case when role = 'tool'
+                                    and coalesce(prev_role, '') <> 'assistant'
+                              then 1 else 0 end) as bigint) as n_orphan_tool
+              from pt group by conv_id)
+            select *,
+                   (n_dup_idx = 0 and n_gap_idx = 0 and min_idx = 0
+                    and n_role_repeats = 0 and n_empty_assistant = 0
+                    and n_orphan_tool = 0) as conv_ok
+            from agg
         """
         oracles["conv_stitch"] = f"""
             select conv_id, count(*) as n_turns,

@@ -309,6 +309,75 @@ def conv_pairs(
     )
 
 
+def conv_validate(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation structural validation — the integrity gate a
+    transcript-ingest pipeline runs before extraction: malformed
+    conversations (duplicated or missing turn indices, role-alternation
+    breaks, empty assistant turns, tool results with no preceding
+    assistant call) are flagged, not silently extracted.
+
+    Per ``conv_id`` emits::
+
+        n_turns          total rows
+        n_dup_idx        rows beyond the first per turn_idx
+        n_gap_idx        missing indices in [min_idx, max_idx]
+        min_idx          first turn index (a valid conversation starts at 0)
+        n_role_repeats   adjacent pairs (user/assistant only) with the
+                         same role — a broken alternation
+        n_empty_assistant  assistant turns whose text is null/blank
+        n_orphan_tool    'tool' turns whose preceding turn is not an
+                         assistant turn (incl. a 'tool' first turn)
+        conv_ok          true iff all counters are 0 and min_idx = 0
+
+    Adjacency is defined over the total order (turn_idx, role) so the
+    result is deterministic even when turn_idx is duplicated (the very
+    defect being detected). One hash partitioning on conv_id serves both
+    the lag window and the final groupBy — a single exchange; at 10^12
+    turns the output is one row per conversation, ~1000× smaller than
+    the input, and no payload text survives past the per-row projection.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role")
+    prev_role = F.lag("role").over(w)
+    blank = F.trim(F.coalesce(F.col("text"), F.lit(""))) == ""
+    per_turn = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("role").isin("user", "assistant").alias("is_ua"),
+        # coalesce: the first turn's lag is NULL, and a sum over an
+        # all-NULL group (single-turn conversation) would be NULL
+        F.coalesce(
+            prev_role.isin("user", "assistant") & (prev_role == F.col("role")),
+            F.lit(False),
+        ).alias("role_repeat"),
+        ((F.col("role") == "assistant") & blank).alias("empty_assistant"),
+        (
+            (F.col("role") == "tool")
+            & (~F.coalesce(prev_role == "assistant", F.lit(False)))
+        ).alias("orphan_tool"),
+    )
+    agg = per_turn.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        (F.count("*") - F.countDistinct("turn_idx")).alias("n_dup_idx"),
+        (
+            F.max("turn_idx") - F.min("turn_idx") + 1 - F.countDistinct("turn_idx")
+        ).alias("n_gap_idx"),
+        F.min("turn_idx").cast("long").alias("min_idx"),
+        F.sum(F.col("role_repeat").cast("long")).alias("n_role_repeats"),
+        F.sum(F.col("empty_assistant").cast("long")).alias("n_empty_assistant"),
+        F.sum(F.col("orphan_tool").cast("long")).alias("n_orphan_tool"),
+    )
+    ok = (
+        (F.col("n_dup_idx") == 0)
+        & (F.col("n_gap_idx") == 0)
+        & (F.col("min_idx") == 0)
+        & (F.col("n_role_repeats") == 0)
+        & (F.col("n_empty_assistant") == 0)
+        & (F.col("n_orphan_tool") == 0)
+    )
+    return agg.withColumn("conv_ok", ok)
+
+
 def explode_turn_lines(transcripts: DataFrame) -> DataFrame:
     """S4/M9 as a pure-Spark op: payload → ordered lines via
     posexplode(split()), preserving reading order without any UDF."""

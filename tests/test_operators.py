@@ -800,3 +800,46 @@ def test_compression_ratio_matches_zlib_and_orders(spark):
 
     assert got == {d: bp(t) for d, t in rows}
     assert got[1] < got[2]
+
+
+def test_conv_validate_flags_each_defect(spark):
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        # c_ok: perfect 3-turn conversation
+        ("c_ok", 0, "user", "hi"),
+        ("c_ok", 1, "assistant", "hello"),
+        ("c_ok", 2, "tool", "result"),
+        # c_dup: duplicated turn_idx 0 with a user,user repeat
+        ("c_dup", 0, "user", "a"),
+        ("c_dup", 0, "user", "a"),
+        ("c_dup", 1, "assistant", "b"),
+        # c_gap: starts at 1 and skips index 2
+        ("c_gap", 1, "user", "a"),
+        ("c_gap", 3, "assistant", "b"),
+        # c_blank: assistant turn with whitespace-only text
+        ("c_blank", 0, "user", "a"),
+        ("c_blank", 1, "assistant", "   "),
+        # c_tool: tool result first (no preceding assistant call)
+        ("c_tool", 0, "tool", "orphan"),
+        ("c_tool", 1, "user", "a"),
+        # c_solo: single turn (lag frame is empty, sums must not be null)
+        ("c_solo", 0, "user", "only"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r["conv_id"]: r.asDict() for r in pipeline.conv_validate(df).collect()}
+
+    assert got["c_ok"]["conv_ok"] and got["c_solo"]["conv_ok"]
+    assert got["c_dup"]["n_dup_idx"] == 1
+    assert got["c_dup"]["n_role_repeats"] == 1
+    assert got["c_gap"]["n_gap_idx"] == 1 and got["c_gap"]["min_idx"] == 1
+    assert got["c_blank"]["n_empty_assistant"] == 1
+    assert got["c_tool"]["n_orphan_tool"] == 1
+    for c in ("c_dup", "c_gap", "c_blank", "c_tool"):
+        assert not got[c]["conv_ok"], c
+    # no counter is ever NULL (single-turn lag edge)
+    assert all(
+        v is not None for r in got.values() for v in r.values()
+    )

@@ -8,6 +8,7 @@
 """
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -295,3 +296,21 @@ def test_temperature_sample_broadcasts_rates(spark):
     plan = _plan(sampling.temperature_sample(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_conv_validate_single_exchange(spark):
+    """Validation reuses one hashpartitioning(conv_id) for both the lag
+    window and the final aggregate — exactly one exchange, all of it
+    keyed on conv_id (no SinglePartition funnel, no second shuffle for
+    the countDistinct)."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "u"), ("c1", 1, "assistant", "a")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(pipeline.conv_validate(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_lines and all("conv_id" in l for l in hash_lines)
