@@ -1519,6 +1519,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_validate"] = q_conv_validate
 
+    def q_c4_line_filter(spark, sf):
+        """C4 line-level cleaning (terminal punctuation + min words +
+        no-javascript lines; lorem-ipsum / brace page drops). Fixture
+        documents are single-line, so a controlled multi-line page is
+        planted per doc (md5 bucket chooses a lorem-ipsum line, a code
+        brace line, or a clean closer) in BOTH the query and oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("c4:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(10),
+        )
+        page = F.concat_ws(
+            "\n",
+            "text",
+            F.lit("Tiny line."),
+            F.lit("This is a sentence with enough words to survive."),
+            F.lit("Enable javascript to view this page today."),
+            F.lit("Another perfectly reasonable sentence appears right here."),
+            F.when(bkt == 0, F.lit("Call us at lorem ipsum dolor sit amet."))
+            .when(bkt == 1, F.lit("if (x) { return; }"))
+            .otherwise(F.lit("Closing remarks conclude this document nicely.")),
+        )
+        planted = docs.select("doc_id", page.alias("text"))
+        return text_stats.c4_line_filter(planted)
+
+    q["c4_line_filter"] = q_c4_line_filter
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3213,6 +3244,46 @@ def oracle_sql() -> dict[str, str]:
                    cast(32 as bigint) as thumb_w,
                    cast(18 as bigint) as thumb_h
             from range(0, 64) t(i)
+        """,
+        "c4_line_filter": r"""
+            with b as (
+              select doc_id,
+                     cast(concat('0x',
+                          substr(md5('c4:' || cast(doc_id as varchar)), 1, 8))
+                          as bigint) % 10 as bkt,
+                     text
+              from documents),
+            t as (select doc_id,
+                         concat_ws(chr(10), text,
+                           'Tiny line.',
+                           'This is a sentence with enough words to survive.',
+                           'Enable javascript to view this page today.',
+                           'Another perfectly reasonable sentence appears right here.',
+                           case when bkt = 0
+                                then 'Call us at lorem ipsum dolor sit amet.'
+                                when bkt = 1 then 'if (x) { return; }'
+                                else 'Closing remarks conclude this document nicely.'
+                           end) as text
+                  from b),
+            k as (select doc_id, text,
+                         string_split(text, chr(10)) as lines,
+                         list_filter(string_split(text, chr(10)), l ->
+                           right(rtrim(l), 1) in ('.', '!', '?', '"')
+                           and len(list_filter(
+                                 string_split_regex(trim(l), '\s+'),
+                                 w -> w <> '')) >= 5
+                           and not contains(lower(l), 'javascript')) as kept
+                  from t)
+            select doc_id,
+                   cast(len(lines) as bigint) as n_lines,
+                   cast(len(kept) as bigint) as n_kept,
+                   array_to_string(kept, chr(10)) as clean_text,
+                   contains(lower(text), 'lorem ipsum') as has_lorem,
+                   contains(text, '{') as has_brace,
+                   (len(kept) >= 3
+                    and not contains(lower(text), 'lorem ipsum')
+                    and not contains(text, '{')) as c4_keep
+            from k
         """,
         "fingerprint": rf"""
             with t as (select doc_id,

@@ -516,3 +516,57 @@ def dup_ngram_char_frac(
         .cast("long")
         .alias("dup_char_bp"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 5, min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    rules): a line survives iff it ends in a terminal punctuation mark
+    (``. ! ? "``), has at least ``min_words`` whitespace words, and does
+    not mention ``javascript``; the document survives (``c4_keep``) iff
+    at least ``min_kept_lines`` lines survive and the page contains
+    neither ``lorem ipsum`` nor a ``{``.
+
+    Emits per document: ``clean_text`` (kept lines re-joined), line
+    counters, the page-level flags and the keep verdict. Null text is
+    treated as the empty page (0 lines kept). Pure column expressions —
+    one narrow projection, no shuffle, no UDF; the line array is
+    materialized as a column BEFORE the filter lambda references it
+    (interpreted higher-order functions do not CSE their lambda bodies).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    with_lines = df.select(
+        F.col(id_col),
+        text.alias("_text"),
+        F.split(text, "\n", -1).alias("_lines"),
+    )
+    def line_ok(l):
+        last = F.substring(F.rtrim(l), -1, 1)
+        words = F.filter(F.split(F.trim(l), _WS_SPLIT), lambda w: w != "")
+        return (
+            last.isin(".", "!", "?", '"')
+            & (F.size(words) >= min_words)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+    kept = with_lines.select(
+        F.col(id_col),
+        F.size("_lines").alias("n_lines"),
+        F.filter("_lines", line_ok).alias("_kept"),
+        F.contains(F.lower("_text"), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains("_text", F.lit("{")).alias("has_brace"),
+    )
+    return kept.select(
+        F.col(id_col),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.array_join("_kept", "\n").alias("clean_text"),
+        "has_lorem",
+        "has_brace",
+        (
+            (F.size("_kept") >= min_kept_lines)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("c4_keep"),
+    )

@@ -843,3 +843,34 @@ def test_conv_validate_flags_each_defect(spark):
     assert all(
         v is not None for r in got.values() for v in r.values()
     )
+
+
+def test_c4_line_filter_rules(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    good = "This line has plenty of words and punctuation."
+    rows = [
+        # doc 1: 3 good lines → kept
+        (1, "\n".join([good, "Is this not a fine question with words?", 'He said "quoted words are fine enough here."'])),
+        # doc 2: only 2 surviving lines → dropped (min_kept_lines)
+        (2, "\n".join([good, good, "no terminal punctuation here at all"])),
+        # doc 3: line-level drops: short, javascript, no punctuation
+        (3, "\n".join([good, "Tiny line.", "Enable javascript to continue browsing today.", good, good])),
+        # doc 4: lorem ipsum page drop despite good lines
+        (4, "\n".join([good, good, good, "Call Lorem Ipsum dolor sit amet today."])),
+        # doc 5: brace page drop
+        (5, "\n".join([good, good, good, "function f() { return 1; }"])),
+        # doc 6: null text → empty page
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text_stats.c4_line_filter(df).collect()}
+
+    assert got[1]["c4_keep"] and got[1]["n_kept"] == 3
+    assert not got[2]["c4_keep"] and got[2]["n_kept"] == 2
+    assert got[3]["n_kept"] == 3 and got[3]["c4_keep"]
+    assert got[3]["clean_text"] == "\n".join([good, good, good])
+    assert got[4]["has_lorem"] and not got[4]["c4_keep"]
+    assert got[5]["has_brace"] and not got[5]["c4_keep"]
+    assert got[6]["n_kept"] == 0 and not got[6]["c4_keep"]
+    assert got[6]["n_lines"] == 1  # '' page is one empty line
