@@ -1550,6 +1550,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c4_line_filter"] = q_c4_line_filter
 
+    def q_chunk_windows(spark, sf):
+        """Sliding token-window chunking (window 32, stride 24): every
+        document becomes overlapping fixed-size units with exact token
+        offsets — multiple chunks per fixture doc, short-tail and
+        containment edge cases exercised by the natural length spread."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return sampling.chunk_windows(docs, window=32, stride=24)
+
+    q["chunk_windows"] = q_chunk_windows
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3244,6 +3256,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(32 as bigint) as thumb_w,
                    cast(18 as bigint) as thumb_h
             from range(0, 64) t(i)
+        """,
+        "chunk_windows": r"""
+            with t as (select doc_id,
+                              list_filter(string_split_regex(
+                                trim(coalesce(text, '')), '\s+'),
+                                w -> w <> '') as toks
+                       from documents),
+            n as (select doc_id, toks, len(toks) as n from t),
+            s as (select doc_id, toks, n,
+                         unnest(range(0, len(starts))) as chunk_idx,
+                         unnest(starts) as tok_start
+                  from (select doc_id, toks, n,
+                               case when n > 0 then range(0, n, 24)
+                                    else [] end as starts
+                        from n))
+            select doc_id,
+                   cast(chunk_idx as bigint) as chunk_idx,
+                   cast(tok_start as bigint) as tok_start,
+                   cast(least(tok_start + 32, n) as bigint) as tok_end,
+                   array_to_string(
+                     toks[tok_start + 1 : least(tok_start + 32, n)], ' ')
+                     as chunk_text
+            from s
+            where tok_start = 0 or tok_start - 24 + 32 < n
         """,
         "c4_line_filter": r"""
             with b as (

@@ -169,3 +169,64 @@ def pack_units(
         "bucket",
         F.expr(f"_off div {int(budget)}").cast("long").alias("pack_id"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding token-window chunker — the context-prep transform a RAG /
+    long-context training pipeline runs to turn documents into
+    overlapping fixed-size units: whitespace tokens, one chunk every
+    ``stride`` tokens, each up to ``window`` tokens wide.
+
+    A chunk is emitted at start ``k*stride`` while that start is inside
+    the document AND the previous chunk did not already reach the end —
+    so the final chunk may be short, but no chunk is ever fully
+    contained in its predecessor. Chunk text is the space-joined token
+    slice (whitespace-normalized by construction); ``tok_start``/
+    ``tok_end`` index into the document's token sequence so chunks stay
+    translatable to token coordinates. Empty/null documents emit no
+    rows (a chunk table is a unit-of-work table, not a document table).
+
+    Narrow explode only — no shuffle, no UDF; the token array is
+    materialized as a column before any lambda touches it (interpreted
+    higher-order functions do not CSE). Exact integer math throughout,
+    replayable in ANSI SQL."""
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("_n")
+    )
+    starts = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+        ).alias("chunk_idx", "tok_start"),
+    ).filter(
+        (F.col("tok_start") < F.col("_n"))
+        & (
+            (F.col("tok_start") == 0)
+            | (F.col("tok_start") - stride + window < F.col("_n"))
+        )
+    )
+    return starts.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.least(F.col("tok_start") + window, F.col("_n"))
+        .cast("long")
+        .alias("tok_end"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("tok_start") + 1, F.lit(window)), " "
+        ).alias("chunk_text"),
+    )

@@ -874,3 +874,31 @@ def test_c4_line_filter_rules(spark):
     assert got[5]["has_brace"] and not got[5]["c4_keep"]
     assert got[6]["n_kept"] == 0 and not got[6]["c4_keep"]
     assert got[6]["n_lines"] == 1  # '' page is one empty line
+
+
+def test_chunk_windows_offsets_and_tail(spark):
+    from pdf_extractors_spark.operators import sampling
+
+    t10 = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, t10),            # n=10, W=8, S=4 → starts 0,4; start 8 contained
+        (2, "a b c"),        # n=3 < W → one chunk
+        (3, ""),             # empty → no rows
+        (4, None),           # null → no rows
+        (5, "  x   y  "),    # whitespace-normalized tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.chunk_windows(df, window=8, stride=4)
+    got = {(r["doc_id"], r["chunk_idx"]): r.asDict() for r in out.collect()}
+
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (5, 0)}
+    assert (got[(1, 0)]["tok_start"], got[(1, 0)]["tok_end"]) == (0, 8)
+    assert (got[(1, 1)]["tok_start"], got[(1, 1)]["tok_end"]) == (4, 10)
+    assert got[(1, 1)]["chunk_text"] == " ".join(f"w{i}" for i in range(4, 10))
+    assert got[(2, 0)]["chunk_text"] == "a b c" and got[(2, 0)]["tok_end"] == 3
+    assert got[(5, 0)]["chunk_text"] == "x y"
+    # every chunk's token span re-slices the source exactly
+    toks = t10.split()
+    for (d, _), r in got.items():
+        if d == 1:
+            assert r["chunk_text"] == " ".join(toks[r["tok_start"]:r["tok_end"]])
