@@ -1562,6 +1562,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_windows"] = q_chunk_windows
 
+    def q_tfidf_terms(spark, sf):
+        """Top-5 tf·idf terms per document with integer-quantized idf
+        (floor(log2(N/df)) via binary digit count) — every output column
+        exact bigint, rank totally ordered by (score desc, term)."""
+        docs = _read(spark, sf, "documents")
+        return _longify(text_stats.tfidf_terms(docs, k=5))
+
+    q["tfidf_terms"] = q_tfidf_terms
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3256,6 +3265,35 @@ def oracle_sql() -> dict[str, str]:
                    cast(32 as bigint) as thumb_w,
                    cast(18 as bigint) as thumb_h
             from range(0, 64) t(i)
+        """,
+        "tfidf_terms": r"""
+            with toks as (
+              select doc_id,
+                     unnest(list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t <> '')) as term
+              from documents),
+            tf as (select doc_id, term, count(*) as tf
+                   from toks group by doc_id, term),
+            nn as (select count(*) as n from documents),
+            sc as (select doc_id, term, tf,
+                          count(*) over (partition by term) as doc_freq
+                   from tf),
+            q as (select doc_id, term, tf, doc_freq,
+                         length(bin(n // doc_freq)) - 1 as qidf,
+                         tf * (length(bin(n // doc_freq)) - 1) as score
+                  from sc, nn),
+            r as (select *, row_number() over (
+                    partition by doc_id
+                    order by score desc, term asc) as rnk
+                  from q)
+            select doc_id, term,
+                   cast(tf as bigint) as tf,
+                   cast(doc_freq as bigint) as doc_freq,
+                   cast(qidf as bigint) as qidf,
+                   cast(score as bigint) as score,
+                   cast(rnk as bigint) as rank
+            from r where rnk <= 5
         """,
         "chunk_windows": r"""
             with t as (select doc_id,

@@ -570,3 +570,60 @@ def c4_line_filter(
             & ~F.col("has_brace")
         ).alias("c4_keep"),
     )
+
+
+def tfidf_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf — the
+    keyword/topic signal a corpus-analysis pipeline derives before
+    source balancing. The idf is QUANTIZED to ``floor(log2(N/df))``
+    (computed as one-less-than-the-binary-digit-count of the integer
+    quotient), so every value in the result is an exact integer and the
+    ranking replays bit-identically in any engine — float ``ln`` sums
+    round differently across engines/partition orders (the no-float
+    oracle rule).
+
+    Plan shape: one explode + map-side-combined groupBy(doc, term) for
+    tf; document frequency as a count window over term (reuses the
+    aggregate's term-keyed partitioning, no extra pass over payloads);
+    the corpus size N rides a broadcast 1-row aggregate; final top-k is
+    a row_number window per document with a (score desc, term asc) total
+    order. Payload text never shuffles — only (doc, term, counts)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_freq = F.count("*").over(Window.partitionBy("term"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.withColumn("doc_freq", doc_freq)
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "qidf",
+            (
+                F.length(F.conv(F.expr("_n div doc_freq"), 10, 2)) - 1
+            ).cast("long"),
+        )
+        .withColumn("score", (F.col("tf") * F.col("qidf")).cast("long"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rank.cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "qidf",
+            "score",
+            "rank",
+        )
+    )

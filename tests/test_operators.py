@@ -902,3 +902,30 @@ def test_chunk_windows_offsets_and_tail(spark):
     for (d, _), r in got.items():
         if d == 1:
             assert r["chunk_text"] == " ".join(toks[r["tok_start"]:r["tok_end"]])
+
+
+def test_tfidf_terms_quantized_idf_ranking(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    # 4 docs; 'common' in all (qidf=floor(log2(4/4))=0), 'pair' in two
+    # (floor(log2(2))=1), 'solo*' unique (floor(log2(4))=2)
+    rows = [
+        (1, "common pair solo1 solo1 solo1"),
+        (2, "common pair"),
+        (3, "common solo3"),
+        (4, "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_stats.tfidf_terms(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): r.asDict() for r in out}
+
+    top1 = got[(1, 1)]
+    assert top1["term"] == "solo1" and top1["tf"] == 3
+    assert top1["qidf"] == 2 and top1["score"] == 6
+    assert got[(1, 2)]["term"] == "pair" and got[(1, 2)]["score"] == 1
+    assert got[(3, 1)]["term"] == "solo3" and got[(3, 1)]["score"] == 2
+    # doc 4: only 'common', score 0, still emitted with rank 1
+    assert got[(4, 1)]["term"] == "common" and got[(4, 1)]["score"] == 0
+    # ties (score 0) break alphabetically: doc 2 rank order pair>common?
+    # 'pair' qidf=1 score=1 beats 'common' score 0
+    assert got[(2, 1)]["term"] == "pair" and got[(2, 2)]["term"] == "common"
