@@ -1571,6 +1571,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_terms"] = q_tfidf_terms
 
+    def q_dedup_spans(spark, sf):
+        """ExactSubstr duplicated-span extraction (Lee et al. 2022) at
+        n=5 word grams: natural cross-document repetition plus a planted
+        verbatim tail on two md5 buckets of documents guarantees
+        multi-gram islands; spans are token-coordinate intervals."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("ds:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(10),
+        )
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                bkt <= 1,
+                F.concat_ws(
+                    " ",
+                    "text",
+                    F.lit(
+                        "shared duplicated tail sequence appears verbatim here again"
+                    ),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return dedup.duplicate_spans(_spread(planted), n=5)
+
+    q["dedup_spans"] = q_dedup_spans
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3265,6 +3298,53 @@ def oracle_sql() -> dict[str, str]:
                    cast(32 as bigint) as thumb_w,
                    cast(18 as bigint) as thumb_h
             from range(0, 64) t(i)
+        """,
+        "dedup_spans": f"""
+            with b as (
+              select doc_id,
+                     case when cast(concat('0x',
+                            substr(md5('ds:' || cast(doc_id as varchar)),
+                                   1, 8)) as bigint) % 10 <= 1
+                          then concat_ws(' ', text,
+                            'shared duplicated tail sequence appears verbatim here again')
+                          else text end as text
+              from documents),
+            t as (select doc_id,
+                         string_split({norm}, ' ') as w
+                  from b),
+            nn as (select doc_id, w, len(w) as nw from t where len(w) >= 5),
+            g as (select doc_id,
+                         unnest(range(0, nw - 4)) as p,
+                         unnest(list_transform(range(1, nw - 3),
+                           i -> md5(array_to_string(w[i:i+4], ' ')))) as gh
+                  from nn),
+            d as (select doc_id, p,
+                         count(*) over (partition by gh) as c
+                  from g),
+            m as (select doc_id, p from d where c > 1),
+            f as (select doc_id, p,
+                         case when lag(p) over (partition by doc_id
+                                                order by p) is null
+                               or p - lag(p) over (partition by doc_id
+                                                   order by p) > 5
+                              then 1 else 0 end as nf
+                  from m),
+            i as (select doc_id, p,
+                         sum(nf) over (partition by doc_id order by p
+                           rows between unbounded preceding and current row)
+                           as island
+                  from f),
+            s as (select doc_id, island,
+                         min(p) as tok_start, max(p) + 5 as tok_end
+                  from i group by doc_id, island)
+            select doc_id,
+                   cast(row_number() over (partition by doc_id
+                                           order by tok_start) as bigint)
+                     as span_idx,
+                   cast(tok_start as bigint) as tok_start,
+                   cast(tok_end as bigint) as tok_end,
+                   cast(tok_end - tok_start as bigint) as n_tokens
+            from s
         """,
         "tfidf_terms": r"""
             with toks as (

@@ -469,3 +469,79 @@ def dedup_paragraphs(
             .alias("n_removed"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated-substring spans (the ExactSubstr dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): every maximal run of word positions
+    whose length-``n`` gram occurs MORE THAN ONCE in the corpus
+    (across documents or repeated within one) becomes a span
+    ``[tok_start, tok_end)`` over the document's normalized-token
+    sequence. Downstream, a pipeline cuts those spans from all-but-one
+    occurrence; emitting coordinates (not mutated text) keeps the
+    operator composable with the offset-preserving segmenters.
+
+    Suffix arrays don't distribute; the equivalent gram formulation
+    does: positions sharing a gram are found with ONE count window over
+    md5(gram) — the only wide exchange, carrying (id, position, 16-byte
+    hash), never payload text — then maximal spans are rebuilt per
+    document by gaps-and-islands (a lag + running-sum window, exact
+    because all gram intervals have equal length ``n``: interval i
+    touches the open island iff p_i − p_{i−1} ≤ n). The per-document
+    windows and the final aggregate all reuse one hashpartitioning(id).
+    At Lee et al.'s n≈50 hot grams are rare; at small n a boilerplate
+    gram can skew the count window — AQE skew-join handles it, or raise
+    ``n``. Token arrays are materialized as columns before any lambda
+    references them (interpreted HOFs do not CSE).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("_w")).select(
+        id_col, "_w", F.size("_w").alias("_nw")
+    )
+    grams = base.filter(F.col("_nw") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nw") - n),
+                lambda i: F.md5(F.array_join(F.slice("_w", i + 1, n), " ")),
+            )
+        ).alias("p", "gh"),
+    )
+    marked = (
+        grams.withColumn("_c", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("_c") > 1)
+        .select(id_col, "p")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("p")
+    prev = F.lag("p").over(w_doc)
+    flagged = marked.select(
+        id_col,
+        "p",
+        F.when(prev.isNull() | (F.col("p") - prev > n), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        id_col,
+        "p",
+        F.sum("_new")
+        .over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_island"),
+    )
+    spans = islands.groupBy(id_col, "_island").agg(
+        F.min("p").cast("long").alias("tok_start"),
+        (F.max("p") + n).cast("long").alias("tok_end"),
+    )
+    span_idx = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("tok_start")
+    )
+    return spans.select(
+        id_col,
+        span_idx.cast("long").alias("span_idx"),
+        "tok_start",
+        "tok_end",
+        (F.col("tok_end") - F.col("tok_start")).alias("n_tokens"),
+    )

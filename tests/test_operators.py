@@ -929,3 +929,33 @@ def test_tfidf_terms_quantized_idf_ranking(spark):
     # ties (score 0) break alphabetically: doc 2 rank order pair>common?
     # 'pair' qidf=1 score=1 beats 'common' score 0
     assert got[(2, 1)]["term"] == "pair" and got[(2, 2)]["term"] == "common"
+
+
+def test_duplicate_spans_islands(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    shared = "one two three four five six seven"  # 7 tokens → 3 grams at n=5
+    rows = [
+        (1, f"{shared} unique tail alpha beta gamma delta"),
+        (2, f"prefix words here also {shared}"),
+        # doc 3: within-doc repetition only (gram repeated twice)
+        (3, "r1 r2 r3 r4 r5 filler filler2 filler3 r1 r2 r3 r4 r5"),
+        (4, "totally distinct text with no repeats whatsoever at all"),
+        (5, "short"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_spans(df, n=5).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_idx"], r["tok_start"], r["tok_end"], r["n_tokens"])
+        )
+
+    # docs 1/2 share the 7-token run: grams at 3 consecutive positions
+    # merge into ONE island of exactly the shared region
+    assert spans[1] == [(1, 0, 7, 7)]
+    assert spans[2] == [(1, 4, 11, 7)]
+    # doc 3: both occurrences of the repeated 5-gram are spans
+    assert spans[3] == [(1, 0, 5, 5), (2, 8, 13, 5)]
+    assert 4 not in spans and 5 not in spans and 6 not in spans

@@ -314,3 +314,19 @@ def test_conv_validate_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert hash_lines and all("conv_id" in l for l in hash_lines)
+
+
+def test_duplicate_spans_two_exchanges(spark):
+    """ExactSubstr spans shuffle twice only: once on the gram hash
+    (count window), once on the document id — the lag window, island
+    aggregate and span numbering all reuse the same
+    hashpartitioning(doc_id)."""
+    from pdf_extractors_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedup.duplicate_spans(df, n=5))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
