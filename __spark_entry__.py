@@ -1604,6 +1604,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_spans"] = q_dedup_spans
 
+    def q_exactsubstr_clean(spark, sf):
+        """The full ExactSubstr pipeline: duplicated-span extraction
+        composed with the span cut (drop-all-copies variant) — emits the
+        cleaned corpus a dedup stage would actually materialize, over
+        the same planted duplicated tails as dedup_spans."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("ds:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(10),
+        )
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                bkt <= 1,
+                F.concat_ws(
+                    " ",
+                    "text",
+                    F.lit(
+                        "shared duplicated tail sequence appears verbatim here again"
+                    ),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        spans = dedup.duplicate_spans(_spread(planted), n=5)
+        return dedup.cut_spans(planted, spans)
+
+    q["exactsubstr_clean"] = q_exactsubstr_clean
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -2753,6 +2787,46 @@ def oracle_sql() -> dict[str, str]:
     # documents with fewer than n tokens yield ZERO shingles (matches
     # dedup.shingles; a truncated last gram would be a phantom shingle)
     shingle3 = _SHINGLE3_SQL
+    # ExactSubstr span derivation (dedup.duplicate_spans, n=5) over the
+    # planted-tail corpus — shared by dedup_spans and exactsubstr_clean
+    ds_spans = f"""
+            b as (
+              select doc_id,
+                     case when cast(concat('0x',
+                            substr(md5('ds:' || cast(doc_id as varchar)),
+                                   1, 8)) as bigint) % 10 <= 1
+                          then concat_ws(' ', text,
+                            'shared duplicated tail sequence appears verbatim here again')
+                          else text end as text
+              from documents),
+            t as (select doc_id,
+                         string_split({norm}, ' ') as w
+                  from b),
+            nn as (select doc_id, w, len(w) as nw from t where len(w) >= 5),
+            g as (select doc_id,
+                         unnest(range(0, nw - 4)) as p,
+                         unnest(list_transform(range(1, nw - 3),
+                           i -> md5(array_to_string(w[i:i+4], ' ')))) as gh
+                  from nn),
+            d as (select doc_id, p,
+                         count(*) over (partition by gh) as c
+                  from g),
+            m as (select doc_id, p from d where c > 1),
+            f as (select doc_id, p,
+                         case when lag(p) over (partition by doc_id
+                                                order by p) is null
+                               or p - lag(p) over (partition by doc_id
+                                                   order by p) > 5
+                              then 1 else 0 end as nf
+                  from m),
+            i as (select doc_id, p,
+                         sum(nf) over (partition by doc_id order by p
+                           rows between unbounded preceding and current row)
+                           as island
+                  from f),
+            s as (select doc_id, island,
+                         min(p) as tok_start, max(p) + 5 as tok_end
+                  from i group by doc_id, island)"""
 
     oracles = {
         "boilerplate_filter": """
@@ -3300,43 +3374,7 @@ def oracle_sql() -> dict[str, str]:
             from range(0, 64) t(i)
         """,
         "dedup_spans": f"""
-            with b as (
-              select doc_id,
-                     case when cast(concat('0x',
-                            substr(md5('ds:' || cast(doc_id as varchar)),
-                                   1, 8)) as bigint) % 10 <= 1
-                          then concat_ws(' ', text,
-                            'shared duplicated tail sequence appears verbatim here again')
-                          else text end as text
-              from documents),
-            t as (select doc_id,
-                         string_split({norm}, ' ') as w
-                  from b),
-            nn as (select doc_id, w, len(w) as nw from t where len(w) >= 5),
-            g as (select doc_id,
-                         unnest(range(0, nw - 4)) as p,
-                         unnest(list_transform(range(1, nw - 3),
-                           i -> md5(array_to_string(w[i:i+4], ' ')))) as gh
-                  from nn),
-            d as (select doc_id, p,
-                         count(*) over (partition by gh) as c
-                  from g),
-            m as (select doc_id, p from d where c > 1),
-            f as (select doc_id, p,
-                         case when lag(p) over (partition by doc_id
-                                                order by p) is null
-                               or p - lag(p) over (partition by doc_id
-                                                   order by p) > 5
-                              then 1 else 0 end as nf
-                  from m),
-            i as (select doc_id, p,
-                         sum(nf) over (partition by doc_id order by p
-                           rows between unbounded preceding and current row)
-                           as island
-                  from f),
-            s as (select doc_id, island,
-                         min(p) as tok_start, max(p) + 5 as tok_end
-                  from i group by doc_id, island)
+            with {ds_spans}
             select doc_id,
                    cast(row_number() over (partition by doc_id
                                            order by tok_start) as bigint)
@@ -3345,6 +3383,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(tok_end as bigint) as tok_end,
                    cast(tok_end - tok_start as bigint) as n_tokens
             from s
+        """,
+        "exactsubstr_clean": f"""
+            with {ds_spans},
+            cutpos as (select doc_id, unnest(range(tok_start, tok_end)) as p
+                       from s),
+            toks as (select doc_id,
+                            unnest(range(0, len(w))) as p,
+                            unnest(w) as tok
+                     from t),
+            kept as (select toks.doc_id, toks.p, toks.tok
+                     from toks left join cutpos
+                       on toks.doc_id = cutpos.doc_id and toks.p = cutpos.p
+                     where cutpos.doc_id is null),
+            agg as (select doc_id,
+                           coalesce(string_agg(tok, ' ' order by p), '')
+                             as clean_text,
+                           count(*) as n_kept
+                    from kept group by doc_id),
+            nsp as (select doc_id, count(*) as n_spans from s group by doc_id)
+            select b.doc_id,
+                   case when b.text is null then null
+                        else coalesce(agg.clean_text, '') end as clean_text,
+                   cast(case when b.text is null then 0
+                        else len(t.w) - coalesce(agg.n_kept, 0)
+                        end as bigint) as n_tokens_cut,
+                   cast(coalesce(nsp.n_spans, 0) as bigint) as n_spans
+            from b
+            join t on b.doc_id = t.doc_id
+            left join agg on b.doc_id = agg.doc_id
+            left join nsp on b.doc_id = nsp.doc_id
         """,
         "tfidf_terms": r"""
             with toks as (

@@ -545,3 +545,69 @@ def duplicate_spans(
         "tok_end",
         (F.col("tok_end") - F.col("tok_start")).alias("n_tokens"),
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ``duplicate_spans`` output: cut every spanned token run
+    from each document's normalized token sequence and re-join — the
+    conservative drop-all-copies variant of ExactSubstr cleaning (the
+    keep-one-occurrence policy is a keeper join away and deliberately
+    not baked in). Null-text documents pass through with null
+    ``clean_text``; span-free documents emit their whitespace-normalized
+    text unchanged.
+
+    The span table is one-row-per-span and orders of magnitude smaller
+    than the corpus; it aggregates to per-document arrays and joins back
+    on the id — payloads move through exactly one equi-join, and the cut
+    itself is an index-aware higher-order filter (no UDF, no second
+    explode of the corpus)."""
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("tok_start", "tok_end")).alias("_spans")
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).isNull().alias("_null_text"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+        )
+        .join(spans_arr, id_col, "left")
+        .select(
+            id_col,
+            "_null_text",
+            "_w",
+            F.coalesce(
+                "_spans",
+                F.array().cast("array<struct<tok_start:long,tok_end:long>>"),
+            ).alias("_sp"),
+        )
+    )
+    kept = F.filter(
+        "_w",
+        lambda t, i: ~F.exists(
+            F.col("_sp"),
+            lambda s: (i >= s["tok_start"]) & (i < s["tok_end"]),
+        ),
+    )
+    out = base.select(
+        id_col,
+        "_null_text",
+        F.size("_w").alias("_n"),
+        kept.alias("_kept"),
+        F.size("_sp").cast("long").alias("n_spans"),
+    )
+    return out.select(
+        id_col,
+        F.when(F.col("_null_text"), F.lit(None).cast("string"))
+        .otherwise(F.array_join("_kept", " "))
+        .alias("clean_text"),
+        F.when(F.col("_null_text"), F.lit(0))
+        .otherwise(F.col("_n") - F.size("_kept"))
+        .cast("long")
+        .alias("n_tokens_cut"),
+        "n_spans",
+    )

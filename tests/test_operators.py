@@ -959,3 +959,25 @@ def test_duplicate_spans_islands(spark):
     # doc 3: both occurrences of the repeated 5-gram are spans
     assert spans[3] == [(1, 0, 5, 5), (2, 8, 13, 5)]
     assert 4 not in spans and 5 not in spans and 6 not in spans
+
+
+def test_cut_spans_applies_and_preserves(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    shared = "one two three four five six seven"
+    rows = [
+        (1, f"{shared} unique tail alpha beta gamma delta"),
+        (2, f"prefix words here also {shared}"),
+        (3, "no duplicates in this document at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicate_spans(df, n=5)
+    got = {r["doc_id"]: r.asDict() for r in dedup.cut_spans(df, spans).collect()}
+
+    assert got[1]["clean_text"] == "unique tail alpha beta gamma delta"
+    assert got[1]["n_tokens_cut"] == 7 and got[1]["n_spans"] == 1
+    assert got[2]["clean_text"] == "prefix words here also"
+    assert got[3]["clean_text"] == "no duplicates in this document at all"
+    assert got[3]["n_tokens_cut"] == 0 and got[3]["n_spans"] == 0
+    assert got[4]["clean_text"] is None and got[4]["n_tokens_cut"] == 0
