@@ -1638,6 +1638,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exactsubstr_clean"] = q_exactsubstr_clean
 
+    def q_url_dedup(spark, sf):
+        """URL canonicalization + provenance-keyed dedup: planted URL
+        variants (case, www, default port, fragment, tracking params,
+        param order, trailing slash) collapse to one canonical key;
+        keeper = min doc_id per key."""
+        from pdf_extractors_spark.operators import urls
+
+        docs = _read(spark, sf, "documents")
+        m4 = F.col("doc_id") % 4
+        url = F.concat(
+            F.lit("HTTPS://WWW.Example-"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".COM:443/path"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.when(m4 == 0, F.lit("/?utm_source=news&b=2&a=1"))
+            .when(m4 == 1, F.lit("?a=1&b=2#section"))
+            .when(m4 == 2, F.lit("/"))
+            .otherwise(F.lit("")),
+        )
+        return urls.url_dedup(docs.select("doc_id", url.alias("url")))
+
+    q["url_dedup"] = q_url_dedup
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3413,6 +3436,56 @@ def oracle_sql() -> dict[str, str]:
             join t on b.doc_id = t.doc_id
             left join agg on b.doc_id = agg.doc_id
             left join nsp on b.doc_id = nsp.doc_id
+        """,
+        "url_dedup": r"""
+            with raw as (
+              select doc_id,
+                     concat('HTTPS://WWW.Example-',
+                            cast(doc_id % 40 as varchar),
+                            '.COM:443/path', cast(doc_id % 3 as varchar),
+                            case cast(doc_id % 4 as int)
+                                 when 0 then '/?utm_source=news&b=2&a=1'
+                                 when 1 then '?a=1&b=2#section'
+                                 when 2 then '/'
+                                 else '' end) as url
+              from documents),
+            u1 as (select doc_id, url,
+                          regexp_replace(trim(url), '#.*$', '') as u
+                   from raw),
+            parts as (
+              select doc_id, url, u,
+                     lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+                     regexp_replace(lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                       '^www\.', '') as host0,
+                     regexp_replace(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                       '/+$', '') as path,
+                     coalesce(array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+                       p -> p <> '' and not starts_with(p, 'utm_')
+                            and not starts_with(p, 'fbclid')
+                            and not starts_with(p, 'gclid'))), '&'), '') as q
+              from u1),
+            canon as (
+              select doc_id,
+                     case when scheme = '' then lower(trim(url))
+                          else scheme || '://' ||
+                               (case when scheme = 'http'
+                                     then regexp_replace(host0, ':80$', '')
+                                     when scheme = 'https'
+                                     then regexp_replace(host0, ':443$', '')
+                                     else host0 end) ||
+                               path ||
+                               (case when q = '' then ''
+                                     else '?' || q end)
+                     end as canonical_url
+              from parts)
+            select doc_id, canonical_url,
+                   doc_id = min(doc_id) over (partition by canonical_url)
+                     as is_keeper
+            from canon
         """,
         "tfidf_terms": r"""
             with toks as (

@@ -1,0 +1,83 @@
+"""URL canonicalization — the provenance key of a web-scale pipeline.
+
+Crawled corpora carry one URL per document, and dedup/blocklist/rollup
+stages all key on it; raw URLs disagree on case, default ports, ``www.``
+prefixes, fragments, tracking parameters and parameter order, so the
+canonical form IS the join key. Everything here is pure column regex/array
+math — codegen, no UDF, replayable in ANSI SQL for the DuckDB oracle.
+
+Canonical rules (documented order):
+
+1. trim; drop the ``#fragment``
+2. lowercase scheme and host; strip a leading ``www.``; strip the
+   scheme's default port (``:80`` http, ``:443`` https)
+3. strip trailing slashes from the path
+4. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``), sort the
+   survivors bytewise, re-join with ``&``
+5. inputs with no ``scheme://`` pass through lower(trim(x)) unchanged —
+   a canonicalizer must be total on dirty provenance columns
+
+Reference scope: the reference engine keys provenance on file paths
+(pdf-extractors' per-file manifests); at corpus scale the analogue is the
+crawl URL, so this module is the web-scale generalization of that key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL column (rules in the module docstring)."""
+    u = F.regexp_replace(F.trim(F.col(col) if isinstance(col, str) else col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
+    params = F.filter(
+        F.split(F.regexp_extract(u, _QUERY_RE, 1), "&", -1),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid")
+        & ~p.startswith("gclid"),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return F.when(scheme == "", F.lower(F.trim(F.col(col) if isinstance(col, str) else col))).otherwise(
+        canon
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed exact dedup: annotate each row with its canonical URL
+    and whether it is the keeper (min id per canonical key) — the same
+    min-representative contract as ``dedup.exact_dedup``, keyed on
+    provenance instead of content. One shuffle on the canonical URL
+    (a short string; payloads never move); null URLs form their own
+    single null-key group, exactly like a groupBy would treat them."""
+    canon = canonical_url(url_col)
+    w = Window.partitionBy("canonical_url")
+    return df.select(
+        F.col(id_col),
+        canon.alias("canonical_url"),
+    ).withColumn(
+        "is_keeper", F.col(id_col) == F.min(id_col).over(w)
+    )

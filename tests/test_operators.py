@@ -981,3 +981,44 @@ def test_cut_spans_applies_and_preserves(spark):
     assert got[3]["clean_text"] == "no duplicates in this document at all"
     assert got[3]["n_tokens_cut"] == 0 and got[3]["n_spans"] == 0
     assert got[4]["clean_text"] is None and got[4]["n_tokens_cut"] == 0
+
+
+def test_canonical_url_rules(spark):
+    from pdf_extractors_spark.operators import urls
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/a/b?a=1&b=2"),
+        (2, "http://Example.com:80/", "http://example.com"),
+        (3, "http://example.com:8080/x", "http://example.com:8080/x"),
+        (4, "https://example.com/path?fbclid=123&gclid=9&z=1",
+            "https://example.com/path?z=1"),
+        (5, "  not a url  ", "not a url"),
+        (6, "https://example.com", "https://example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in df.select("doc_id", urls.canonical_url("url").alias("canonical_url")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_keeper_is_min_id(spark):
+    from pdf_extractors_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [
+            (5, "https://example.com/a"),
+            (2, "HTTPS://WWW.example.com:443/a/"),
+            (9, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in urls.url_dedup(df).collect()}
+    assert got[2]["is_keeper"] and not got[5]["is_keeper"]
+    assert got[2]["canonical_url"] == got[5]["canonical_url"]
+    assert got[9]["is_keeper"]
