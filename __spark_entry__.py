@@ -1661,6 +1661,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_dedup"] = q_url_dedup
 
+    def q_quality_tiers(spark, sf):
+        """Per-language quality tiering: quality_bp (exact integer
+        basis points) ranked within each language, ntile(4) under the
+        total order (score desc, doc_id) — deterministic curation
+        buckets."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        scored = text_stats.quality_score(docs).select("doc_id", "quality_bp")
+        return sampling.quality_tiers(
+            scored.join(docs.select("doc_id", "lang"), "doc_id")
+        )
+
+    q["quality_tiers"] = q_quality_tiers
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3600,6 +3615,16 @@ def oracle_sql() -> dict[str, str]:
             from g
         """,
     }
+    # quality_tiers re-derives quality_bp via the quality_score oracle,
+    # then tiers per language — wrap-don't-duplicate
+    oracles["quality_tiers"] = f"""
+        with qs as ({oracles["quality_score"]})
+        select qs.doc_id, d.lang, qs.quality_bp,
+               cast(ntile(4) over (partition by d.lang
+                    order by qs.quality_bp desc, qs.doc_id asc) as bigint)
+                 as tier
+        from qs join documents d on qs.doc_id = d.doc_id
+    """
     if tp is not None:
         oracles["conv_pairs"] = f"""
             with w as (

@@ -230,3 +230,25 @@ def chunk_windows(
             F.slice(F.col("_toks"), F.col("tok_start") + 1, F.lit(window)), " "
         ).alias("chunk_text"),
     )
+
+
+def quality_tiers(
+    df: DataFrame,
+    n_tiers: int = 4,
+    score_col: str = "quality_bp",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quality tiering: ntile(``n_tiers``) over each
+    stratum's documents ranked by score — the bucketing a curation
+    pipeline uses to mix "top-quartile web" vs "tail web" at controlled
+    ratios (quality-tier sampling). The rank order is the TOTAL order
+    (score desc, id asc), so tier assignment is deterministic under
+    retries and repartitioning; one window shuffle keyed on the stratum,
+    ids and integer scores only — payloads never move."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return df.select(id_col, strata_col, score_col).withColumn(
+        "tier", F.ntile(n_tiers).over(w).cast("long")
+    )

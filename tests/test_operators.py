@@ -1022,3 +1022,17 @@ def test_url_dedup_keeper_is_min_id(spark):
     assert got[2]["is_keeper"] and not got[5]["is_keeper"]
     assert got[2]["canonical_url"] == got[5]["canonical_url"]
     assert got[9]["is_keeper"]
+
+
+def test_quality_tiers_deterministic_ntile(spark):
+    from pdf_extractors_spark.operators import sampling
+
+    # 8 'en' docs scores 80..10, 2 'fr' docs
+    rows = [(i, "en", (8 - i) * 10) for i in range(8)] + [
+        (100, "fr", 50), (101, "fr", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality_bp long")
+    got = {r["doc_id"]: r["tier"] for r in sampling.quality_tiers(df).collect()}
+    # en: 2 docs per tier, best scores first
+    assert [got[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # fr ties break by doc_id: 100 → tier 1, 101 → tier 2 (ntile spreads)
+    assert got[100] == 1 and got[101] == 2
