@@ -1676,6 +1676,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_tiers"] = q_quality_tiers
 
+    def q_blocklist_filter(spark, sf):
+        """Bad-words blocklist verdicts over planted offenders: every
+        17th doc gets a one-off blocked mention (short docs trip the 1%
+        bar, long ones survive), every 23rd a dense spam tail that
+        always trips it — both planted identically in the oracle."""
+        docs = _read(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 23 == 0,
+                F.concat_ws(
+                    " ", "text",
+                    F.lit("casino jackpot betting casino jackpot betting"
+                          " casino jackpot betting casino jackpot betting"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 17 == 0,
+                F.concat_ws(" ", "text", F.lit("casino")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return text_stats.blocklist_filter(planted)
+
+    q["blocklist_filter"] = q_blocklist_filter
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3451,6 +3478,33 @@ def oracle_sql() -> dict[str, str]:
             join t on b.doc_id = t.doc_id
             left join agg on b.doc_id = agg.doc_id
             left join nsp on b.doc_id = nsp.doc_id
+        """,
+        "blocklist_filter": r"""
+            with b as (
+              select doc_id,
+                     case when doc_id % 23 = 0 then concat_ws(' ', text,
+                            'casino jackpot betting casino jackpot betting casino jackpot betting casino jackpot betting')
+                          when doc_id % 17 = 0 then concat_ws(' ', text, 'casino')
+                          else text end as text
+              from documents),
+            t as (select doc_id,
+                         string_split_regex(trim(lower(text)), '\s+') as toks
+                  from b),
+            m as (select doc_id,
+                         len(list_filter(toks, t -> t <> '')) as n,
+                         len(list_filter(toks, t -> t in
+                           ('casino', 'viagra', 'xxx', 'jackpot',
+                            'betting', 'escort'))) as hits
+                  from t)
+            select doc_id,
+                   cast(hits as bigint) as blocked_hits,
+                   cast(case when n > 0
+                        then (2 * 10000 * hits + n) // (2 * n)
+                        else 0 end as bigint) as blocked_bp,
+                   (case when n > 0
+                         then (2 * 10000 * hits + n) // (2 * n)
+                         else 0 end) <= 100 as blocklist_keep
+            from m
         """,
         "url_dedup": r"""
             with raw as (

@@ -627,3 +627,45 @@ def tfidf_terms(
             "rank",
         )
     )
+
+
+BLOCKLIST_DEFAULT = (
+    "casino", "viagra", "xxx", "jackpot", "betting", "escort",
+)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: tuple[str, ...] = BLOCKLIST_DEFAULT,
+    max_hit_bp: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bad-words filtering (the C4/CCNet blocklist stage): count
+    blocked-term token hits per document; ``blocklist_keep`` holds iff
+    the hit fraction stays at or below ``max_hit_bp`` basis points
+    (default 1%). The raw columns (hits, fraction) are emitted alongside
+    the verdict so a pipeline can pick a stricter threshold downstream
+    without recomputing.
+
+    The term list is tiny and inlined into the expression (an effective
+    broadcast: every executor evaluates it locally, nothing joins);
+    hit fraction is exact integer basis points (half-up), so the verdict
+    replays identically in any engine. Pure single-pass column math —
+    no shuffle, no UDF."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda t: t != "")).alias("_n"),
+        F.size(F.filter(toks, lambda t: t.isin(*terms))).alias("_hits"),
+    )
+    hit_bp = F.when(
+        F.col("_n") > 0,
+        F.expr("(2 * 10000 * _hits + _n) div (2 * _n)"),
+    ).otherwise(F.lit(0))
+    return base.select(
+        id_col,
+        F.col("_hits").cast("long").alias("blocked_hits"),
+        hit_bp.cast("long").alias("blocked_bp"),
+        (hit_bp <= max_hit_bp).alias("blocklist_keep"),
+    )

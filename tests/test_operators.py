@@ -1036,3 +1036,24 @@ def test_quality_tiers_deterministic_ntile(spark):
     assert [got[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
     # fr ties break by doc_id: 100 → tier 1, 101 → tier 2 (ntile spreads)
     assert got[100] == 1 and got[101] == 2
+
+
+def test_blocklist_filter_threshold(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    clean100 = " ".join(f"w{i}" for i in range(99))
+    rows = [
+        (1, clean100 + " casino"),       # 1/100 tokens = 100bp → keep (<=)
+        (2, "casino " + " ".join(f"w{i}" for i in range(49))),  # 1/50 = 200bp → drop
+        (3, "perfectly clean text here"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text_stats.blocklist_filter(df).collect()}
+    assert got[1]["blocked_hits"] == 1 and got[1]["blocked_bp"] == 100
+    assert got[1]["blocklist_keep"]
+    assert got[2]["blocked_bp"] == 200 and not got[2]["blocklist_keep"]
+    assert got[3]["blocked_hits"] == 0 and got[3]["blocklist_keep"]
+    assert got[4]["blocked_bp"] == 0 and got[4]["blocklist_keep"]
+    assert got[5]["blocklist_keep"]
