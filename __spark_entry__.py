@@ -267,13 +267,9 @@ _GATE_ORDER = [
     # joins / sessionization / aggregation
     "asof_join",
     "range_join_counts",
-    "salted_user_stats",
-    "time_rollup",
     "multimodal_features",
     # dedup family
     "exact_dedup",
-    "dedup_keep",
-    "minhash_signatures",
     "minhash_lsh_candidates",
     "dedup_clusters",
     "neardup_keep",
@@ -281,6 +277,9 @@ _GATE_ORDER = [
     "simhash",
     "dedup_paragraphs",
     "dedup_against",
+    "dedup_spans",
+    "exactsubstr_clean",
+    "url_dedup",
     "decontaminate",
     # similarity search
     "ivf_ann_topk",
@@ -288,10 +287,10 @@ _GATE_ORDER = [
     # text analysis / scoring
     "segment_paragraphs",
     "dup_ngram_frac",
+    "c4_line_filter",
     "lm_score",
     "gopher_flags",
     "lang_id",
-    "repetition_score",
     "pii_scrub",
     "corpus_stats",
     "domain_counts",
@@ -301,6 +300,7 @@ _GATE_ORDER = [
     "pack_units",
     "conv_pairs",
     "temperature_sample",
+    "conv_validate",
 ]
 
 # Past the window (still registered; value-checked locally per replay by
@@ -323,6 +323,16 @@ _GATE_ORDER = [
 #   since (making room for round-3's six new queries):
 #   pricing_summary, sessionize, regex_field_extract,
 #   train_split_counts, vocab_topk, fingerprint
+#   second rotation (room for round-3's late additions), all with green
+#   r2 rows and an in-window cover for the shared operator path:
+#   time_rollup→stream_windowed_stats (same epoch-bucket rollup),
+#   salted_user_stats→conv_stats_salted (same salted algebraic agg),
+#   dedup_keep→exact_dedup + quality_keep (keeper-composition cover),
+#   minhash_signatures→minhash_lsh_candidates (composes signatures),
+#   repetition_score→dup_ngram_frac (char-weighted variant)
+#   round-3 late additions NOT yet in-window (local replay + pytest
+#   only; rotate next round): chunk_windows, tfidf_terms,
+#   quality_tiers, blocklist_filter
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
