@@ -185,6 +185,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "propagate",
+    on_stall: str = "star",
 ) -> DataFrame:
     """Duplicate clusters from a candidate-pair list: min-label
     propagation to a fixpoint. Returns ``(node, comp)`` for every id in
@@ -196,13 +198,24 @@ def connected_components(
     with ``localCheckpoint`` so the plan stays O(1) deep (at cluster
     scale swap in reliable ``checkpoint`` against the checkpoint dir).
     Converges in O(component diameter) rounds — near-dup graphs are
-    dense clusters with tiny diameters (2-4 rounds in practice); a graph
-    that has not converged after ``max_iter`` raises instead of
-    returning silently-wrong clusters (pathological million-hop chains
-    want the alternating large-star/small-star contraction instead).
+    dense clusters with tiny diameters (2-4 rounds in practice).
+
+    A graph that has not converged after ``max_iter`` rounds (a
+    pathological high-diameter chain) falls back to the alternating
+    large-star/small-star contraction (``_star_components``, O(log²)
+    rounds regardless of diameter) rather than returning silently-wrong
+    clusters; pass ``on_stall="raise"`` to keep the hard failure, or
+    ``algorithm="star"`` to skip propagation and contract directly
+    (the right call when the pair graph is known to be chain-shaped).
 
     Deterministic under any partitioning: the fixpoint (min id reachable)
-    is partition-order-free."""
+    is partition-order-free, and both algorithms compute the same one."""
+    if algorithm not in ("propagate", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if on_stall not in ("star", "raise"):
+        raise ValueError(f"unknown on_stall {on_stall!r}")
+    if algorithm == "star":
+        return _star_components(pairs, id_a, id_b)
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -249,12 +262,97 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 return labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter)"
-        )
+        if on_stall == "raise":
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(component diameter exceeds max_iter)"
+            )
+        return _star_components(pairs, id_a, id_b)
     finally:
         edges.unpersist()
+
+
+def _star_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014): the
+    diameter-free path for pathological chain graphs where min-label
+    propagation needs O(diameter) rounds. Converges in O(log² n)
+    rounds for ANY graph shape; same output contract as
+    ``connected_components`` — ``(node, comp)``, comp = component min.
+
+    Each round is two window-min passes + distinct (no joins); lineage
+    truncated per round with ``localCheckpoint``. Convergence is
+    detected by an order-free (count, bit_xor of xxhash64) checksum of
+    the (distinct) edge set — at the fixpoint the edge set IS the star
+    forest, so labels fall out without further work."""
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = e.localCheckpoint()
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: m(u) = min({u} ∪ N(u)); link every v ∈ N(u), v > u
+        # to m(u). Window-min over the symmetrized edge list — no join.
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        ls = (
+            sym.withColumn(
+                "m", F.least(F.col("a"), F.min("b").over(Window.partitionBy("a")))
+            )
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient edges large→small; m(u) = min(N(u)); link u
+        # and every v ∈ N(u) except m itself to m.
+        dirg = ls.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        withm = dirg.withColumn("m", F.min("b").over(Window.partitionBy("a")))
+        ss = (
+            withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(withm.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        row = ss.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        edges.unpersist()
+        edges = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"_star_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edge set = star forest: (leaf, root) per non-root node.
+    # min-agg guards the (theoretical) multi-parent case; left join
+    # restores roots and self-loop-only singletons as their own comp.
+    labels = edges.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("comp"))
+    out = (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
+    edges.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -519,12 +519,54 @@ def test_connected_components_matches_union_find(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert got == expected
+    # the star-contraction path computes the identical fixpoint
+    got_star = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(df, algorithm="star").collect()
+    }
+    assert got_star == expected
 
 
 def test_connected_components_raises_on_max_iter(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(df, max_iter=1)
+        dedup.connected_components(df, max_iter=1, on_stall="raise")
+
+
+def test_connected_components_star_fallback_on_stall(spark):
+    """Default on_stall: a chain whose diameter exceeds max_iter falls
+    back to large-star/small-star and still returns the exact clusters
+    (this is the high-diameter pathology the propagate docstring names)."""
+    n = 40  # diameter 39 ≫ max_iter
+    chain = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(df, max_iter=3).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_star_direct_shapes(spark):
+    """algorithm='star' on mixed shapes: chain + star + merged pair +
+    self-loop-only singleton, string ids (lexicographic min)."""
+    pairs = [
+        ("c", "b"), ("d", "c"), ("e", "d"),   # chain b-e
+        ("k", "j"), ("k", "l"),               # star at k
+        ("p", "q"), ("q", "r"),               # merged pair
+        ("z", "z"),                           # self-loop singleton
+    ]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(df, algorithm="star").collect()
+    }
+    assert got == {
+        "b": "b", "c": "b", "d": "b", "e": "b",
+        "j": "j", "k": "j", "l": "j",
+        "p": "p", "q": "p", "r": "p",
+        "z": "z",
+    }
 
 
 def test_unigram_lm_score_surprisal_orders_common_vs_rare(spark):
@@ -601,6 +643,11 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in dedup.connected_components(df).collect()
         }
         assert got == expected, (pairs, got, expected)
+        got_star = {
+            r["node"]: r["comp"]
+            for r in dedup.connected_components(df, algorithm="star").collect()
+        }
+        assert got_star == expected, (pairs, got_star, expected)
 
 
 def test_gopher_flags_adversarial_docs(spark):
