@@ -1713,6 +1713,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blocklist_filter"] = q_blocklist_filter
 
+    def q_global_line_dedup(spark, sf):
+        """Cross-corpus line dedup (CCNet page cleanup): the globally
+        first copy of a repeated line survives, every later copy is cut.
+        Planted-data pattern: the fixture corpus shares no natural
+        lines, so the same footer line is appended to every non-null
+        document in BOTH the query and the oracle — exactly one doc
+        keeps it."""
+        docs = _read(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("text").isNotNull(),
+                F.concat_ws("\n", "text", F.lit("SHARED CORPUS FOOTER")),
+            ).alias("text"),
+        )
+        return _longify(dedup.global_line_dedup(planted))
+
+    q["global_line_dedup"] = q_global_line_dedup
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3119,6 +3138,36 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(para, chr(10) order by pos) as dedup_text,
                    cast(max(n_parts) - count(*) as bigint) as n_removed
             from first group by doc_id
+        """,
+        "global_line_dedup": """
+            with p as (select doc_id,
+                              case when text is not null
+                                   then text || chr(10) || 'SHARED CORPUS FOOTER'
+                              end as text
+                       from documents),
+            parts as (select doc_id, nulltext,
+                             unnest(range(0, len(ls))) as pos,
+                             unnest(ls) as para
+                      from (select doc_id, text is null as nulltext,
+                                   string_split(coalesce(text, ''), chr(10)) as ls
+                            from p)),
+            k as (select *, case when length(para) >= 1 then md5(para) end as k
+                  from parts),
+            fl as (select *,
+                          case when k is null then true
+                               else row_number() over (
+                                 partition by k order by doc_id, pos) = 1
+                          end as keep_row
+                   from k)
+            select cast(doc_id as bigint) as doc_id,
+                   case when bool_or(nulltext) then null
+                        else coalesce(string_agg(para, chr(10) order by pos)
+                                        filter (where keep_row), '')
+                   end as dedup_text,
+                   cast(case when bool_or(nulltext) then 0
+                        else count(*) - count(*) filter (where keep_row)
+                   end as bigint) as n_removed
+            from fl group by doc_id
         """,
         "segment_paragraphs": """
             with src as (select doc_id,

@@ -709,3 +709,78 @@ def cut_spans(
         .alias("n_tokens_cut"),
         "n_spans",
     )
+
+
+def global_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-corpus line/paragraph dedup (the CCNet/RefinedWeb page-level
+    cleanup): every ``sep``-delimited block that appears anywhere else in
+    the corpus survives only at its globally-first occurrence — first by
+    ``(doc_id, pos)`` order, a partition-free total order — and is cut
+    everywhere else. Returns ``(doc_id, dedup_text, n_removed)``;
+    null-text documents pass through as ``(null, 0)`` and documents whose
+    every block is cut still emit a row (empty ``dedup_text``).
+
+    Blocks shorter than ``min_chars`` are pass-through (never dedup
+    candidates): with the default 1, empty lines — which would otherwise
+    all collapse into the corpus's single first empty line — keep their
+    positions.
+
+    Scale shape: explode → map-side-combined ``min(struct(doc_id,pos))``
+    per block key → one equi-join back on the key → per-doc reassembly;
+    three exchanges total, and the shuffled key is ``md5(para)`` (32
+    bytes, collision-negligible AND exactly replayable in the SQL
+    oracle), never the paragraph text. The min-agg crushes hot boilerplate
+    blocks map-side before the shuffle, so the classic "same footer on a
+    billion pages" skew never reaches a single reducer as raw rows; the
+    join on the same key is AQE-skew-splittable."""
+    parts = df.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("_null_text"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _regex_quote(sep), -1)
+        ).alias("pos", "para"),
+    ).withColumn(
+        "_k", F.when(F.length("para") >= min_chars, F.md5("para"))
+    )
+    keep_keys = (
+        parts.filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"))
+    )
+    flagged = parts.join(keep_keys, "_k", "left").withColumn(
+        "_keep_row",
+        F.col("_k").isNull()
+        | (
+            (F.col(id_col) == F.col(f"_keep.{id_col}"))
+            & (F.col("pos") == F.col("_keep.pos"))
+        ),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.when(F.first("_null_text"), F.lit(None).cast("string"))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep_row"), F.struct(F.col("pos"), F.col("para"))
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            )
+        )
+        .alias("dedup_text"),
+        F.when(F.first("_null_text"), F.lit(0))
+        .otherwise(F.count("*") - F.sum(F.col("_keep_row").cast("long")))
+        .cast("long")
+        .alias("n_removed"),
+    )

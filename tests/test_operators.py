@@ -709,6 +709,36 @@ def test_dedup_paragraphs_metachar_and_quote_end_separators(spark):
     assert got["n_removed"] == 1
 
 
+def test_global_line_dedup_keeps_first_occurrence_across_docs(spark):
+    """CCNet cross-corpus line dedup: a line repeated in ANOTHER document
+    survives only at its globally-first (doc_id, pos); short pass-through
+    blocks (len < min_chars) never dedup; a doc whose every line is cut
+    still emits a row with empty text."""
+    rows = [
+        (1, "shared line\nunique one"),
+        (2, "unique two\nshared line"),     # 'shared line' cut here
+        (3, "shared line"),                 # fully cut -> '' row survives
+        (4, "a\n\nb\n"),                    # empty lines pass through
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dedup_text"], r["n_removed"])
+           for r in dedup.global_line_dedup(df).collect()}
+    assert got[1] == ("shared line\nunique one", 0)
+    assert got[2] == ("unique two", 1)
+    assert got[3] == ("", 1)
+    assert got[4] == ("a\n\nb\n", 0)
+    assert got[5] == (None, 0)
+    # min_chars raises the pass-through bar: 1-char lines now always kept
+    got2 = {r["doc_id"]: (r["dedup_text"], r["n_removed"])
+            for r in dedup.global_line_dedup(
+                spark.createDataFrame([(1, "a\nxx"), (2, "a\nxx")],
+                                      "doc_id long, text string"),
+                min_chars=2).collect()}
+    assert got2[1] == ("a\nxx", 0)
+    assert got2[2] == ("a", 1)
+
+
 def test_segment_paragraphs_offsets_are_exact(spark):
     """text[seg_start:seg_end] == segment for every row; null text is
     preserved as one null segment."""

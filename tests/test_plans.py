@@ -221,6 +221,23 @@ def test_dedup_paragraphs_partitions_by_document(spark):
         assert "doc_id" in line, line
 
 
+def test_global_line_dedup_shuffles_on_hash_never_text(spark):
+    """The cross-corpus dedup's wide ops key on md5(para) (32-byte key)
+    or the doc id — three exchanges total, no SinglePartition funnel,
+    and the min(struct) agg is map-side combined (partial_min before
+    the key exchange)."""
+    from pdf_extractors_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a line\nb line"), (2, "a line\nc line")],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedup.global_line_dedup(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
+    assert "partial_min" in plan  # hot boilerplate keys crushed map-side
+
+
 def test_dup_ngram_char_frac_has_no_exchange(spark):
     """The char-weighted repetition signal is pure per-row column math
     (sorted-adjacency inside the array) — zero shuffles, unlike the
