@@ -1732,6 +1732,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["global_line_dedup"] = q_global_line_dedup
 
+    def q_top_ngram_frac(spark, sf):
+        """Gopher top-n-gram rule: chars covered by the most frequent
+        word 2-gram, exact integer basis points; deterministic tie-break
+        (max count, then smallest gram) pinned on both sides."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.top_ngram_char_frac(_read(spark, sf, "documents"))
+
+    q["top_ngram_frac"] = q_top_ngram_frac
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3223,6 +3233,32 @@ def oracle_sql() -> dict[str, str]:
                               + length(t.norm)) // (2 * length(t.norm)))
                         else 0 end as bigint) as dup_char_bp
             from t left join d using (doc_id)
+        """,
+        "top_ngram_frac": f"""
+            with t as (select doc_id, {norm} as norm from documents),
+            w as (select doc_id, norm, string_split(norm, ' ') as w from t),
+            g as (select doc_id,
+                         unnest(case when len(w) >= 2
+                                then list_transform(range(1, len(w)),
+                                       i -> array_to_string(w[i:i+1], ' '))
+                                else [] end) as gram
+                  from w),
+            cnt as (select doc_id, gram, count(*) as c
+                    from g group by doc_id, gram),
+            top as (select * from (
+                      select *, row_number() over (partition by doc_id
+                                 order by c desc, gram asc) as rn
+                      from cnt)
+                    where rn = 1)
+            select cast(t.doc_id as bigint) as doc_id,
+                   top.gram as top_gram,
+                   cast(coalesce(top.c, 0) as bigint) as top_count,
+                   cast(case when length(t.norm) > 0 and top.c is not null
+                        then least(10000,
+                             (2 * (10000 * top.c * length(top.gram))
+                              + length(t.norm)) // (2 * length(t.norm)))
+                        else 0 end as bigint) as top_char_bp
+            from t left join top using (doc_id)
         """,
         "dedup_against": f"""
             with k as (select doc_id, md5(coalesce({norm}, '')) as h

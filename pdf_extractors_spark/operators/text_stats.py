@@ -669,3 +669,97 @@ def blocklist_filter(
         hit_bp.cast("long").alias("blocked_bp"),
         (hit_bp <= max_hit_bp).alias("blocklist_keep"),
     )
+
+
+def top_ngram_char_frac(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher's top-n-gram rule (the other half of the repetition
+    battery next to ``dup_ngram_char_frac``): basis points of text
+    characters covered by occurrences of the single MOST FREQUENT word
+    n-gram (count × gram length over normalized chars; Gopher gates
+    2/3/4-grams at 0.20/0.18/0.16). Returns
+    ``(doc_id, top_gram, top_count, top_char_bp)``.
+
+    Per-document column math only — no shuffle, no UDF: grams are
+    sorted once per row so equal grams are adjacent, and a single
+    ``aggregate`` pass tracks (current run, best run); the first maximal
+    run in sorted order makes the tie-break deterministic and
+    SQL-replayable (max count, then lexicographically smallest gram).
+    Null/short texts yield (null, 0, 0) — preserve-with-zeros. Exact
+    integer basis points (half-up, capped at 10000 — overlapping
+    occurrences can cover more than the text length)."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.length(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+            ),
+            F.lit(0),
+        ).cast("long").alias("norm_chars"),
+        F.array_sort(grams).alias("sg"),
+    )
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_run"),
+        F.lit(None).cast("string").alias("best"),
+    )
+
+    def step(acc, g):
+        new_run = F.when(
+            acc["prev"].eqNullSafe(g), acc["run"] + F.lit(1)
+        ).otherwise(F.lit(1).cast("long"))
+        better = new_run > acc["best_run"]
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, g).otherwise(acc["best"]).alias("best"),
+        )
+
+    scan = F.aggregate(
+        F.col("sg"),
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("top_gram"), acc["best_run"].alias("top_count")
+        ),
+    )
+    staged = base.select(
+        F.col(id_col), F.col("norm_chars"), scan.alias("t")
+    ).select(
+        F.col(id_col),
+        "norm_chars",
+        F.col("t.top_gram").alias("top_gram"),
+        F.col("t.top_count").alias("top_count"),
+        (F.col("t.top_count") * F.coalesce(F.length("t.top_gram"), F.lit(0)))
+        .cast("long")
+        .alias("top_chars"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "top_gram",
+        "top_count",
+        F.when(
+            F.col("norm_chars") > 0,
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr(
+                    "(2 * (10000 * top_chars) + norm_chars)"
+                    " div (2 * norm_chars)"
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_char_bp"),
+    )

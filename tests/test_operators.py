@@ -709,6 +709,34 @@ def test_dedup_paragraphs_metachar_and_quote_end_separators(spark):
     assert got["n_removed"] == 1
 
 
+def test_top_ngram_char_frac_counts_and_tiebreak(spark):
+    """Most frequent 2-gram wins; equal counts break to the smallest
+    gram; coverage = count x gram chars in half-up basis points; null
+    and sub-n docs preserve with zeros."""
+    from pdf_extractors_spark.operators import text_stats
+
+    rows = [
+        (1, "a b a b a b"),      # grams: 'a b'x3, 'b a'x2 -> top 'a b'
+        (2, "x y z"),            # all counts 1 -> tie -> 'x y' (smallest)
+        (3, "solo"),             # < 2 tokens -> no grams
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["top_gram"], r["top_count"], r["top_char_bp"])
+           for r in text_stats.top_ngram_char_frac(df).collect()}
+    # doc 1: norm 'a b a b a b' = 11 chars; 3*3=9 chars -> 8182 bp half-up
+    assert got[1] == ("a b", 3, round(10000 * 9 / 11))
+    assert got[2] == ("x y", 1, round(10000 * 3 / 5))
+    assert got[3] == (None, 0, 0)
+    assert got[4] == (None, 0, 0)
+    # cap: overlapping occurrences can cover more than the text
+    cap = {r["doc_id"]: r["top_char_bp"]
+           for r in text_stats.top_ngram_char_frac(
+               spark.createDataFrame([(1, "a a a a a a a a")],
+                                     "doc_id long, text string")).collect()}
+    assert cap[1] == 10000
+
+
 def test_global_line_dedup_keeps_first_occurrence_across_docs(spark):
     """CCNet cross-corpus line dedup: a line repeated in ANOTHER document
     survives only at its globally-first (doc_id, pos); short pass-through

@@ -221,6 +221,18 @@ def test_dedup_paragraphs_partitions_by_document(spark):
         assert "doc_id" in line, line
 
 
+def test_top_ngram_char_frac_has_no_exchange(spark):
+    """The top-gram scan is a single sorted-array aggregate per row —
+    zero shuffles, like dup_ngram_char_frac."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    plan = _plan(text_stats.top_ngram_char_frac(df))
+    assert "Exchange" not in plan, plan
+
+
 def test_global_line_dedup_shuffles_on_hash_never_text(spark):
     """The cross-corpus dedup's wide ops key on md5(para) (32-byte key)
     or the doc id — three exchanges total, no SinglePartition funnel,
