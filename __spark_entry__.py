@@ -335,6 +335,14 @@ _GATE_ORDER = [
 #   quality_tiers, blocklist_filter
 
 
+# fixed BM25 probe queries (same literals in query and oracle)
+_BM25_QUERIES = [
+    ("q1", "spark window join"),
+    ("q2", "customer query table"),
+    ("q3", "hash merge sort stream"),
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1741,6 +1749,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_stats.top_ngram_char_frac(_read(spark, sf, "documents"))
 
     q["top_ngram_frac"] = q_top_ngram_frac
+
+    def q_bm25_topk(spark, sf):
+        """Exact-integer BM25 retrieval (operators/retrieval.py): three
+        fixed literal queries over the documents corpus, top-10 each;
+        identical VALUES list in the oracle."""
+        from pdf_extractors_spark.operators import retrieval
+
+        queries_df = spark.createDataFrame(
+            _BM25_QUERIES, "query_id string, qtext string"
+        )
+        return retrieval.bm25_topk(
+            _read(spark, sf, "documents"), queries_df, k=10
+        )
+
+    q["bm25_topk"] = q_bm25_topk
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -3679,6 +3702,47 @@ def oracle_sql() -> dict[str, str]:
                    cast(score as bigint) as score,
                    cast(rnk as bigint) as rank
             from r where rnk <= 5
+        """,
+        "bm25_topk": r"""
+            with docs_tok as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\s+'),
+                       t -> t <> '') as w
+              from documents),
+            stats as (select cast(sum(len(w)) as bigint) as S,
+                             cast(count(*) as bigint) as N
+                      from docs_tok),
+            base as (select doc_id, len(w) as dl, unnest(w) as term
+                     from docs_tok),
+            tf as (select doc_id, term, max(dl) as dl, count(*) as tf
+                   from base group by doc_id, term),
+            wdf as (select *, count(*) over (partition by term) as doc_freq
+                    from tf),
+            qs as (select * from (values """ + ", ".join(
+                f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES
+            ) + r""") as v(query_id, qtext)),
+            qt as (select distinct query_id, term from (
+                     select query_id,
+                            unnest(list_filter(string_split_regex(
+                              trim(lower(qtext)), '\s+'), t -> t <> '')) as term
+                     from qs)),
+            cand as (select q.query_id, w.doc_id,
+                            (2 * (10000 * (22 * s.S * w.tf
+                               * (length(bin(s.N // w.doc_freq)) - 1)))
+                             + (10 * s.S * w.tf + 3 * s.S + 9 * w.dl * s.N))
+                            // (2 * (10 * s.S * w.tf + 3 * s.S
+                                     + 9 * w.dl * s.N)) as bp
+                     from qt q join wdf w using (term) cross join stats s),
+            sc as (select query_id, doc_id,
+                          cast(sum(bp) as bigint) as score_bp
+                   from cand group by query_id, doc_id),
+            r as (select *, row_number() over (partition by query_id
+                            order by score_bp desc, doc_id asc) as rank
+                  from sc)
+            select query_id, cast(doc_id as bigint) as doc_id,
+                   score_bp, cast(rank as bigint) as rank
+            from r where rank <= 10
         """,
         "chunk_windows": r"""
             with t as (select doc_id,

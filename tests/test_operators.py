@@ -709,6 +709,63 @@ def test_dedup_paragraphs_metachar_and_quote_end_separators(spark):
     assert got["n_removed"] == 1
 
 
+def test_bm25_topk_ranking_and_partition_invariance(spark):
+    """BM25 ranks the doc with more query-term mass first; a term in
+    EVERY doc gets qidf 0 and contributes nothing; the two-phase local
+    top-k gives identical results at 1 and 8 input partitions (exactness
+    of the per-partition prune)."""
+    from pdf_extractors_spark.operators import retrieval
+
+    docs = [
+        (1, "spark spark spark join other words here now"),
+        (2, "spark join filler filler filler filler filler filler"),
+        (3, "unrelated content entirely about nothing relevant"),
+        (4, "common common common common common common common common"),
+    ]
+    # 'common' also planted in every doc -> df = N -> qidf 0
+    docs = [(i, t + " common") for i, t in docs]
+    qs = [("qa", "spark join common")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(qs, "query_id string, qtext string")
+    got = retrieval.bm25_topk(ddf, qdf, k=10).orderBy("rank").collect()
+    # 'common' is in all 4 docs -> df=N -> qidf 0 -> contributes nothing,
+    # but still makes docs 3 and 4 zero-score candidates; tie -> id asc
+    assert [r["doc_id"] for r in got] == [1, 2, 3, 4]
+    assert all(r["query_id"] == "qa" for r in got)
+    by_doc = {r["doc_id"]: r["score_bp"] for r in got}
+    assert by_doc[1] > by_doc[2] > 0
+    assert by_doc[3] == by_doc[4] == 0
+    # partition invariance (k=3 also exercises the prune boundary)
+    a = retrieval.bm25_topk(ddf.repartition(1), qdf, k=3).orderBy("rank").collect()
+    b = retrieval.bm25_topk(ddf.repartition(8), qdf, k=3).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score_bp"], r["rank"]) for r in a] == [
+        (r["doc_id"], r["score_bp"], r["rank"]) for r in b
+    ]
+
+
+def test_bm25_topk_tf_saturation(spark):
+    """k1 saturation: tripling an already-frequent term must gain less
+    than the first occurrence is worth (the 22S·tf/(10S·tf+...) curve
+    flattens), and longer docs are length-penalized."""
+    from pdf_extractors_spark.operators import retrieval
+
+    docs = [
+        (1, "term filler filler filler"),
+        (2, "term term term term filler filler filler filler"),
+        # two term-free docs so df=2 < N=4 -> qidf = floor(log2(4/2)) = 1
+        (3, "filler filler filler filler"),
+        (4, "filler filler filler filler"),
+    ]
+    qdf = spark.createDataFrame(
+        [("q", "term")], "query_id string, qtext string"
+    )
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score_bp"]
+           for r in retrieval.bm25_topk(ddf, qdf, k=10).collect()}
+    assert got[2] > got[1]              # more occurrences still score higher
+    assert got[2] < 4 * got[1]          # but sub-linearly (saturation)
+
+
 def test_top_ngram_char_frac_counts_and_tiebreak(spark):
     """Most frequent 2-gram wins; equal counts break to the smallest
     gram; coverage = count x gram chars in half-up basis points; null

@@ -221,6 +221,24 @@ def test_dedup_paragraphs_partitions_by_document(spark):
         assert "doc_id" in line, line
 
 
+def test_bm25_topk_broadcasts_queries_and_stats(spark):
+    """The corpus side never builds a hash table or re-shuffles for the
+    query join: query terms and the 1-row (S,N) totals both arrive as
+    broadcasts, and there is no CartesianProduct anywhere (the 1-row
+    stats join plans as BroadcastNestedLoopJoin, which is O(rows))."""
+    from pdf_extractors_spark.operators import retrieval
+
+    ddf = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame([("q", "b d")], "query_id string, qtext string")
+    plan = _plan(retrieval.bm25_topk(ddf, qdf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # the big-side tf table is probe side of a broadcast hash join on term
+    assert "BroadcastHashJoin" in plan
+
+
 def test_top_ngram_char_frac_has_no_exchange(spark):
     """The top-gram scan is a single sorted-array aggregate per row —
     zero shuffles, like dup_ngram_char_frac."""
