@@ -274,7 +274,6 @@ _GATE_ORDER = [
     "dedup_clusters",
     "neardup_keep",
     "ngram_jaccard",
-    "simhash",
     "dedup_paragraphs",
     "dedup_against",
     "dedup_spans",
@@ -284,17 +283,19 @@ _GATE_ORDER = [
     # similarity search
     "ivf_ann_topk",
     "embedding_neardup",
+    "global_line_dedup",
+    # similarity / retrieval
+    "bm25_topk",
     # text analysis / scoring
     "segment_paragraphs",
     "dup_ngram_frac",
+    "top_ngram_frac",
     "c4_line_filter",
-    "lm_score",
     "gopher_flags",
-    "lang_id",
     "pii_scrub",
     "corpus_stats",
-    "domain_counts",
     "quality_keep",
+    "mix_epochs",
     # sampling / packing
     "stratified_sample",
     "pack_units",
@@ -330,6 +331,14 @@ _GATE_ORDER = [
 #   dedup_keep→exact_dedup + quality_keep (keeper-composition cover),
 #   minhash_signatures→minhash_lsh_candidates (composes signatures),
 #   repetition_score→dup_ngram_frac (char-weighted variant)
+#   third rotation (room for round-3's final four: global_line_dedup,
+#   bm25_topk, top_ngram_frac, mix_epochs), all with green r2
+#   rows, code untouched since r2, and an in-window cover for the
+#   shared path: simhash→minhash_lsh_candidates/exact_dedup (hash-
+#   family), lm_score→bm25_topk (same tokens⋈corpus-counts join) +
+#   gopher_flags tokenization, lang_id→corpus_stats/stratified_sample
+#   (per-language grouping), domain_counts→corpus_stats (same
+#   group-count shape) + url_dedup (same URL parsing)
 #   round-3 late additions NOT yet in-window (local replay + pytest
 #   only; rotate next round): chunk_windows, tfidf_terms,
 #   quality_tiers, blocklist_filter
@@ -1764,6 +1773,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_topk"] = q_bm25_topk
+
+    def q_mix_epochs(spark, sf):
+        """Deterministic mixture weighting: src0 upsampled 2.3 epochs,
+        src1 kept, src2 a 25% subsample, src3 dropped, everything else
+        default (1 epoch); same weight CASE in the oracle."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return _longify(
+            sampling.mix_epochs(
+                docs.select("doc_id", "source"),
+                {"src0": 23000, "src1": 10000, "src2": 2500, "src3": 0},
+            )
+        )
+
+    q["mix_epochs"] = q_mix_epochs
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -3337,6 +3362,26 @@ def oracle_sql() -> dict[str, str]:
                   < case lang when 'en' then 8000 when 'de' then 5000
                               when 'fr' then 2500 when 'es' then 1000
                               else 0 end
+        """,
+        "mix_epochs": """
+            with w as (select doc_id, source,
+                              case source when 'src0' then 23000
+                                          when 'src1' then 10000
+                                          when 'src2' then 2500
+                                          when 'src3' then 0
+                                          else 10000 end as wbp,
+                              cast(concat('0x', substr(md5('mix:'
+                                || cast(doc_id as varchar)), 1, 8))
+                                as bigint) % 10000 as bucket
+                       from documents),
+            c as (select doc_id, source,
+                         (wbp - wbp % 10000) // 10000
+                         + case when bucket < wbp % 10000
+                                then 1 else 0 end as copies
+                  from w)
+            select cast(doc_id as bigint) as doc_id, source,
+                   cast(unnest(range(1, copies + 1)) as bigint) as copy
+            from c where copies >= 1
         """,
         "ivf_ann_topk": """
             with e as (select vec_id, cast(embedding as double[]) as embedding

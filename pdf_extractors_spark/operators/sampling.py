@@ -252,3 +252,53 @@ def quality_tiers(
     return df.select(id_col, strata_col, score_col).withColumn(
         "tier", F.ntile(n_tiers).over(w).cast("long")
     )
+
+
+def mix_epochs(
+    df: DataFrame,
+    epochs_bp: dict[str, int],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_bp: int = 10000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture weighting (the Pile/DoReMi data-mixing
+    step): replicate each document ``epochs_bp[stratum]/10000`` times —
+    whole epochs as exact copies, the fractional epoch as a
+    hash-thresholded extra copy — so a source weighted 23000 bp emits
+    every doc twice plus a deterministic 30% of docs a third time, and a
+    source at 2500 bp keeps a 25% subsample. Emits the input columns
+    plus ``copy`` (1-based replica index); zero-copy docs disappear.
+
+    The fractional decision reuses ``stratified_sample``'s portable
+    md5-bigint of the stable key, so the mixture is reproducible under
+    retries, repartitioning and engine swaps. Strata absent from the map
+    get ``default_bp`` (keep once). Pure column math + one explode of a
+    bounded sequence — no join (the weight table rides a ``create_map``
+    literal), no shuffle, no RNG."""
+    if any(bp < 0 for bp in epochs_bp.values()) or default_bp < 0:
+        raise ValueError("epochs_bp must be non-negative basis points")
+    bucket = F.pmod(
+        md5_bigint(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        F.lit(10000),
+    )
+    w_map = F.create_map(*[F.lit(x) for kv in epochs_bp.items() for x in kv])
+    w_bp = F.coalesce(w_map[F.col(strata_col)], F.lit(default_bp))
+    frac_bp = F.pmod(w_bp, F.lit(10000))
+    # (w - w mod 10000)/10000 is an exact-multiple division — integer-
+    # exact in double for any sane weight, unlike truncating w/10000
+    whole = ((w_bp.cast("long") - frac_bp) / F.lit(10000)).cast("long")
+    copies = whole + (bucket < frac_bp).cast("long")
+    staged = df.withColumn("_copies", copies)
+    return (
+        staged.withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("_copies") >= 1,
+                    F.sequence(F.lit(1).cast("long"), F.col("_copies")),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        .drop("_copies")
+    )

@@ -709,6 +709,46 @@ def test_dedup_paragraphs_metachar_and_quote_end_separators(spark):
     assert got["n_removed"] == 1
 
 
+def test_mix_epochs_whole_and_fractional_copies(spark):
+    """Weight 20000 bp -> exactly 2 copies of every doc; 0 -> none;
+    absent stratum -> default 1; fractional weights produce the exact
+    hash-thresholded count (replayed in python on the portable hash) and
+    the result is repartition-invariant."""
+    from pdf_extractors_spark.operators import sampling
+    from pdf_extractors_spark.operators.hashing import md5_bigint_py
+
+    rows = [(i, "a" if i < 10 else "b" if i < 20 else "c")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"a": 20000, "b": 0}   # c absent -> default 10000
+    out = sampling.mix_epochs(df, weights).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    for i in range(10):
+        assert sorted(by_doc[i]) == [1, 2]
+    for i in range(10, 20):
+        assert i not in by_doc
+    for i in range(20, 30):
+        assert by_doc[i] == [1]
+    # fractional: 12500 bp -> 1 copy always, 2nd iff hash bucket < 2500
+    frac = sampling.mix_epochs(df, {"a": 12500, "b": 12500, "c": 12500})
+    got = {r["doc_id"]: r["copy"] for r in
+           frac.groupBy("doc_id").agg(F.max("copy").alias("copy")).collect()}
+    for i in range(30):
+        expect = 1 + (md5_bigint_py(f"mix:{i}") % 10000 < 2500)
+        assert got[i] == expect, i
+    # determinism under repartitioning
+    a = sorted((r["doc_id"], r["copy"]) for r in frac.collect())
+    b = sorted(
+        (r["doc_id"], r["copy"])
+        for r in sampling.mix_epochs(
+            df.repartition(7), {"a": 12500, "b": 12500, "c": 12500}
+        ).collect()
+    )
+    assert a == b
+
+
 def test_bm25_topk_ranking_and_partition_invariance(spark):
     """BM25 ranks the doc with more query-term mass first; a term in
     EVERY doc gets qidf 0 and contributes nothing; the two-phase local
