@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "forward_fill",
     "sessionize",
     "explode_lines",
+    # round-3 additions: cluster-forming dedup, cross-corpus line dedup,
+    # and sparse retrieval — the three heaviest new shuffle shapes
+    "dedup_clusters",
+    "global_line_dedup",
+    "bm25_topk",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}
