@@ -341,7 +341,8 @@ _GATE_ORDER = [
 #   group-count shape) + url_dedup (same URL parsing)
 #   round-3 late additions NOT yet in-window (local replay + pytest
 #   only; rotate next round): chunk_windows, tfidf_terms,
-#   quality_tiers, blocklist_filter
+#   quality_tiers, blocklist_filter, semdedup, conv_repair,
+#   jsonl_export
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -830,6 +831,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_neardup"] = q_embedding_neardup
 
+    def q_semdedup(spark, sf):
+        """SemDeDup verdicts: flipped near-dup copies planted (the
+        natural embeddings' max pairwise cos ≈ 0.51), 8 deterministic
+        centroids, within-cell cosine ≥ 0.9 drops the higher id."""
+        emb = _read(spark, sf, "embeddings")
+        planted = similarity.with_flipped_copies(emb)
+        cents = similarity.take_centroids(planted, n=8)
+        return _longify(similarity.semdedup(planted, cents, threshold=0.9))
+
+    q["semdedup"] = q_semdedup
+
     # ---------------------- text stats family ---------------------------
 
     q["token_count"] = lambda spark, sf: _longify(
@@ -1284,6 +1296,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["csv_export"] = q_csv_export
 
+    def q_jsonl_export(spark, sf):
+        """JSONL sink round-trip — the delivery format LLM training
+        pipelines actually consume (one JSON object per line). Write
+        with escaped newlines/quotes/unicode in the payload, re-read
+        with an explicit schema, return the rows; the oracle recomputes
+        them straight from the parquet, so the query passes only if
+        every value survives the round-trip byte-exact."""
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") % 20 == 1)
+        out = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(
+                F.lit('{"nested": "json"} \\ and "'),
+                F.col("lang"),
+                F.lit('"\ntab\there'),
+            ).alias("tricky"),
+            F.col("source"),
+        )
+        name = os.path.basename(sf.rstrip("/")) or "sf"
+        app_id = spark.sparkContext.applicationId
+        path = f"/tmp/spark_graft_jsonl_export_{name}_{app_id}"
+        out.write.mode("overwrite").json(path)
+        back = spark.read.schema(
+            "doc_id long, tricky string, source string"
+        ).json(path)
+        return back.select("doc_id", "tricky", "source")
+
+    q["jsonl_export"] = q_jsonl_export
+
     def q_conv_stats(spark, sf):
         """A3 + salted two-level aggregation over the extracted table.
         Pinned to the oracle tier like every transcript-oracled query:
@@ -1545,6 +1585,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(pipeline.conv_validate(planted))
 
     q["conv_validate"] = q_conv_validate
+
+    def q_conv_repair(spark, sf):
+        """Per-conversation structural repair over the SAME planted
+        defects as conv_validate: the duplicated turn 0 merges into one
+        user turn, the blanked assistant turn is dropped, the planted
+        orphan tool result is dropped, and indices are renumbered —
+        value-checked end to end."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        bkt = F.pmod(
+            md5_bigint(F.concat(F.lit("cv:"), F.col("conv_id"))), F.lit(10)
+        )
+        base = t.withColumn(
+            "text",
+            F.when(
+                (bkt == 2) & (F.col("turn_idx") == 1), F.lit("")
+            ).otherwise(F.col("text")),
+        )
+        dup = t.filter((bkt == 0) & (F.col("turn_idx") == 0))
+        gap_src = t.filter((bkt == 1) & (F.col("turn_idx") == 0))
+        tail_user = gap_src.select(
+            "conv_id",
+            F.lit(999).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("PLANTED").alias("text"),
+        )
+        tail_tool = gap_src.select(
+            "conv_id",
+            F.lit(1000).cast("int").alias("turn_idx"),
+            F.lit("tool").alias("role"),
+            F.lit("tool output").alias("text"),
+        )
+        planted = base.unionByName(dup).unionByName(tail_user).unionByName(
+            tail_tool
+        )
+        return pipeline.conv_repair(planted)
+
+    q["conv_repair"] = q_conv_repair
 
     def q_c4_line_filter(spark, sf):
         """C4 line-level cleaning (terminal punctuation + min words +
@@ -3027,6 +3108,13 @@ def oracle_sql() -> dict[str, str]:
                    'said "' || lang || '" and, then' || chr(10) || source as tricky
             from documents where doc_id % 20 = 0
         """,
+        "jsonl_export": """
+            select cast(doc_id as bigint) as doc_id,
+                   '{"nested": "json"} \\ and "' || lang || '"' || chr(10)
+                     || 'tab' || chr(9) || 'here' as tricky,
+                   source
+            from documents where doc_id % 20 = 1
+        """,
         "union_all": """
             select doc_id, lang from documents where doc_id % 2 = 0
             union all
@@ -3382,6 +3470,38 @@ def oracle_sql() -> dict[str, str]:
             select cast(doc_id as bigint) as doc_id, source,
                    cast(unnest(range(1, copies + 1)) as bigint) as copy
             from c where copies >= 1
+        """,
+        "semdedup": """
+            with base as (select vec_id, cast(embedding as double[]) as emb
+                          from embeddings),
+            planted as (
+              select vec_id, emb from base
+              union all
+              select vec_id + 1000000,
+                     list_transform(range(1, len(emb) + 1),
+                       i -> case when i = len(emb) then -emb[i] else emb[i] end)
+              from base
+            ),
+            c as (select vec_id as centroid_id, emb as ce
+                  from planted order by vec_id limit 8),
+            assigned as (
+              select vec_id, emb, centroid_id
+              from (select p.vec_id, p.emb, c.centroid_id,
+                           row_number() over (partition by p.vec_id
+                                order by round(list_cosine_similarity(p.emb, c.ce), 6) desc,
+                                         c.centroid_id) as rn
+                    from planted p, c) t
+              where rn = 1
+            ),
+            dropped as (
+              select distinct r.vec_id
+              from assigned l join assigned r
+                on l.centroid_id = r.centroid_id and l.vec_id < r.vec_id
+              where round(list_cosine_similarity(l.emb, r.emb), 4) >= 0.9
+            )
+            select a.vec_id, cast(a.centroid_id as bigint) as centroid_id,
+                   (d.vec_id is null) as keep
+            from assigned a left join dropped d on a.vec_id = d.vec_id
         """,
         "ivf_ann_topk": """
             with e as (select vec_id, cast(embedding as double[]) as embedding
@@ -3946,6 +4066,70 @@ def oracle_sql() -> dict[str, str]:
                     and n_role_repeats = 0 and n_empty_assistant = 0
                     and n_orphan_tool = 0) as conv_ok
             from agg
+        """
+        oracles["conv_repair"] = f"""
+            with b as (
+              select conv_id, turn_idx, role, text,
+                     cast(concat('0x', substr(md5('cv:' || conv_id), 1, 8))
+                          as bigint) % 10 as bkt
+              from read_parquet('{tp}')),
+            planted as (
+              select conv_id, turn_idx, role,
+                     case when bkt = 2 and turn_idx = 1 then ''
+                          else text end as text
+              from b
+              union all
+              select conv_id, turn_idx, role, text
+              from b where bkt = 0 and turn_idx = 0
+              union all
+              select conv_id, 999, 'user', 'PLANTED'
+              from b where bkt = 1 and turn_idx = 0
+              union all
+              select conv_id, 1000, 'tool', 'tool output'
+              from b where bkt = 1 and turn_idx = 0),
+            alive1 as (
+              select conv_id, turn_idx, role, text,
+                     cast(count(*) as bigint) as m
+              from planted
+              where trim(coalesce(text, '')) <> ''
+              group by conv_id, turn_idx, role, text),
+            pnt as (
+              select *,
+                     last_value(case when role <> 'tool' then role end
+                                ignore nulls)
+                       over (partition by conv_id
+                             order by turn_idx, role, text
+                             rows between unbounded preceding
+                                      and 1 preceding) as prev_nt
+              from alive1),
+            alive2 as (
+              select conv_id, turn_idx, role, text, m from pnt
+              where role <> 'tool' or prev_nt = 'assistant'),
+            chg as (
+              select *,
+                     case when lag(role) over (partition by conv_id
+                               order by turn_idx, role, text)
+                               is distinct from role
+                          then 1 else 0 end as rc
+              from alive2),
+            isl as (
+              select *,
+                     sum(rc) over (partition by conv_id
+                                   order by turn_idx, role, text
+                                   rows between unbounded preceding
+                                            and current row) as island
+              from chg),
+            g as (
+              select conv_id, island, min(role) as role,
+                     string_agg(text, chr(10)
+                                order by turn_idx, role, text) as text,
+                     cast(sum(m) as bigint) as n_merged
+              from isl group by conv_id, island)
+            select conv_id,
+                   cast(row_number() over (partition by conv_id
+                        order by island) - 1 as bigint) as turn_idx,
+                   role, text, n_merged
+            from g
         """
         oracles["conv_stitch"] = f"""
             select conv_id, count(*) as n_turns,

@@ -378,6 +378,91 @@ def conv_validate(transcripts: DataFrame) -> DataFrame:
     return agg.withColumn("conv_ok", ok)
 
 
+def conv_repair(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation structural REPAIR — the normalization a
+    fine-tuning pipeline runs on conversations ``conv_validate`` flags,
+    instead of discarding them. Deterministic, order-of-operations
+    fixed:
+
+    1. **blank drop** — turns whose text is null/blank (after ``trim``)
+       are removed, any role.
+    2. **exact-duplicate collapse** — rows identical in (turn_idx,
+       role, text) — the duplicated-index defect ``conv_validate``
+       counts — keep one copy; the multiplicity feeds ``n_merged``.
+       This also makes (turn_idx, role, text) a TOTAL order within the
+       conversation, which the window stages below require: with
+       surviving exact ties an engine may evaluate the lag window and
+       the running-sum window under different arbitrary tie orders and
+       split a same-role run nondeterministically (observed in the
+       DuckDB oracle before this step existed).
+    3. **orphan-tool drop** — a ``tool`` turn survives iff the nearest
+       PRECEDING non-tool surviving turn is an ``assistant`` turn
+       (chained tool results after one assistant call all survive).
+    4. **same-role merge** — consecutive surviving turns with the same
+       role collapse into one turn; distinct texts joined with a
+       newline in (turn_idx, role, text) order.
+    5. **re-index** — surviving merged turns are renumbered 0..k-1.
+
+    Emits (conv_id, turn_idx, role, text, n_merged) where ``n_merged``
+    is how many source turns fed the merged row (duplicates included).
+
+    The upfront ``repartition("conv_id")`` pins ONE hash exchange for
+    the whole repair: the dedup aggregate and every window cluster on
+    supersets of conv_id, so nothing downstream re-shuffles payloads;
+    at 10^12 turns the cost profile is ``conv_validate`` plus the
+    in-partition sorts."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role", "text")
+    # 1+2. blank drop, then exact-duplicate collapse
+    alive = (
+        transcripts.select("conv_id", "turn_idx", "role", "text")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .repartition("conv_id")
+        .groupBy("conv_id", "turn_idx", "role", "text")
+        .agg(F.count("*").alias("_m"))
+    )
+    # 3. orphan-tool drop: fill-down of the last non-tool role strictly
+    # before the current row
+    prev_nt = F.last(
+        F.when(F.col("role") != "tool", F.col("role")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    alive = alive.withColumn("_prev_nt", prev_nt).filter(
+        (F.col("role") != "tool") | (F.col("_prev_nt") == "assistant")
+    )
+    # 4. islands of consecutive same-role turns (gaps-and-islands over
+    # the post-drop frame)
+    role_change = F.when(
+        F.lag("role").over(w).isNull() | (F.lag("role").over(w) != F.col("role")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    alive = alive.withColumn("_rc", role_change).withColumn(
+        "_island",
+        F.sum("_rc").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wi = Window.partitionBy("conv_id", "_island").orderBy(
+        "turn_idx", "role", "text"
+    )
+    wif = wi.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged = (
+        alive.withColumn(
+            "text", F.concat_ws("\n", F.collect_list("text").over(wif))
+        )
+        .withColumn("n_merged", F.sum("_m").over(wif))
+        .withColumn("_rn", F.row_number().over(wi))
+        .filter(F.col("_rn") == 1)
+    )
+    # 5. re-index
+    return merged.select(
+        "conv_id",
+        (
+            F.row_number().over(Window.partitionBy("conv_id").orderBy("_island"))
+            - 1
+        ).cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
 def explode_turn_lines(transcripts: DataFrame) -> DataFrame:
     """S4/M9 as a pure-Spark op: payload → ordered lines via
     posexplode(split()), preserving reading order without any UDF."""

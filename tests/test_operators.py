@@ -1259,3 +1259,111 @@ def test_blocklist_filter_threshold(spark):
     assert got[3]["blocked_hits"] == 0 and got[3]["blocklist_keep"]
     assert got[4]["blocked_bp"] == 0 and got[4]["blocklist_keep"]
     assert got[5]["blocklist_keep"]
+
+
+def test_semdedup_drops_higher_id_near_dups(spark):
+    """Flipped copies (cos ≈ 0.98 to their source) co-cluster with the
+    originals and are dropped (higher id); unrelated vectors survive.
+    Verdict table covers every input row once and is repartition-
+    invariant."""
+    from pdf_extractors_spark.operators import similarity
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 64-dim like the embeddings table: flipping the last component
+    # gives cos ≈ 1 - 2/64 ≈ 0.97 to the source — above the 0.9
+    # threshold (at 16 dims the expected cos is ~0.875 and the test
+    # would flake on the planted pairs themselves)
+    base = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    planted = similarity.with_flipped_copies(df, id_offset=100)
+    cents = similarity.take_centroids(planted, n=4)
+    out = similarity.semdedup(planted, cents, threshold=0.9).collect()
+    verdicts = {r["vec_id"]: r["keep"] for r in out}
+    assert len(verdicts) == 24  # every planted row exactly once
+    # independent numpy replica of the exact algorithm (assign by
+    # round-6 cosine with centroid-id tiebreak, drop on round-4
+    # within-cell cosine >= threshold against a lower id)
+    # truncate to float32 first: the Spark column is array<float>, and
+    # the engine casts those float32 values to double inside cosine
+    vecs = {
+        i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in base
+    }
+    for i, v in base:
+        f = vecs[i].copy()
+        f[-1] = -f[-1]
+        vecs[100 + i] = f
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    cent_ids = sorted(vecs)[:4]
+    assign = {
+        vid: max(cent_ids, key=lambda c: (round(cos(v, vecs[c]), 6), -c))
+        for vid, v in vecs.items()
+    }
+    expect = {
+        vid: not any(
+            assign[o] == assign[vid] and o < vid
+            and round(cos(vecs[o], vecs[vid]), 4) >= 0.9
+            for o in vecs
+        )
+        for vid in vecs
+    }
+    assert verdicts == expect
+    # the planting produced real work in both directions
+    assert sum(not k for k in expect.values()) >= 8
+    assert all(expect[i] for i in range(12))  # originals always kept
+    rep = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semdedup(
+            planted.repartition(5), cents, threshold=0.9
+        ).collect()
+    }
+    assert rep == verdicts
+
+
+def test_conv_repair_drops_merges_and_reindexes(spark):
+    """A dirty conversation: blank assistant turn dropped, tool result
+    after the (dropped) assistant becomes an orphan and is dropped,
+    consecutive same-role user turns merge in order, indices renumber
+    from 0. A clean conversation passes through untouched."""
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        # dirty conversation
+        ("c1", 0, "user", "hello"),
+        ("c1", 0, "user", "hello"),                   # exact dup -> collapsed
+        ("c1", 1, "user", "are you there?"),          # merges with turn 0
+        ("c1", 2, "assistant", "   "),                # blank -> dropped
+        ("c1", 3, "tool", "result A"),                # orphaned -> dropped
+        ("c1", 4, "assistant", "hi"),
+        ("c1", 5, "tool", "result B"),                # valid: follows assistant
+        ("c1", 6, "tool", "result C"),                # valid: chained tool
+        # clean conversation
+        ("c2", 0, "user", "q"),
+        ("c2", 1, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["n_merged"])
+        for r in pipeline.conv_repair(df).collect()
+    }
+    # the exact duplicate collapses (counted in n_merged, text once)
+    assert got[("c1", 0)] == ("user", "hello\nare you there?", 3)
+    assert got[("c1", 1)] == ("assistant", "hi", 1)
+    assert got[("c1", 2)] == ("tool", "result B\nresult C", 2)
+    assert ("c1", 3) not in got
+    assert got[("c2", 0)] == ("user", "q", 1)
+    assert got[("c2", 1)] == ("assistant", "a", 1)
+    # repartition invariance
+    rep = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["n_merged"])
+        for r in pipeline.conv_repair(df.repartition(4)).collect()
+    }
+    assert rep == got

@@ -377,3 +377,43 @@ def test_duplicate_spans_two_exchanges(spark):
     plan = _plan(dedup.duplicate_spans(df, n=5))
     assert "SinglePartition" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_conv_repair_single_conv_exchange(spark):
+    """The whole repair (blank drop, orphan-tool fill-down window,
+    island windows, re-index) rides hashpartitioning(conv_id) — the
+    (conv_id, _island) windows are subset-compatible with it, so no
+    second payload shuffle and no SinglePartition funnel."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "u"), ("c1", 1, "assistant", "a")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(pipeline.conv_repair(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_semdedup_broadcast_assign_no_cartesian(spark):
+    """Centroid assignment broadcasts the tiny centroid set; the
+    within-cell pairwise stage is an equi-join on centroid_id — no
+    cartesian product anywhere in the plan."""
+    from pdf_extractors_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.take_centroids(df, n=2)
+    plan = _plan(similarity.semdedup(df, cents, cache=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # centroid set rides a broadcast
+    # the pairwise stage must be an equi-join KEYED on centroid_id —
+    # formatted explain puts join keys on "Left keys" lines
+    assert re.search(r"Left keys.*centroid_id", plan)
+    # with cache=True the assignment materializes once for its three
+    # consumers instead of re-running the broadcast-assign pass
+    cached = _plan(similarity.semdedup(df, cents, cache=True))
+    assert "InMemoryTableScan" in cached
+    spark.catalog.clearCache()
