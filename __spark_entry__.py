@@ -342,7 +342,7 @@ _GATE_ORDER = [
 #   round-3 late additions NOT yet in-window (local replay + pytest
 #   only; rotate next round): chunk_windows, tfidf_terms,
 #   quality_tiers, blocklist_filter, semdedup, conv_repair,
-#   jsonl_export
+#   jsonl_export, neardup_against, ngram_counts
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -1870,6 +1870,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["mix_epochs"] = q_mix_epochs
+
+    def q_neardup_against(spark, sf):
+        """Cross-corpus near-dup flagging with a large (non-broadcast)
+        reference: the reference is every third document re-keyed
+        (+1,000,000), so each ref doc is an exact near-dup (Jaccard 1.0)
+        of its source, discovered via banded MinHash join + exact
+        shingle-Jaccard verify of the candidates only."""
+        docs = _spread(_read(spark, sf, "documents"))
+        ref = docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        return _longify(dedup.neardup_against(docs, ref, threshold=0.5))
+
+    q["neardup_against"] = q_neardup_against
+
+    q["ngram_counts"] = lambda spark, sf: _longify(
+        text_stats.ngram_counts(
+            _spread(_read(spark, sf, "documents")), n=2, min_count=3
+        )
+    )
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -3470,6 +3490,76 @@ def oracle_sql() -> dict[str, str]:
             select cast(doc_id as bigint) as doc_id, source,
                    cast(unnest(range(1, copies + 1)) as bigint) as copy
             from c where copies >= 1
+        """,
+        "neardup_against": f"""
+            with cd as (select doc_id, text from documents),
+            rd as (select doc_id + 1000000 as doc_id, text
+                   from documents where doc_id % 3 = 0),
+            ct as (select doc_id, string_split({_NORM_SQL}, ' ') as w from cd),
+            rt as (select doc_id, string_split({_NORM_SQL}, ' ') as w from rd),
+            csh as (select doc_id, unnest({_SHINGLE3_SQL}) as shingle from ct),
+            rsh as (select doc_id, unnest({_SHINGLE3_SQL}) as shingle from rt),
+            chb as (select doc_id,
+                           cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
+                             % {_MINHASH_P} as hb
+                    from csh),
+            rhb as (select doc_id,
+                           cast(concat('0x', substr(md5(shingle),1,8)) as bigint)
+                             % {_MINHASH_P} as hb
+                    from rsh),
+            csig as (select doc_id, {_minhash_mins(8)} from chb group by doc_id),
+            rsig as (select doc_id, {_minhash_mins(8)} from rhb group by doc_id),
+            cband as (
+              select doc_id, b.band,
+                     case b.band
+                       when 0 then concat(cast(h0 as varchar), ',', cast(h1 as varchar))
+                       when 1 then concat(cast(h2 as varchar), ',', cast(h3 as varchar))
+                       when 2 then concat(cast(h4 as varchar), ',', cast(h5 as varchar))
+                       else concat(cast(h6 as varchar), ',', cast(h7 as varchar))
+                     end as key
+              from csig, (values (0),(1),(2),(3)) b(band)),
+            rband as (
+              select doc_id, b.band,
+                     case b.band
+                       when 0 then concat(cast(h0 as varchar), ',', cast(h1 as varchar))
+                       when 1 then concat(cast(h2 as varchar), ',', cast(h3 as varchar))
+                       when 2 then concat(cast(h4 as varchar), ',', cast(h5 as varchar))
+                       else concat(cast(h6 as varchar), ',', cast(h7 as varchar))
+                     end as key
+              from rsig, (values (0),(1),(2),(3)) b(band)),
+            cand as (select distinct c.doc_id as doc_id, r.doc_id as ref_id
+                     from cband c join rband r using (band, key)),
+            csz as (select doc_id, count(*) as sa from csh group by doc_id),
+            rsz as (select doc_id, count(*) as sb from rsh group by doc_id),
+            cmn as (select cand.doc_id, cand.ref_id, count(*) as common
+                    from cand
+                    join csh on csh.doc_id = cand.doc_id
+                    join rsh on rsh.doc_id = cand.ref_id
+                           and rsh.shingle = csh.shingle
+                    group by 1, 2)
+            select cast(cmn.doc_id as bigint) as doc_id,
+                   cast(cmn.ref_id as bigint) as ref_id,
+                   cast(common as bigint) as common,
+                   round(common * 1.0 / (sa + sb - common), 4) as jaccard
+            from cmn
+            join csz on csz.doc_id = cmn.doc_id
+            join rsz on rsz.doc_id = cmn.ref_id
+            where round(common * 1.0 / (sa + sb - common), 4) >= 0.5
+        """,
+        "ngram_counts": """
+            with t as (select doc_id,
+                              string_split_regex(trim(lower(text)), '\\s+') as w
+                       from documents),
+            g as (select doc_id,
+                         unnest(case when len(w) >= 2
+                                then list_transform(range(1, len(w)),
+                                       i -> array_to_string(w[i:i+1], ' '))
+                                else [] end) as ngram
+                  from t)
+            select ngram,
+                   cast(count(*) as bigint) as total_count,
+                   cast(count(distinct doc_id) as bigint) as doc_freq
+            from g group by ngram having count(*) >= 3
         """,
         "semdedup": """
             with base as (select vec_id, cast(embedding as double[]) as emb

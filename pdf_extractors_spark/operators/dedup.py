@@ -141,14 +141,12 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2,
+def _banded(
+    signatures: DataFrame, id_col: str, bands: int, rows: int
 ) -> DataFrame:
-    """LSH banding: documents whose signature agrees on all rows of some
-    band become a candidate pair. Join is per-band on the band key —
-    never an all-pairs product."""
-    k = bands * rows
-    banded = signatures.select(
+    """(id, band, key) banding of a MinHash signature frame — the LSH
+    bucket keys both the self-join and cross-corpus forms equi-join on."""
+    return signatures.select(
         id_col,
         F.explode(
             F.array(
@@ -164,6 +162,15 @@ def lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_candidates(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2,
+) -> DataFrame:
+    """LSH banding: documents whose signature agrees on all rows of some
+    band become a candidate pair. Join is per-band on the band key —
+    never an all-pairs product."""
+    banded = _banded(signatures, id_col, bands, rows)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -455,6 +462,73 @@ def decontaminate(
         corpus.join(bench, "shingle")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlapping"))
+    )
+
+
+def neardup_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate flagging when the reference set is
+    itself web-scale — the path past ``decontaminate`` (whose broadcast
+    needs a small benchmark) and ``dedup_against`` (exact hashes only):
+    e.g. scrubbing a new crawl against last year's trained corpus.
+
+    Shape: MinHash signatures on BOTH sides (one explode + one
+    map-side-combined groupBy each), LSH banding, per-band equi-join
+    corpus↔reference on (band, key) — never all-pairs, and never a
+    self-join, so neither side's internal duplicates generate pairs —
+    then exact n-gram Jaccard computed ONLY for candidate pairs:
+    shingle tables are semi-join-restricted to candidate ids before the
+    intersection count, so shuffle volume tracks candidates, not the
+    corpora. Returns (id, ref_id, common, jaccard) for verified pairs
+    with Jaccard ≥ ``threshold``; jaccard rounded to 4 decimals before
+    the compare (cross-engine reproducible)."""
+    sig_c = minhash_signatures(corpus, text_col, id_col, n, k)
+    sig_r = minhash_signatures(reference, text_col, id_col, n, k)
+    b_c = _banded(sig_c, id_col, bands, rows)
+    b_r = _banded(sig_r, id_col, bands, rows).withColumnRenamed(id_col, "ref_id")
+    cand = (
+        b_c.join(b_r, ["band", "key"])
+        .select(id_col, "ref_id")
+        .distinct()
+    )
+    sh_c = shingles(corpus, text_col, id_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    sh_r = shingles(reference, text_col, id_col, n).select(
+        F.col(id_col).alias("ref_id"), F.xxhash64("shingle").alias("shingle")
+    )
+    sh_c = sh_c.join(cand.select(id_col).distinct(), id_col, "left_semi")
+    sh_r = sh_r.join(cand.select("ref_id").distinct(), "ref_id", "left_semi")
+    common = (
+        cand.join(sh_c, id_col)
+        .join(sh_r, ["ref_id", "shingle"])
+        .groupBy(id_col, "ref_id")
+        .agg(F.count("*").alias("common"))
+    )
+    size_c = sh_c.groupBy(id_col).agg(F.count("*").alias("size_a"))
+    size_r = sh_r.groupBy("ref_id").agg(F.count("*").alias("size_b"))
+    return (
+        common.join(size_c, id_col)
+        .join(size_r, "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "ref_id", "common", "jaccard")
     )
 
 

@@ -130,6 +130,46 @@ def vocab_topk(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus word-n-gram count table — the statistical-LM prep step
+    (KenLM-style count collection) and the input to n-gram novelty /
+    memorization analyses. Emits (ngram, total_count, doc_freq) for
+    every n-gram with ``total_count ≥ min_count``.
+
+    One explode + one map-side-combined groupBy; the ``min_count``
+    filter runs after the merge, pruning the singleton long-tail (the
+    overwhelming majority of distinct n-grams at corpus scale) before
+    anything downstream touches the table. Unlike ``shingles`` this
+    keeps duplicate occurrences — counts, not set membership. The
+    groupBy key is the n-gram STRING because the string is the
+    deliverable; at 100 TB sizes the shuffle carries each distinct
+    n-gram once per map partition (partial aggregation), not once per
+    occurrence."""
+    words = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count("*").alias("total_count"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+        .filter(F.col("total_count") >= min_count)
+    )
+
+
 # PII patterns (planted-data testable; RE2-compatible for the oracle)
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

@@ -1367,3 +1367,59 @@ def test_conv_repair_drops_merges_and_reindexes(spark):
         for r in pipeline.conv_repair(df.repartition(4)).collect()
     }
     assert rep == got
+
+
+def test_neardup_against_flags_cross_corpus_pairs(spark):
+    """A reference doc that near-duplicates a corpus doc is flagged with
+    the exact Jaccard; unrelated reference docs produce nothing; the
+    corpus is never self-joined (internal corpus duplicates yield no
+    pairs)."""
+    from pdf_extractors_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about spark window functions here"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "nothing remotely similar lives in this reference document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["ref_id"]): (r["common"], r["jaccard"])
+        for r in dedup.neardup_against(corpus, ref, threshold=0.5).collect()
+    }
+    # both exact copies match ref 100 at jaccard 1.0; doc 3 and ref 101
+    # match nothing; (1,2) is NOT emitted (no corpus self-join)
+    assert got == {(1, 100): (8, 1.0), (2, 100): (8, 1.0)}
+
+
+def test_ngram_counts_exact_and_min_count(spark):
+    """Bigram totals count occurrences (not set membership), doc_freq
+    counts documents, and min_count prunes the tail."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),       # 'a b' x2, 'b a' x1
+            (2, "a b c"),         # 'a b' x1, 'b c' x1
+            (3, "zz"),            # < n tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["ngram"]: (r["total_count"], r["doc_freq"])
+        for r in text_stats.ngram_counts(df, n=2, min_count=2).collect()
+    }
+    assert got == {"a b": (3, 2)}
+    all_grams = {
+        r["ngram"]: (r["total_count"], r["doc_freq"])
+        for r in text_stats.ngram_counts(df, n=2, min_count=1).collect()
+    }
+    assert all_grams == {"a b": (3, 2), "b a": (1, 1), "b c": (1, 1)}
