@@ -223,8 +223,19 @@ _RE_SLAVE_MOTHER = re.compile(r"(?:offspring of )(.*?),", re.IGNORECASE)
 _RE_OWNER = re.compile(r"(?:slave[ \(\w\)]* of )(.*?),", re.IGNORECASE)
 
 
+# every alternative of _RE_FATHER/_RE_FATHER_AND contains one of these
+# literals (s. covers ss./?s./s.? forms; d. covers ?d.) — a miss on all
+# of them makes the regex search a guaranteed miss, so it is skipped
+_FATHER_GUARDS = (
+    "s.", "d.", "son of", "daughter of", "father of", "child of", "born to"
+)
+
+
 def get_father(data: str) -> str | None:
     """X10 (persons.py:188-211)."""
+    low = data.lower()
+    if not any(g in low for g in _FATHER_GUARDS):
+        return None
     pattern = _RE_FATHER_AND if " and " in data else _RE_FATHER
     m = pattern.search(data)
     father = m.group(1).strip() if m else None
@@ -238,7 +249,10 @@ def get_father(data: str) -> str | None:
 
 
 def get_mother(data: str) -> str | None:
-    """X10 (persons.py:213-227)."""
+    """X10 (persons.py:213-227). Guard: the pattern's mandatory
+    ``\\s+and\\s+`` cannot match a line without "and"."""
+    if "and" not in data.lower():
+        return None
     m = _RE_MOTHER.search(data)
     mother = m.group(1).strip() if m else None
     if mother is not None and "wife" in mother:
@@ -426,12 +440,15 @@ def set_personal_ids(household_id: str, declarant_ids: list[str], declarant_name
     """J1 name-match join + X14 sequential ids (persons.py:389-411),
     with the 'Aurelius'→'Aur.' normalization X22 (persons.py:396-403)."""
     id_index = 1
+    # the strip/"Aurelius" normalizations are pure per-string transforms:
+    # hoisted out of the person×declarant loop (value-identical, the
+    # inner loop was recomputing both on every probe)
+    dnames = [d.strip().replace("Aurelius", "Aur.") for d in declarant_names]
     for person in persons:
         if person.get("relation_to_declarant") == "self" and person.get("id") is None:
             pname = person["name"] or ""
-            for index, dec_name in enumerate(declarant_names):
-                dname = dec_name.strip().replace("Aurelius", "Aur.")
-                pcmp = pname.replace("Aurelius", "Aur.")
+            pcmp = pname.replace("Aurelius", "Aur.")
+            for index, dname in enumerate(dnames):
                 if (
                     pcmp.startswith(dname)
                     or dname.startswith(pcmp)
