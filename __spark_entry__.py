@@ -342,7 +342,7 @@ _GATE_ORDER = [
 #   round-3 late additions NOT yet in-window (local replay + pytest
 #   only; rotate next round): chunk_windows, tfidf_terms,
 #   quality_tiers, blocklist_filter, semdedup, conv_repair,
-#   jsonl_export, neardup_against, ngram_counts
+#   jsonl_export, neardup_against, ngram_counts, perplexity_buckets
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -1890,6 +1890,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _spread(_read(spark, sf, "documents")), n=2, min_count=3
         )
     )
+
+    def q_perplexity_buckets(spark, sf):
+        """CCNet head/middle/tail terciles per language over the
+        corpus-unigram surprisal score."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _spread(_read(spark, sf, "documents"))
+        scores = text_stats.unigram_lm_score(docs)
+        return _longify(sampling.perplexity_buckets(docs, scores))
+
+    q["perplexity_buckets"] = q_perplexity_buckets
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -3545,6 +3556,40 @@ def oracle_sql() -> dict[str, str]:
             join csz on csz.doc_id = cmn.doc_id
             join rsz on rsz.doc_id = cmn.ref_id
             where round(common * 1.0 / (sa + sb - common), 4) >= 0.5
+        """,
+        "perplexity_buckets": """
+            with toks as (
+              select doc_id, tok
+              from (select doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) as tok
+                    from documents)
+              where tok <> ''
+            ),
+            counts as (select tok, count(*) as tf from toks group by tok),
+            scal as (select cast(sum(tf) as bigint) as corpus_tokens,
+                            cast(count(*) as bigint) as vocab from counts),
+            scored as (
+              select doc_id,
+                     cast(count(*) as bigint) as n_tokens,
+                     cast(sum(length(bin((corpus_tokens + vocab) // (tf + 1))) - 1)
+                          as bigint) as total_bits
+              from toks join counts using (tok), scal
+              group by doc_id),
+            mb as (
+              select d.doc_id, d.lang,
+                     coalesce(cast((2 * 10000 * s.total_bits + s.n_tokens)
+                                   // (2 * s.n_tokens) as bigint), 0)
+                       as mean_bits_bp
+              from documents d left join scored s using (doc_id)),
+            nt as (
+              select doc_id, lang, mean_bits_bp,
+                     ntile(3) over (partition by lang
+                                    order by mean_bits_bp asc, doc_id asc) as t
+              from mb)
+            select cast(doc_id as bigint) as doc_id, lang, mean_bits_bp,
+                   case t when 1 then 'head' when 2 then 'middle'
+                          else 'tail' end as bucket
+            from nt
         """,
         "ngram_counts": """
             with t as (select doc_id,

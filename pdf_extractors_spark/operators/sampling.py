@@ -254,6 +254,35 @@ def quality_tiers(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lm_scores: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "mean_bits_bp",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: tercile each language's documents
+    by LM surprisal (``unigram_lm_score``'s exact-integer
+    ``mean_bits_bp`` — lowest third = most predictable = "head"). The
+    rank order is total (score asc, id asc), so bucket assignment is
+    deterministic under retries and repartitioning. One window shuffle
+    keyed on language carrying ids + integer scores only — same scale
+    shape as ``quality_tiers``. Emits (id, lang, score, bucket)."""
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    joined = docs.select(id_col, lang_col).join(
+        lm_scores.select(id_col, score_col), id_col
+    )
+    t = F.ntile(3).over(w)
+    return joined.withColumn(
+        "bucket",
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
 def mix_epochs(
     df: DataFrame,
     epochs_bp: dict[str, int],

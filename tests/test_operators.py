@@ -1423,3 +1423,38 @@ def test_ngram_counts_exact_and_min_count(spark):
         for r in text_stats.ngram_counts(df, n=2, min_count=1).collect()
     }
     assert all_grams == {"a b": (3, 2), "b a": (1, 1), "b c": (1, 1)}
+
+
+def test_perplexity_buckets_terciles_per_language(spark):
+    """Terciles split each language 1/3-1/3-1/3 by ascending surprisal;
+    the most predictable third is 'head'; assignment is deterministic
+    under repartitioning."""
+    from pdf_extractors_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 9 else "fr") for i in range(12)],
+        "doc_id long, lang string",
+    )
+    scores = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(12)],
+        "doc_id long, mean_bits_bp long",
+    )
+    out = sampling.perplexity_buckets(docs, scores).collect()
+    by_lang_bucket = {}
+    for r in out:
+        by_lang_bucket.setdefault((r["lang"], r["bucket"]), []).append(
+            (r["mean_bits_bp"], r["doc_id"])
+        )
+    assert {len(v) for k, v in by_lang_bucket.items() if k[0] == "en"} == {3}
+    # every head score <= every middle score <= every tail score (en)
+    h = max(by_lang_bucket[("en", "head")])
+    m_lo, m_hi = min(by_lang_bucket[("en", "middle")]), max(by_lang_bucket[("en", "middle")])
+    t = min(by_lang_bucket[("en", "tail")])
+    assert h <= m_lo and m_hi <= t
+    rep = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in sampling.perplexity_buckets(
+            docs.repartition(5), scores.repartition(3)
+        ).collect()
+    )
+    assert rep == sorted((r["doc_id"], r["bucket"]) for r in out)
