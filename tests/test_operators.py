@@ -1458,3 +1458,74 @@ def test_perplexity_buckets_terciles_per_language(spark):
         ).collect()
     )
     assert rep == sorted((r["doc_id"], r["bucket"]) for r in out)
+
+
+def test_conv_repair_matches_python_reference_on_random_dirty_convs(spark):
+    """Randomized (seeded) dirty conversations — duplicate indices,
+    same-idx different-role/text collisions, blank/null texts, orphan
+    and chained tool turns — repaired identically by Spark and an
+    independent pure-Python reference of the five-step contract."""
+    import random
+
+    from pdf_extractors_spark import pipeline
+
+    rng = random.Random(42)
+    roles = ["user", "assistant", "tool", "system"]
+    texts = ["a", "b", "cc", "", "  ", None, "x y", "z"]
+    rows = []
+    for c in range(40):
+        for _ in range(rng.randint(1, 25)):
+            rows.append(
+                (
+                    f"c{c}",
+                    rng.randint(0, 8),
+                    rng.choice(roles),
+                    rng.choice(texts),
+                )
+            )
+
+    def reference(conv_rows):
+        alive = {}
+        for _, idx, role, text in conv_rows:
+            if text is None or text.strip(" ") == "":
+                continue
+            alive[(idx, role, text)] = alive.get((idx, role, text), 0) + 1
+        ordered = sorted(alive.items())
+        kept, prev_nt = [], None
+        for (idx, role, text), m in ordered:
+            if role == "tool" and prev_nt != "assistant":
+                continue
+            kept.append((idx, role, text, m))
+            if role != "tool":
+                prev_nt = role
+        out, island = [], -1
+        for i, (idx, role, text, m) in enumerate(kept):
+            if i == 0 or role != kept[i - 1][1]:
+                island += 1
+                out.append([role, [text], m])
+            else:
+                out[island][1].append(text)
+                out[island][2] += m
+        return [
+            (t, role, "\n".join(parts), m)
+            for t, (role, parts, m) in enumerate(out)
+        ]
+
+    # CAUTION on the reference: prev_nt must be the last non-tool among
+    # SURVIVING rows — kept order equals ordered order, and non-tool
+    # rows always survive, so tracking it inside the single pass is
+    # exact.
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {}
+    for r in pipeline.conv_repair(df).collect():
+        got.setdefault(r["conv_id"], []).append(
+            (r["turn_idx"], r["role"], r["text"], r["n_merged"])
+        )
+    by_conv = {}
+    for row in rows:
+        by_conv.setdefault(row[0], []).append(row)
+    for c, conv_rows in by_conv.items():
+        expect = reference(conv_rows)
+        assert sorted(got.get(c, [])) == expect, c
