@@ -417,3 +417,33 @@ def test_semdedup_broadcast_assign_no_cartesian(spark):
     cached = _plan(similarity.semdedup(df, cents, cache=True))
     assert "InMemoryTableScan" in cached
     spark.catalog.clearCache()
+
+
+def test_mix_epochs_no_shuffle(spark):
+    """Mixture weighting is pure column math + a bounded explode — the
+    weight table rides a create_map literal, so there is NO Exchange and
+    no join in the plan."""
+    from pdf_extractors_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "src0") for i in range(50)], "doc_id long, source string"
+    )
+    plan = _plan(sampling.mix_epochs(df, {"src0": 23000}))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_neardup_against_no_cartesian_no_self_pairs(spark):
+    """The cross-corpus candidate join is keyed on (band, key) and the
+    verify joins are keyed equi-joins — no cartesian product or
+    unkeyed nested-loop join anywhere."""
+    from pdf_extractors_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    ref = corpus.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    plan = _plan(dedup.neardup_against(corpus, ref))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
