@@ -342,7 +342,8 @@ _GATE_ORDER = [
 #   round-3 late additions NOT yet in-window (local replay + pytest
 #   only; rotate next round): chunk_windows, tfidf_terms,
 #   quality_tiers, blocklist_filter, semdedup, conv_repair,
-#   jsonl_export, neardup_against, ngram_counts, perplexity_buckets
+#   jsonl_export, neardup_against, ngram_counts, perplexity_buckets,
+#   dedup_clusters_star
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -551,6 +552,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_clusters"] = q_dedup_clusters
+
+    def q_dedup_clusters_star(spark, sf):
+        """The SAME clusters via the large-star/small-star contraction
+        path (the high-diameter-graph algorithm) — value-checked against
+        the SAME recursive-CTE reachability oracle as dedup_clusters, so
+        the two algorithms are pinned to identical output by the gate."""
+        sigs = dedup.minhash_signatures(_spread(_read(spark, sf, "documents")), k=8)
+        pairs = dedup.lsh_candidates(sigs, bands=4, rows=2)
+        comp = dedup.connected_components(pairs, algorithm="star")
+        return _longify(
+            comp.select(
+                F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+            )
+        )
+
+    q["dedup_clusters_star"] = q_dedup_clusters_star
 
     def q_neardup_keep(spark, sf):
         """The near-dup keep-list a pipeline actually consumes: drop
@@ -4130,6 +4147,10 @@ def oracle_sql() -> dict[str, str]:
     }
     # quality_tiers re-derives quality_bp via the quality_score oracle,
     # then tiers per language — wrap-don't-duplicate
+    # the star-contraction CC path must produce the IDENTICAL clusters —
+    # same reachability oracle, so the gate pins both algorithms to one
+    # output
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
     oracles["quality_tiers"] = f"""
         with qs as ({oracles["quality_score"]})
         select qs.doc_id, d.lang, qs.quality_bp,
