@@ -1919,6 +1919,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["perplexity_buckets"] = q_perplexity_buckets
 
+    def q_html_links(spark, sf):
+        """Link-graph extraction from raw html_page payloads: one row per
+        ``<a href>`` in document order — the crawl-pipeline edge list
+        (pure column regex, no UDF; operators/webgraph.py)."""
+        from pdf_extractors_spark.operators import webgraph
+
+        t = _transcripts(spark, "sf0.01").filter(F.col("tool") == "html_page")
+        return _longify(webgraph.extract_links(t))
+
+    q["html_links"] = q_html_links
+
+    def q_anchor_index(spark, sf):
+        """Anchor-text index over the extracted link graph: per target
+        href, link count + distinct-anchor count + the bounded sorted
+        anchor summary (the classic retrieval signal: the corpus
+        describes the target). Fixture anchors come from an 8-item nav
+        vocabulary, so the max_anchors=16 cap never truncates and the
+        unbounded SQL string_agg(distinct ... order by) is exact."""
+        from pdf_extractors_spark.operators import webgraph
+
+        t = _transcripts(spark, "sf0.01").filter(F.col("tool") == "html_page")
+        return _longify(webgraph.anchor_index(webgraph.extract_links(t)))
+
+    q["anchor_index"] = q_anchor_index
+
+    def q_pagerank(spark, sf):
+        """Integer-exact PageRank (10 rounds, damping 85/100, ranks
+        scaled by 1e9) over a deterministic 64-node link graph derived
+        from the documents table (src = doc_id % 64, dst mixes the high
+        bits so in-degrees vary); bit-identical to the oracle's unrolled
+        10-CTE replay because every division is integer div."""
+        from pdf_extractors_spark.operators import webgraph
+
+        docs = _read(spark, sf, "documents")
+        edges = docs.select(
+            F.expr("cast(doc_id % 64 as long)").alias("src"),
+            F.expr(
+                "cast((doc_id div 64 * 31 + doc_id * 7 + 13) % 64 as long)"
+            ).alias("dst"),
+        )
+        return webgraph.pagerank(edges, iters=10)
+
+    q["pagerank"] = q_pagerank
+
+    def q_pii_luhn(spark, sf):
+        """Checksum-validated PII detection: 13-19 digit runs Luhn-tested
+        with exact integer arithmetic (a digit run is only a payment-card
+        leak if the checksum holds — redacting every long number destroys
+        invoice/order ids the extractors exist to keep). Cards are
+        planted deterministically in query AND oracle: doc_id%25==0 gets
+        a Luhn-valid card, doc_id%25==5 an invalid near-miss."""
+        docs = _read(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.concat(F.col("text"), F.lit(" card 4532015112830366 x")),
+            )
+            .when(
+                F.col("doc_id") % 25 == 5,
+                F.concat(F.col("text"), F.lit(" card 4532015112830367.")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return _longify(text_stats.luhn_cards(planted))
+
+    q["pii_luhn"] = q_pii_luhn
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3044,6 +3113,60 @@ def _conv_stats_sql(tp: str) -> str:
         left join inv i using (conv_id, turn_idx)
         left join hsp h using (conv_id, turn_idx)
         group by e.conv_id
+    """
+
+
+def _pagerank_sql(iters: int = 10, scale: int = 10**9, damp: int = 85) -> str:
+    """Unrolled-CTE replay of webgraph.pagerank over the planted 64-node
+    documents graph: one (contribs, ranks) CTE pair per iteration —
+    recursive CTEs cannot aggregate over the recursive term, but an
+    unrolled chain is plain ANSI SQL and the arithmetic (integer //
+    everywhere, bigint casts on every sum — DuckDB sums bigints into
+    HUGEINT, which pandas would stringify as float) is bit-exact."""
+    teleport = (100 - damp) * scale // 100
+    sql = f"""
+        with edges as (
+          select distinct cast(doc_id % 64 as bigint) as src,
+                 cast((doc_id // 64 * 31 + doc_id * 7 + 13) % 64 as bigint)
+                   as dst
+          from documents),
+        nodes as (select src as node from edges
+                  union select dst from edges),
+        deg as (select src as node, cast(count(*) as bigint) as outdeg
+                from edges group by src),
+        r0 as (select node, cast({scale} as bigint) as pr from nodes)"""
+    for i in range(iters):
+        sql += f""",
+        c{i} as (select e.dst as node,
+                        cast(sum(r.pr // d.outdeg) as bigint) as inflow
+                 from edges e
+                 join r{i} r on r.node = e.src
+                 join deg d on d.node = e.src
+                 group by e.dst),
+        r{i + 1} as (select n.node,
+                     cast({teleport} + {damp} * coalesce(c.inflow, 0) // 100
+                          as bigint) as pr
+                     from nodes n left join c{i} c on c.node = n.node)"""
+    return sql + f"\n        select node, pr from r{iters}"
+
+
+_LINKS_SQL_RE = '<a href="([^"]*)">([^<]*)</a>'
+
+
+def _html_links_sql(tp: str) -> str:
+    """webgraph.extract_links replay: two group-extractions zipped by
+    DuckDB's parallel-unnest ordinal idiom (0-based, matching
+    posexplode); pages with no links vanish on both sides."""
+    return f"""
+        with h as (
+          select conv_id, turn_idx,
+                 regexp_extract_all(text, '{_LINKS_SQL_RE}', 1) as hs,
+                 regexp_extract_all(text, '{_LINKS_SQL_RE}', 2) as an
+          from read_parquet('{tp}') where tool = 'html_page')
+        select conv_id, cast(turn_idx as bigint) as turn_idx,
+               unnest(range(len(hs))) as link_idx,
+               unnest(hs) as href, unnest(an) as anchor
+        from h
     """
 
 
@@ -4330,6 +4453,46 @@ def oracle_sql() -> dict[str, str]:
                 "catalog_records_flat": _catalog_sql(tp),
                 "form_widgets_flat": _form_widgets_sql(tp),
                 "form_questions_flat": _form_questions_sql(tp),
+                "html_links": _html_links_sql(tp),
+                "anchor_index": f"""
+                    with links as ({_html_links_sql(tp)})
+                    select href, cast(count(*) as bigint) as n_links,
+                           cast(count(distinct anchor) as bigint)
+                             as n_anchors,
+                           string_agg(distinct anchor, '|' order by anchor)
+                             as anchor_texts
+                    from links group by href
+                """,
             }
         )
+    oracles["pagerank"] = _pagerank_sql()
+    # planting uses ||, not concat(): DuckDB concat skips NULL while
+    # Spark's propagates — || null-propagates on both sides
+    oracles["pii_luhn"] = """
+        with planted as (
+          select doc_id,
+                 case when doc_id % 25 = 0
+                        then text || ' card 4532015112830366 x'
+                      when doc_id % 25 = 5
+                        then text || ' card 4532015112830367.'
+                      else text end as text
+          from documents),
+        cands as (
+          select doc_id,
+                 unnest(range(len(cs))) as cand_idx,
+                 unnest(cs) as candidate
+          from (select doc_id,
+                       regexp_extract_all(text, '[0-9]{13,19}') as cs
+                from planted))
+        select cast(doc_id as bigint) as doc_id,
+               cast(cand_idx as bigint) as cand_idx, candidate,
+               list_sum(list_transform(range(1, length(candidate) + 1),
+                 i -> case when (length(candidate) - i) % 2 = 1
+                      then case when cast(substr(candidate, i, 1) as int) * 2 > 9
+                                then cast(substr(candidate, i, 1) as int) * 2 - 9
+                                else cast(substr(candidate, i, 1) as int) * 2 end
+                      else cast(substr(candidate, i, 1) as int) end))
+                 % 10 = 0 as luhn_valid
+        from cands
+    """
     return oracles

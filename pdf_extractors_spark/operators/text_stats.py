@@ -803,3 +803,50 @@ def top_ngram_char_frac(
         .cast("long")
         .alias("top_char_bp"),
     )
+
+
+_CARD_RUN_RE = r"[0-9]{13,19}"
+
+
+def luhn_cards(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Checksum-validated card-number detection: one row per 13-19 digit
+    run with its Luhn verdict — ``(id, cand_idx, candidate, luhn_valid)``.
+
+    Plain digit-run redaction (``pii_scrub``-style) would destroy the
+    invoice/order/reference numbers the extraction families exist to
+    keep, so payment-card scrubbing must validate the checksum first;
+    only ``luhn_valid`` rows are actual leaks. The whole check is exact
+    integer column math (sequence + aggregate over substr digits —
+    candidates are ≤19 chars so the interpreted HOF touches at most 19
+    elements per row), no UDF, and replays exactly in the DuckDB oracle
+    via list_transform/list_sum. Documents with no digit runs emit no
+    rows (posexplode of an empty/null array), identical to the oracle's
+    unnest; both regex engines scan greedy non-overlapping, so a 20+
+    digit run yields one 19-digit candidate on both sides."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_CARD_RUN_RE), 0)
+        ).alias("cand_idx", "candidate"),
+    )
+    length = F.length("candidate")
+
+    def _term(i):
+        d = F.substr(F.col("candidate"), i, F.lit(1)).cast("int")
+        doubled = d * 2
+        return F.when(
+            (length - i) % 2 == 1,
+            F.when(doubled > 9, doubled - 9).otherwise(doubled),
+        ).otherwise(d)
+
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), length), F.lit(0), lambda acc, i: acc + _term(i)
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("cand_idx").cast("long").alias("cand_idx"),
+        "candidate",
+        (luhn_sum % 10 == 0).alias("luhn_valid"),
+    )

@@ -447,3 +447,51 @@ def test_neardup_against_no_cartesian_no_self_pairs(spark):
     plan = _plan(dedup.neardup_against(corpus, ref))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_links_no_shuffle(spark, tmp_path):
+    """Link extraction is one projection over the page scan — regex
+    extract + zip + posexplode, no Exchange, no join, no UDF."""
+    from pdf_extractors_spark.operators import webgraph
+
+    path = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("c0", 0, '<a href="/a">A</a>')],
+        "conv_id string, turn_idx int, text string",
+    ).write.parquet(path)
+    plan = _plan(webgraph.extract_links(spark.read.parquet(path)))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan  # no UDF fallback
+
+
+def test_anchor_index_two_bounded_exchanges(spark, tmp_path):
+    """The anchor index collapses (href, anchor) pairs map-side first,
+    then the window rank and the final groupBy share one href-keyed
+    Exchange — two Exchanges total and no unbounded collect buffer."""
+    from pdf_extractors_spark.operators import webgraph
+
+    path = str(tmp_path / "links")
+    spark.createDataFrame(
+        [("/a", "x"), ("/a", "y"), ("/b", "z")], "href string, anchor string"
+    ).write.parquet(path)
+    plan = _plan(webgraph.anchor_index(spark.read.parquet(path)))
+    # formatted plans print each node twice (tree + detail list): count
+    # numbered tree nodes, never substring occurrences
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Join" not in plan
+    assert "CollectSet" not in plan
+
+
+def test_luhn_cards_no_shuffle_no_udf(spark, tmp_path):
+    """The Luhn verdict is exact integer column math (sequence +
+    aggregate over substr digits): no Exchange, no Python UDF."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "4532015112830366")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(text_stats.luhn_cards(spark.read.parquet(path)))
+    assert "Exchange" not in plan
+    assert "Python" not in plan

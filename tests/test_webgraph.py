@@ -1,0 +1,146 @@
+"""Tests for the web-graph surface (operators/webgraph.py): link
+extraction, anchor index, and integer-exact PageRank (cross-checked
+against a pure-Python reference implementation and for partitioning
+invariance)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from pdf_extractors_spark.operators import text_stats, webgraph
+
+
+def test_extract_links_golden(spark):
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, '<nav><a href="/a">Alpha</a> <a href="#">Skip</a></nav>'),
+            ("c0", 1, "no links at all"),
+            ("c1", 0, '<p>x</p><a href="/b?q=1">Beta link</a>'),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = sorted(
+        tuple(r) for r in webgraph.extract_links(df).collect()
+    )
+    assert rows == [
+        ("c0", 0, 0, "/a", "Alpha"),
+        ("c0", 0, 1, "#", "Skip"),
+        ("c1", 0, 0, "/b?q=1", "Beta link"),
+    ]
+
+
+def test_anchor_index_caps_anchor_summary(spark):
+    links = spark.createDataFrame(
+        [("/hub", f"anchor-{i:02d}") for i in range(10)]
+        + [("/hub", "anchor-00"), ("/leaf", "only")],
+        "href string, anchor string",
+    )
+    out = {
+        r["href"]: r for r in webgraph.anchor_index(links, max_anchors=3).collect()
+    }
+    assert out["/hub"]["n_links"] == 11
+    assert out["/hub"]["n_anchors"] == 10
+    # bounded summary: first 3 in bytewise order, never the whole set
+    assert out["/hub"]["anchor_texts"] == "anchor-00|anchor-01|anchor-02"
+    assert out["/leaf"]["anchor_texts"] == "only"
+
+
+def _pagerank_py(edges, iters=10, scale=10**9, damp=85):
+    """Reference implementation: same scaled-integer recurrence, plain
+    dicts — any drift from the Spark operator is a real bug, not float
+    noise, because both sides are exact."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {n: scale for n in nodes}
+    teleport = (100 - damp) * scale // 100
+    for _ in range(iters):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += pr[s] // outdeg[s]
+        pr = {n: teleport + damp * inflow[n] // 100 for n in nodes}
+    return pr
+
+
+def test_pagerank_matches_reference_impl(spark):
+    rng = random.Random(7)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in webgraph.pagerank(df, iters=6).collect()}
+    assert got == _pagerank_py(edges, iters=6)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    rng = random.Random(11)
+    edges = list({(rng.randrange(16), rng.randrange(16)) for _ in range(40)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["pr"] for r in webgraph.pagerank(df, iters=5).collect()}
+    b = {
+        r["node"]: r["pr"]
+        for r in webgraph.pagerank(df.repartition(7), iters=5).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_sink_accumulates_teleport_only_inflow(spark):
+    # 0 -> 1, 1 has no out-edges (dangling sink): it must still receive
+    # the teleport term every round, and node 0 (no in-edges) settles at
+    # exactly teleport
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r["node"]: r["pr"] for r in webgraph.pagerank(df, iters=10).collect()}
+    assert got == _pagerank_py([(0, 1)], iters=10)
+    assert got[0] == 150_000_000
+    assert got[1] > got[0]  # sink gets teleport + 85% of 0's rank
+
+
+def _luhn_py(s: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_cards_verdicts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "pay with 4532015112830366 thanks"),  # valid visa-style
+            (1, "typo'd 4532015112830367 digits"),  # off-by-one: invalid
+            (2, "order 123456789012 is too short"),  # 12 digits: no row
+            (3, "two: 4111111111111111 and 30569309025904 here"),
+            (4, None),
+            (5, "a 21-digit run 123456789012345678901 splits greedily"),
+            (6, "11-digit 79927398713 is below the candidate floor"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_stats.luhn_cards(docs).collect()
+    got = {(r["doc_id"], r["candidate"]): r["luhn_valid"] for r in out}
+    assert got == {
+        (0, "4532015112830366"): True,
+        (1, "4532015112830367"): False,
+        (3, "4111111111111111"): True,
+        (3, "30569309025904"): _luhn_py("30569309025904"),
+        # greedy non-overlap: 19 digits matched, trailing 2 can't form one
+        (5, "1234567890123456789"): _luhn_py("1234567890123456789"),
+    }
+    # ordinal column: doc 3's runs index 0 and 1 in document order
+    idx = {(r["doc_id"], r["candidate"]): r["cand_idx"] for r in out}
+    assert idx[(3, "4111111111111111")] == 0
+    assert idx[(3, "30569309025904")] == 1
+
+
+def test_luhn_matches_python_reference(spark):
+    rng = random.Random(3)
+    runs = ["".join(rng.choice("0123456789") for _ in range(rng.randint(13, 19))) for _ in range(50)]
+    docs = spark.createDataFrame(
+        [(i, f"num {r} end") for i, r in enumerate(runs)], "doc_id long, text string"
+    )
+    got = {r["candidate"]: r["luhn_valid"] for r in text_stats.luhn_cards(docs).collect()}
+    assert got == {r: _luhn_py(r) for r in runs}
