@@ -1988,6 +1988,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_luhn"] = q_pii_luhn
 
+    def q_neardup_edit(spark, sf):
+        """Edit-distance exact-verify over the SAME banded-MinHash
+        candidate graph as minhash_lsh_candidates: normalized
+        levenshtein with a cross-multiplied integer threshold (20% of
+        the longer text) — the character-level complement to the
+        shingle-Jaccard verify."""
+        docs = _spread(_read(spark, sf, "documents"))
+        sigs = dedup.minhash_signatures(docs, k=8)
+        cands = dedup.lsh_candidates(sigs, bands=4, rows=2)
+        return _longify(dedup.edit_distance_verify(cands, docs))
+
+    q["neardup_edit"] = q_neardup_edit
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -4466,6 +4479,19 @@ def oracle_sql() -> dict[str, str]:
             }
         )
     oracles["pagerank"] = _pagerank_sql()
+    # same candidate CTE chain as minhash_lsh_candidates — the verify can
+    # never silently run on a different pair graph than the query it pins
+    oracles["neardup_edit"] = f"""
+        with {_lsh_pairs_ctes()},
+        nrm as (select doc_id, {norm} as nt from documents)
+        select id_a, id_b,
+               cast(levenshtein(na.nt, nb.nt) as bigint) as edit_dist,
+               levenshtein(na.nt, nb.nt) * 10000
+                 <= greatest(length(na.nt), length(nb.nt)) * 2000 as is_dup
+        from pairs
+        join nrm na on na.doc_id = id_a
+        join nrm nb on nb.doc_id = id_b
+    """
     # planting uses ||, not concat(): DuckDB concat skips NULL while
     # Spark's propagates — || null-propagates on both sides
     oracles["pii_luhn"] = """

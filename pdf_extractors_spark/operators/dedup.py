@@ -858,3 +858,51 @@ def global_line_dedup(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_bp: int = 2000,
+) -> DataFrame:
+    """Exact-verify candidate pairs by normalized edit distance:
+    ``(id_a, id_b, edit_dist, is_dup)`` where ``is_dup`` holds iff
+
+        levenshtein(norm_a, norm_b) / max(len_a, len_b) <= threshold_bp/10⁴
+
+    evaluated as a cross-multiplied integer comparison (no float — the
+    verdict is bit-identical in the DuckDB oracle). The character-level
+    complement to ``ngram_jaccard_pairs``: Jaccard is blind to
+    transpositions within a shingle and to heavy repetition; edit
+    distance is the sharper metric for short texts and templated
+    near-misses.
+
+    Scale: runs ONLY on the candidate pairs (LSH-restricted — never
+    all-pairs); two keyed equi-joins move each normalized payload once,
+    to its pair. Levenshtein is O(len_a·len_b) per pair JVM-side — at
+    corpus scale cap payloads first (``substr`` to a few KB) or keep the
+    shingle-Jaccard verify for long documents; the quadratic cost is the
+    price of the exact metric, which is why it sits behind candidate
+    generation."""
+    norm = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
+    )
+    joined = pairs.join(
+        norm.select(F.col(id_col).alias("id_a"), F.col("norm").alias("norm_a")),
+        "id_a",
+    ).join(
+        norm.select(F.col(id_col).alias("id_b"), F.col("norm").alias("norm_b")),
+        "id_b",
+    )
+    dist = F.levenshtein("norm_a", "norm_b")
+    return joined.select(
+        "id_a",
+        "id_b",
+        dist.cast("long").alias("edit_dist"),
+        (
+            dist * 10000
+            <= F.greatest(F.length("norm_a"), F.length("norm_b")) * threshold_bp
+        ).alias("is_dup"),
+    )

@@ -144,3 +144,58 @@ def test_luhn_matches_python_reference(spark):
     )
     got = {r["candidate"]: r["luhn_valid"] for r in text_stats.luhn_cards(docs).collect()}
     assert got == {r: _luhn_py(r) for r in runs}
+
+
+def _lev_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_verify_matches_python(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    texts = {
+        1: "the quick brown fox jumps",
+        2: "the quick brown fox jumped",  # 2 edits of 1 → dup at 20%
+        3: "a completely different sentence here",
+        4: "THE  Quick   Brown fox jumps",  # normalizes equal to 1
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["is_dup"])
+        for r in dedup.edit_distance_verify(pairs, docs).collect()
+    }
+
+    def norm(s):
+        return " ".join(s.lower().split())
+
+    for (a, b), (dist, is_dup) in out.items():
+        na, nb = norm(texts[a]), norm(texts[b])
+        assert dist == _lev_py(na, nb)
+        assert is_dup == (dist * 10000 <= max(len(na), len(nb)) * 2000)
+    assert out[(1, 4)] == (0, True)
+    assert out[(1, 3)][1] is False
+
+
+def test_edit_distance_verify_keyed_joins_only(spark, tmp_path):
+    from pdf_extractors_spark.operators import dedup
+    from tests.test_plans import _plan
+
+    dpath, ppath = str(tmp_path / "d"), str(tmp_path / "p")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(dpath)
+    spark.createDataFrame([(1, 2)], "id_a long, id_b long").write.parquet(ppath)
+    plan = _plan(
+        dedup.edit_distance_verify(
+            spark.read.parquet(ppath), spark.read.parquet(dpath)
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
