@@ -44,3 +44,36 @@ def bucketed_join(
     return spark.table(left_table).hint("merge").join(
         spark.table(right_table), key
     )
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    key: str = "conv_id",
+    secondary: str | None = "turn_idx",
+    partitions: int | None = None,
+) -> None:
+    """Zone-map-friendly parquet sink: range-partition on ``key`` (each
+    output file owns a disjoint key range), then sort within partitions
+    so every row group's parquet min/max statistics are tight.
+
+    Why this matters at 100 TB: a point or range lookup on ``key``
+    against an UNSORTED table reads every row group — the min/max stats
+    all span the whole key domain, so nothing prunes. Range-partitioned
+    + sorted, the same predicate prunes to the one file (and row group)
+    whose range contains it; Spark's parquet reader does this with
+    PushedFilters and so does every other engine reading the table
+    (the Iceberg analogue is a sort order on the table spec — zone maps
+    are the format-level mechanism either way).
+
+    ``repartitionByRange`` samples the key distribution, so skewed keys
+    still land in balanced files (unlike hash-bucketing, which this
+    complements: bucketed tables kill the JOIN shuffle, sorted tables
+    kill the SCAN — tests/test_bucketing.py pins both properties)."""
+    cols = [key] + ([secondary] if secondary else [])
+    ranged = (
+        df.repartitionByRange(partitions, *cols)
+        if partitions
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
