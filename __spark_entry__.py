@@ -2001,6 +2001,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["neardup_edit"] = q_neardup_edit
 
+    def q_robots_filter(spark, sf):
+        """Robots-rules URL filtering (RFC 9309 longest-match-wins):
+        deterministic paths derived from doc_id exercise deny, nested
+        allow-override, and the no-match→allow default; the rule table
+        is the shared _ROBOTS_RULES literal on both sides."""
+        from pdf_extractors_spark.operators import urls as urls_op
+
+        docs = _read(spark, sf, "documents")
+        paths = docs.select(
+            "doc_id", F.expr(_ROBOTS_PATH_EXPR).alias("path")
+        )
+        rules = spark.createDataFrame(
+            _ROBOTS_RULES, "prefix string, allow boolean"
+        )
+        return _longify(urls_op.robots_filter(paths, rules))
+
+    q["robots_filter"] = q_robots_filter
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3127,6 +3145,16 @@ def _conv_stats_sql(tp: str) -> str:
         left join hsp h using (conv_id, turn_idx)
         group by e.conv_id
     """
+
+
+# shared by q_robots_filter and its oracle: rule table + deterministic
+# path planting (ANSI `||` and `case` parse identically in both engines)
+_ROBOTS_RULES = [("/private", False), ("/private/open", True), ("/tmp", False)]
+_ROBOTS_PATH_EXPR = (
+    "case doc_id % 5 when 0 then '/private/p' when 1 then '/private/open/p' "
+    "when 2 then '/tmp/x' when 3 then '/public/p' else '/x' end "
+    "|| cast(doc_id as string)"
+)
 
 
 def _pagerank_sql(iters: int = 10, scale: int = 10**9, damp: int = 85) -> str:
@@ -4479,6 +4507,24 @@ def oracle_sql() -> dict[str, str]:
             }
         )
     oracles["pagerank"] = _pagerank_sql()
+    _rules_values = ", ".join(
+        f"('{p}', {str(a).lower()})" for p, a in _ROBOTS_RULES
+    )
+    oracles["robots_filter"] = f"""
+        with paths as (select cast(doc_id as bigint) as doc_id,
+                              {_ROBOTS_PATH_EXPR} as path
+                       from documents),
+        rules(prefix, allow) as (values {_rules_values}),
+        m as (select p.doc_id, p.path, r.prefix, r.allow
+              from paths p
+              left join rules r on starts_with(p.path, r.prefix)),
+        rk as (select *, row_number() over (partition by doc_id, path
+                   order by length(prefix) desc, allow desc, prefix) as rn
+               from m)
+        select doc_id, path, coalesce(allow, true) as allowed,
+               prefix as matched_prefix
+        from rk where rn = 1
+    """
     # same candidate CTE chain as minhash_lsh_candidates — the verify can
     # never silently run on a different pair graph than the query it pins
     oracles["neardup_edit"] = f"""

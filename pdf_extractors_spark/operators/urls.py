@@ -81,3 +81,49 @@ def url_dedup(
     ).withColumn(
         "is_keeper", F.col(id_col) == F.min(id_col).over(w)
     )
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    path_col: str = "path",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robots-rules URL filtering with longest-match-wins semantics (the
+    de-facto robots.txt standard, RFC 9309 §2.2.2): ``rules`` is a tiny
+    ``(prefix, allow)`` table; for each URL path the longest matching
+    prefix decides, a length tie goes to allow, and a path matching no
+    rule is allowed. Returns ``(id, path, allowed, matched_prefix)``
+    with ``matched_prefix`` null for unmatched paths.
+
+    Physical shape: the rule table is BROADCAST and the prefix match is
+    a theta join, so the plan is a BroadcastNestedLoopJoin — which is
+    the *correct* plan here, not an accident: robots rule sets are
+    bounded (tens of rules), every corpus row streams past them once,
+    and nothing shuffles. The winner is picked with one
+    map-side-combined ``max(struct(len, allow, prefix))`` aggregation —
+    struct comparison is field-ordered, so max = longest prefix, then
+    allow=true on ties — rather than a window, keeping per-key state at
+    one struct."""
+    matched = df.select(F.col(id_col), F.col(path_col)).join(
+        F.broadcast(rules.select("prefix", "allow")),
+        F.col(path_col).startswith(F.col("prefix")),
+        "left",
+    )
+    winner = F.max(
+        F.struct(
+            F.length("prefix").alias("plen"),
+            F.col("allow"),
+            F.col("prefix"),
+        )
+    ).alias("win")
+    return (
+        matched.groupBy(id_col, path_col)
+        .agg(winner)
+        .select(
+            F.col(id_col),
+            F.col(path_col),
+            F.coalesce(F.col("win.allow"), F.lit(True)).alias("allowed"),
+            F.col("win.prefix").alias("matched_prefix"),
+        )
+    )

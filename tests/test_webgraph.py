@@ -199,3 +199,48 @@ def test_edit_distance_verify_keyed_joins_only(spark, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_robots_filter_longest_match_wins(spark):
+    from pdf_extractors_spark.operators import urls as urls_op
+
+    rules = spark.createDataFrame(
+        [("/private", False), ("/private/open", True), ("/a", False), ("/a", True)],
+        "prefix string, allow boolean",
+    )
+    paths = spark.createDataFrame(
+        [
+            (0, "/private/secret"),  # deny
+            (1, "/private/open/doc"),  # nested allow overrides deny
+            (2, "/public/x"),  # no rule: default allow
+            (3, "/a/tie"),  # equal-length conflicting rules: allow wins
+        ],
+        "doc_id long, path string",
+    )
+    out = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in urls_op.robots_filter(paths, rules).collect()
+    }
+    assert out == {
+        0: (False, "/private"),
+        1: (True, "/private/open"),
+        2: (True, None),
+        3: (True, "/a"),
+    }
+
+
+def test_robots_filter_broadcasts_rules(spark, tmp_path):
+    from pdf_extractors_spark.operators import urls as urls_op
+    from tests.test_plans import _plan
+
+    path = str(tmp_path / "paths")
+    spark.createDataFrame(
+        [(i, f"/p/{i}") for i in range(100)], "doc_id long, path string"
+    ).write.parquet(path)
+    rules = spark.createDataFrame([("/p", True)], "prefix string, allow boolean")
+    plan = _plan(urls_op.robots_filter(spark.read.parquet(path), rules))
+    # the theta join MUST be broadcast-nested-loop with the rules side
+    # broadcast — bounded rule set streams past the corpus; what must
+    # never appear is an un-broadcast cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
