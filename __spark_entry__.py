@@ -2019,6 +2019,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_filter"] = q_robots_filter
 
+    def q_stream_links(spark, sf):
+        """Streaming/batch parity for the link-graph extraction: the SAME
+        extract_links projection run through Structured Streaming (file
+        source, availableNow, memory sink) — stateless, so any
+        micro-batch split yields identical rows; oracled by the same SQL
+        as html_links."""
+        from pdf_extractors_spark.operators import webgraph
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        _transcripts(spark, "sf0.01")  # materialize + ship package
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_links_{_STREAM_COUNTER[0]}"
+        sdf = es.read_transcript_stream(spark, _transcripts_path("sf0.01"))
+        links = webgraph.extract_links(sdf.filter(F.col("tool") == "html_page"))
+        query = (
+            links.writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return _longify(spark.table(qn))
+
+    q["stream_links"] = q_stream_links
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -4495,6 +4520,7 @@ def oracle_sql() -> dict[str, str]:
                 "form_widgets_flat": _form_widgets_sql(tp),
                 "form_questions_flat": _form_questions_sql(tp),
                 "html_links": _html_links_sql(tp),
+                "stream_links": _html_links_sql(tp),
                 "anchor_index": f"""
                     with links as ({_html_links_sql(tp)})
                     select href, cast(count(*) as bigint) as n_links,
