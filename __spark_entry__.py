@@ -2044,6 +2044,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_links"] = q_stream_links
 
+    def q_split_sentences(spark, sf):
+        """Offset-exact sentence segmentation over the documents corpus:
+        text[sent_start:sent_end] == sentence, empty/null docs preserved
+        as one null row (the segment_paragraphs contract at sentence
+        granularity)."""
+        return _longify(
+            text_stats.split_sentences(_spread(_read(spark, sf, "documents")))
+        )
+
+    q["split_sentences"] = q_split_sentences
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -4533,6 +4544,32 @@ def oracle_sql() -> dict[str, str]:
             }
         )
     oracles["pagerank"] = _pagerank_sql()
+    # sentence grammar shared with text_stats._SENTENCE_RE (alternation
+    # consumes every character, so offsets are a running sum)
+    oracles["split_sentences"] = r"""
+        with s as (select doc_id,
+                          regexp_extract_all(coalesce(text, ''),
+                                             '[^.!?]+[.!?]*|[.!?]+') as ss
+                   from documents),
+        x as (select doc_id,
+                     unnest(range(len(ss))) as sent_idx,
+                     unnest(ss) as sentence
+              from s where len(ss) > 0),
+        ofs as (select doc_id, sent_idx, sentence,
+                       coalesce(sum(length(sentence)) over (
+                           partition by doc_id order by sent_idx
+                           rows between unbounded preceding
+                                    and 1 preceding), 0) as st
+                from x)
+        select cast(doc_id as bigint) as doc_id,
+               cast(sent_idx as bigint) as sent_idx, sentence,
+               cast(st as bigint) as sent_start,
+               cast(st + length(sentence) as bigint) as sent_end
+        from ofs
+        union all
+        select cast(doc_id as bigint), 0, null, null, null
+        from s where len(ss) = 0
+    """
     _rules_values = ", ".join(
         f"('{p}', {str(a).lower()})" for p, a in _ROBOTS_RULES
     )

@@ -850,3 +850,60 @@ def luhn_cards(
         "candidate",
         (luhn_sum % 10 == 0).alias("luhn_valid"),
     )
+
+
+# every character lands in exactly one match: a position either starts
+# with a non-terminator (first alternative, which swallows the following
+# terminator run) or with a terminator (second alternative) — so
+# consecutive matches are contiguous from offset 0 and offsets are a
+# plain running sum; RE2-safe (no lookahead), replayable in the oracle
+_SENTENCE_RE = r"[^.!?]+[.!?]*|[.!?]+"
+
+
+def split_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Offset-preserving sentence segmentation: one row per sentence with
+    EXACT character offsets (``text[sent_start:sent_end]`` == sentence,
+    raw — leading whitespace kept so the invariant holds), the
+    sentence-level unit-of-work for dedup/PII/chunking stages. Documents
+    with no sentences (null or empty text) are preserved as a single
+    null-sentence row (sent_idx 0, offsets null) — same
+    preserve-don't-drop contract as ``segment_paragraphs``.
+
+    One narrow explode + one per-document window; partitions only by
+    document. The boundary grammar is deliberately simple (terminator
+    runs ``[.!?]+`` end a sentence; no abbreviation lexicon) — it is the
+    deterministic, engine-portable core; a smarter splitter slots into
+    the same offset algebra."""
+    sents = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(_SENTENCE_RE), 0
+    )
+    parts = df.select(
+        F.col(id_col),
+        (F.size(sents) == 0).alias("_empty"),
+        F.posexplode(
+            F.when(F.size(sents) == 0, F.array(F.lit(""))).otherwise(sents)
+        ).alias("sent_idx", "sentence"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.length("sentence")).over(w), F.lit(0)).cast(
+        "long"
+    )
+    return parts.select(
+        F.col(id_col),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.when(F.col("_empty"), F.lit(None).cast("string"))
+        .otherwise(F.col("sentence"))
+        .alias("sentence"),
+        F.when(F.col("_empty"), F.lit(None).cast("long"))
+        .otherwise(start)
+        .alias("sent_start"),
+        F.when(F.col("_empty"), F.lit(None).cast("long"))
+        .otherwise(start + F.length("sentence"))
+        .alias("sent_end"),
+    )

@@ -244,3 +244,38 @@ def test_robots_filter_broadcasts_rules(spark, tmp_path):
     # never appear is an un-broadcast cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_split_sentences_offsets_exact(spark):
+    texts = {
+        0: "First sentence. Second one! Third?? And a trailing fragment",
+        1: "...leading punctuation",
+        2: "no terminator at all",
+        3: "",
+        4: None,
+        5: "Multi.  Spaced.   Runs!",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = text_stats.split_sentences(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["sent_idx"])
+        t = texts[d]
+        if not t:  # null or empty: single preserved null row
+            assert len(rs) == 1
+            assert (rs[0]["sentence"], rs[0]["sent_start"], rs[0]["sent_end"]) == (None, None, None)
+            continue
+        # slicing invariant and full coverage in order
+        assert rs[0]["sent_start"] == 0
+        assert rs[-1]["sent_end"] == len(t)
+        for a, b in zip(rs, rs[1:]):
+            assert a["sent_end"] == b["sent_start"]
+        for r in rs:
+            assert t[r["sent_start"]:r["sent_end"]] == r["sentence"]
+    # boundary grammar: terminator runs close a sentence
+    assert [r["sentence"] for r in by_doc[0]] == [
+        "First sentence.", " Second one!", " Third??", " And a trailing fragment",
+    ]
+    assert [r["sentence"] for r in by_doc[1]] == ["...", "leading punctuation"]
