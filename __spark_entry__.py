@@ -240,6 +240,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # value checks from CORRECTNESS_r02). This list IS the gate window —
 # every entry has a full DuckDB value oracle; deepest checks first.
 # queries() reorders its registry to this list and appends the rest.
+#
+# Rotation policy (95 oracled queries, 50 slots): a query that already
+# has a green driver row in a PRIOR round's CORRECTNESS file may be
+# demoted to make room for one that has never had a driver row, so the
+# union of rounds covers every oracled query. This round demotes the 18
+# queries green in CORRECTNESS_r02 (exact_dedup, minhash_lsh_candidates,
+# dedup_clusters, neardup_keep, ngram_jaccard, dedup_paragraphs,
+# decontaminate, ivf_ann_topk, embedding_neardup, gopher_flags,
+# pii_scrub, corpus_stats, stratified_sample, pack_units,
+# form_widgets_flat, form_questions_flat, stream_extracted_text,
+# stream_windowed_stats) and promotes 18 never-gated queries; the
+# remaining never-gated trio (jsonl_export, ngram_counts,
+# blocklist_filter — smoke-simple, pytest + local-replay green) rotates
+# in next round.
 _GATE_WINDOW = 50
 _GATE_ORDER = [
     # extraction flats — the engine's deepest value checks (all 8
@@ -255,50 +269,50 @@ _GATE_ORDER = [
     "fixedwidth_items_flat",
     "html_main_flat",
     "html_spans_flat",
-    "form_widgets_flat",
-    "form_questions_flat",
     "conv_stats_salted",
     "conv_stitch",
+    "conv_repair",
     "csv_export",
     # streaming surfaces (batch parity, same oracles)
-    "stream_extracted_text",
-    "stream_windowed_stats",
     "stream_dedup",
+    "stream_links",
     # joins / sessionization / aggregation
     "asof_join",
     "range_join_counts",
     "multimodal_features",
+    "salted_user_stats",
     # dedup family
-    "exact_dedup",
-    "minhash_lsh_candidates",
-    "dedup_clusters",
-    "neardup_keep",
-    "ngram_jaccard",
-    "dedup_paragraphs",
     "dedup_against",
     "dedup_spans",
     "exactsubstr_clean",
     "url_dedup",
-    "decontaminate",
-    # similarity search
-    "ivf_ann_topk",
-    "embedding_neardup",
     "global_line_dedup",
+    "dedup_clusters_star",
+    "neardup_against",
+    "neardup_edit",
+    "semdedup",
+    # web-graph surface
+    "html_links",
+    "anchor_index",
+    "pagerank",
+    "hits_scores",
+    "robots_filter",
     # similarity / retrieval
     "bm25_topk",
+    "tfidf_terms",
     # text analysis / scoring
     "segment_paragraphs",
+    "split_sentences",
     "dup_ngram_frac",
     "top_ngram_frac",
     "c4_line_filter",
-    "gopher_flags",
-    "pii_scrub",
-    "corpus_stats",
     "quality_keep",
+    "quality_tiers",
+    "perplexity_buckets",
+    "pii_luhn",
+    "chunk_windows",
     "mix_epochs",
     # sampling / packing
-    "stratified_sample",
-    "pack_units",
     "conv_pairs",
     "temperature_sample",
     "conv_validate",
