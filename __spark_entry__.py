@@ -2069,6 +2069,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_sentences"] = q_split_sentences
 
+    def q_hits_scores(spark, sf):
+        """Integer-exact HITS (5 rounds, scale 1e6, division-first
+        normalization) over the same planted 64-node graph pagerank
+        uses — hubs and authorities are the complementary crawl-ranking
+        signal (a page that links many high-auth pages is a good seed
+        list; an authority is what the quality prior should upweight).
+        Bit-identical to the oracle's unrolled CTE replay."""
+        from pdf_extractors_spark.operators import webgraph
+
+        docs = _read(spark, sf, "documents")
+        edges = docs.select(
+            F.expr("cast(doc_id % 64 as long)").alias("src"),
+            F.expr(
+                "cast((doc_id div 64 * 31 + doc_id * 7 + 13) % 64 as long)"
+            ).alias("dst"),
+        )
+        return webgraph.hits(edges, iters=5)
+
+    q["hits_scores"] = q_hits_scores
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3239,6 +3259,53 @@ def _pagerank_sql(iters: int = 10, scale: int = 10**9, damp: int = 85) -> str:
                           as bigint) as pr
                      from nodes n left join c{i} c on c.node = n.node)"""
     return sql + f"\n        select node, pr from r{iters}"
+
+
+def _hits_sql(iters: int = 5, scale: int = 10**6) -> str:
+    """Unrolled-CTE replay of webgraph.hits over the planted 64-node
+    documents graph: per round an (auth_raw, auth_full, auth) CTE chain
+    then the hub chain — division-first normalization
+    (``raw // max(total // scale, 1)``) exactly as the Spark operator,
+    so every intermediate stays bigint and the result is bit-exact.
+
+    The round total rides a ``sum(raw) over ()`` window rather than a
+    scalar subquery so every CTE is referenced exactly ONCE: DuckDB
+    inlines non-materialized CTEs per reference, and a twice-referenced
+    CTE per round doubles the expression tree each iteration (2^iters
+    blowup — the scalar-subquery form of this oracle never finished at
+    5 rounds; this linear form runs in milliseconds)."""
+    sql = f"""
+        with edges as (
+          select distinct cast(doc_id % 64 as bigint) as src,
+                 cast((doc_id // 64 * 31 + doc_id * 7 + 13) % 64 as bigint)
+                   as dst
+          from documents),
+        nodes as (select src as node from edges
+                  union select dst from edges),
+        h0 as (select node, cast({scale} as bigint) as hub from nodes)"""
+    for i in range(iters):
+        sql += f""",
+        ar{i} as (select e.dst as node, cast(sum(h.hub) as bigint) as raw
+                  from edges e join h{i} h on h.node = e.src
+                  group by e.dst),
+        an{i} as (select n.node, cast(coalesce(ar.raw, 0) as bigint) as raw
+                  from nodes n left join ar{i} ar on ar.node = n.node),
+        a{i} as (select node,
+                        cast(raw // greatest(
+                          sum(raw) over () // {scale}, 1) as bigint) as auth
+                 from an{i}),
+        hr{i} as (select e.src as node, cast(sum(a.auth) as bigint) as raw
+                  from edges e join a{i} a on a.node = e.dst
+                  group by e.src),
+        hn{i} as (select n.node, cast(coalesce(hr.raw, 0) as bigint) as raw
+                  from nodes n left join hr{i} hr on hr.node = n.node),
+        h{i + 1} as (select node,
+                        cast(raw // greatest(
+                          sum(raw) over () // {scale}, 1) as bigint) as hub
+                     from hn{i})"""
+    return sql + f"""
+        select h.node, h.hub, a.auth
+        from h{iters} h join a{iters - 1} a on a.node = h.node"""
 
 
 _LINKS_SQL_RE = '<a href="([^"]*)">([^<]*)</a>'
@@ -4558,6 +4625,7 @@ def oracle_sql() -> dict[str, str]:
             }
         )
     oracles["pagerank"] = _pagerank_sql()
+    oracles["hits_scores"] = _hits_sql()
     # sentence grammar shared with text_stats._SENTENCE_RE (alternation
     # consumes every character, so offsets are a running sum)
     oracles["split_sentences"] = r"""

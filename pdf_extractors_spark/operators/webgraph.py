@@ -196,3 +196,88 @@ def pagerank(
         return ranks
     finally:
         e.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Integer-exact HITS: ``(node, hub, auth)`` after ``iters`` rounds of
+
+        auth'(v) = Σ_{(u,v)∈E} hub(u)      then normalize
+        hub'(u)  = Σ_{(u,v)∈E} auth'(v)    then normalize
+
+    where normalize is ``score div max(Σscore div scale, 1)`` — division
+    BEFORE multiplication everywhere, so no intermediate ever exceeds
+    ``Σscore`` and the arithmetic stays inside int64 on any graph whose
+    edge count fits a bigint (the textbook ``raw * scale / total`` form
+    overflows int64 at ~10^3 average degree with scale 10^6; the
+    division-first form trades ≤ nodes·1 absolute error in the rescaled
+    sum for overflow-freedom, and both engines replay it bit-identically,
+    which is what makes the DuckDB value oracle possible).
+
+    Dangling/orphan handling follows the standard formulation: a node
+    with no in-edges has auth 0, no out-edges hub 0 — both are kept in
+    the output (left join onto the node list), never dropped.
+
+    Per round: two (scores ⋈ edges) equi-joins on the node key + two
+    map-side-combined sums + two 1-row total aggregates that ride back
+    as broadcasts (no driver collect). ``localCheckpoint`` truncates
+    lineage per round exactly like ``pagerank``, so plan depth is O(1)
+    in ``iters``."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    e = e.repartition("src").cache()
+
+    def _normalize(raw_by_node: DataFrame, nodes: DataFrame, out: str) -> DataFrame:
+        full = nodes.join(raw_by_node, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        denom = full.agg(
+            F.greatest(
+                F.expr(f"coalesce(sum(raw), 0L) div {scale}"),
+                F.lit(1).cast("long"),
+            ).alias("d")
+        )
+        return full.crossJoin(F.broadcast(denom)).select(
+            "node", F.expr("raw div d").cast("long").alias(out)
+        )
+
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
+        auth = None
+        prev: list[DataFrame] = []
+        for _ in range(iters):
+            auth_raw = (
+                e.join(
+                    hub.select(F.col("node").alias("src"), "hub"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("raw"))
+            )
+            auth = _normalize(auth_raw, nodes, "auth").localCheckpoint()
+            hub_raw = (
+                e.join(
+                    auth.select(F.col("node").alias("dst"), "auth"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth").alias("raw"))
+            )
+            hub = _normalize(hub_raw, nodes, "hub").localCheckpoint()
+            for df in prev:
+                df.unpersist()
+            prev = [auth, hub]
+        return hub.join(auth, "node").select("node", "hub", "auth")
+    finally:
+        e.unpersist()

@@ -95,6 +95,69 @@ def test_pagerank_sink_accumulates_teleport_only_inflow(spark):
     assert got[1] > got[0]  # sink gets teleport + 85% of 0's rank
 
 
+def _hits_py(edges, iters=5, scale=10**6):
+    """Reference HITS with the same division-first integer arithmetic."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+
+    def norm(raw):
+        d = max(sum(raw.values()) // scale, 1)
+        return {n: raw.get(n, 0) // d for n in nodes}
+
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw_a = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw_a[d] += hub[s]
+        auth = norm(raw_a)
+        raw_h = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw_h[s] += auth[d]
+        hub = norm(raw_h)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_reference_impl(spark):
+    rng = random.Random(13)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in webgraph.hits(df, iters=4).collect()
+    }
+    assert got == _hits_py(edges, iters=4)
+
+
+def test_hits_partitioning_invariant(spark):
+    rng = random.Random(17)
+    edges = list({(rng.randrange(16), rng.randrange(16)) for _ in range(40)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: (r["hub"], r["auth"]) for r in webgraph.hits(df, iters=3).collect()}
+    b = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in webgraph.hits(df.repartition(7), iters=3).collect()
+    }
+    assert a == b
+
+
+def test_hits_hub_authority_separation(spark):
+    # star: 0 links to 1..4 (pure hub), 1..4 link nowhere else; 5 -> 1
+    edges = [(0, d) for d in (1, 2, 3, 4)] + [(5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in webgraph.hits(df, iters=5).collect()
+    }
+    assert got == _hits_py(edges, iters=5)
+    # node 0 is the dominant hub and no authority; 1..4 pure authorities
+    assert got[0][0] > got[5][0] > 0
+    assert got[0][1] == 0
+    assert all(got[n][0] == 0 for n in (1, 2, 3, 4))
+    # node 1 is pointed at by both hubs: strictly the top authority
+    assert got[1][1] > got[2][1]
+
+
 def _luhn_py(s: str) -> bool:
     total = 0
     for i, ch in enumerate(reversed(s)):
