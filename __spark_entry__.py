@@ -2089,6 +2089,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_scores"] = q_hits_scores
 
+    def q_domain_cap(spark, sf):
+        """Per-source document cap (domain balancing): keep the 30
+        longest documents per source, deterministic tiebreak — the
+        guard against one host flooding the mixture. Catalyst runs the
+        row_number filter as a WindowGroupLimit: per-partition top-k
+        heaps before the single exchange on source."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return sampling.cap_per_group(docs, "source", k=30).select(
+            "doc_id", "source", "n_chars"
+        )
+
+    q["domain_cap"] = q_domain_cap
+
+    def q_skew_report(spark, sf):
+        """Exact key-skew diagnostic over events.user_id: top-20
+        heaviest keys with ppm shares and imbalance vs the mean key —
+        the report that decides salt factors. Distributed TakeOrdered
+        over the aggregated counts, never a global sort."""
+        from pdf_extractors_spark.operators import salting
+
+        ev = _read(spark, sf, "events")
+        return salting.skew_report(ev, "user_id", top_k=20)
+
+    q["skew_report"] = q_skew_report
+
+    def q_bpe_pairs(spark, sf):
+        """First BPE merge iteration (tokenizer-training kernel): top-40
+        adjacent character pairs inside whitespace words, corpus-wide.
+        Double explode → map-side-combined groupBy → TakeOrdered."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        return text_stats.bpe_pair_counts(docs, top_k=40)
+
+    q["bpe_pairs"] = q_bpe_pairs
+
+    def q_nfc_repair(spark, sf):
+        """Unicode NFC normalization (the pre-dedup canonicalization
+        pass). Fixture text is ASCII, so decomposed sequences are
+        planted deterministically (md5 bucket of doc_id): bucket 0
+        appends a decomposed 'café', bucket 1 a decomposed 'über' —
+        both the pandas_udf (CPython UCD) and DuckDB's nfc_normalize
+        implement UAX #15, so composed outputs match byte-exact."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(F.concat(F.lit("nfc:"), F.col("doc_id").cast("string"))),
+            F.lit(8),
+        )
+        planted = docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(bkt == 0, F.lit(" cafe\u0301"))
+                .when(bkt == 1, F.lit(" u\u0308ber"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        return text_stats.unicode_normalize(planted)
+
+    q["nfc_repair"] = q_nfc_repair
+
+    def q_tool_call_stats(spark, sf):
+        """Per-tool reliability rollup over the transcripts' tool turns.
+        Result payloads are planted deterministically (md5 bucket of
+        conv_id:turn_idx): buckets 0-5 a JSON ok-envelope, 6-7 an
+        error-envelope, 8-9 the raw fixture text (invalid JSON). The
+        operator parses with permissive from_json; the oracle re-derives
+        the aggregates from the planting rule, so the query passes only
+        if Spark's JSON parse round-trips every envelope exactly."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(
+                    F.lit("tc:"),
+                    F.col("conv_id"),
+                    F.lit(":"),
+                    F.col("turn_idx").cast("string"),
+                )
+            ),
+            F.lit(10),
+        )
+        envelope = F.when(
+            bkt <= 5,
+            F.to_json(
+                F.struct(
+                    F.lit("ok").alias("status"),
+                    ((bkt + 1) * 7 + F.col("turn_idx"))
+                    .cast("long")
+                    .alias("latency_ms"),
+                )
+            ),
+        ).when(
+            bkt <= 7,
+            F.to_json(
+                F.struct(
+                    F.lit("error").alias("status"),
+                    ((bkt + 1) * 13 + F.col("turn_idx"))
+                    .cast("long")
+                    .alias("latency_ms"),
+                )
+            ),
+        ).otherwise(F.col("text"))
+        planted = t.withColumn(
+            "text", F.when(F.col("role") == "tool", envelope).otherwise(F.col("text"))
+        )
+        return pipeline.tool_call_stats(planted)
+
+    q["tool_call_stats"] = q_tool_call_stats
+
+    def q_partitioned_export(spark, sf):
+        """Hive-partitioned parquet sink round-trip (partitionBy lang —
+        the output layout that makes downstream per-language reads
+        partition-pruned scans instead of full scans at 100 TB). Write,
+        re-read, return; passes only if values and the partition column
+        survive the layout round-trip exactly."""
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") % 10 == 3)
+        out = docs.select("doc_id", "lang", "source", "n_chars")
+        name = os.path.basename(sf.rstrip("/")) or "sf"
+        app_id = spark.sparkContext.applicationId
+        path = f"/tmp/spark_graft_part_export_{name}_{app_id}"
+        out.write.mode("overwrite").partitionBy("lang").parquet(path)
+        back = spark.read.parquet(path)
+        return back.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+    q["partitioned_export"] = q_partitioned_export
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -4441,6 +4579,36 @@ def oracle_sql() -> dict[str, str]:
         from qs join documents d on qs.doc_id = d.doc_id
     """
     if tp is not None:
+        _md5_tc = md5_bigint_sql(
+            "'tc:' || conv_id || ':' || cast(turn_idx as varchar)"
+        )
+        oracles["tool_call_stats"] = f"""
+            with b as (
+              select tool, cast(turn_idx as bigint) as turn_idx,
+                     ({_md5_tc}) % 10 as bkt
+              from read_parquet('{tp}')
+              where role = 'tool'),
+            c as (
+              select tool,
+                     case when bkt <= 7 then 1 else 0 end as valid,
+                     case when bkt <= 5 then 'ok'
+                          when bkt <= 7 then 'error' end as status,
+                     case when bkt <= 5 then (bkt + 1) * 7 + turn_idx
+                          when bkt <= 7 then (bkt + 1) * 13 + turn_idx
+                          end as latency
+              from b)
+            select tool,
+                   cast(count(*) as bigint) as n_calls,
+                   cast(sum(case when status = 'ok' then 1 else 0 end)
+                     as bigint) as n_ok,
+                   cast(sum(case when status = 'error' then 1 else 0 end)
+                     as bigint) as n_error,
+                   cast(sum(1 - valid) as bigint) as n_invalid,
+                   cast(sum(latency) as bigint) as total_latency_ms,
+                   cast(max(latency) as bigint) as max_latency_ms
+            from c
+            group by tool
+        """
         oracles["conv_pairs"] = f"""
             with w as (
               select conv_id, turn_idx, role,
@@ -4711,5 +4879,69 @@ def oracle_sql() -> dict[str, str]:
                       else cast(substr(candidate, i, 1) as int) end))
                  % 10 = 0 as luhn_valid
         from cands
+    """
+    oracles["domain_cap"] = """
+        select doc_id, source, n_chars
+        from (select doc_id, source, n_chars,
+                     row_number() over (partition by source
+                                        order by n_chars desc, doc_id asc)
+                       as rn
+              from documents)
+        where rn <= 30
+    """
+    oracles["skew_report"] = """
+        with counts as (
+          select user_id, cast(count(*) as bigint) as n_rows
+          from events group by user_id),
+        stats as (
+          select cast(sum(n_rows) as bigint) as t,
+                 cast(count(*) as bigint) as k
+          from counts),
+        top as (
+          select * from counts order by n_rows desc, user_id asc limit 20)
+        select cast(row_number() over w as bigint) as rank,
+               user_id, n_rows,
+               cast(n_rows * 1000000 // t as bigint) as share_ppm,
+               cast((sum(n_rows) over w) * 1000000 // t as bigint)
+                 as cum_share_ppm,
+               cast(n_rows * 1000000 // (t // k) as bigint) as x_mean_ppm
+        from top, stats
+        window w as (order by n_rows desc, user_id asc)
+    """
+    oracles["bpe_pairs"] = r"""
+        with words as (
+          select unnest(string_split_regex(trim(lower(text)), '\s+')) as word
+          from documents),
+        pairs as (
+          select substr(word, cast(i as int), 2) as pair
+          from (select word, unnest(range(1, length(word))) as i
+                from words
+                where length(word) >= 2))
+        select pair, cast(count(*) as bigint) as n
+        from pairs
+        group by pair
+        order by n desc, pair asc
+        limit 40
+    """
+    # planting concatenates DECOMPOSED sequences ('cafe' + U+0301,
+    # 'u' + U+0308 + 'ber'); both engines' NFC composes them. || is
+    # null-propagating (unlike DuckDB concat), matching Spark.
+    _md5_nfc = md5_bigint_sql("'nfc:' || cast(doc_id as varchar)")
+    oracles["nfc_repair"] = f"""
+        with planted as (
+          select doc_id,
+                 text || case ({_md5_nfc}) % 8
+                         when 0 then ' cafe' || chr(769)
+                         when 1 then ' u' || chr(776) || 'ber'
+                         else '' end as text
+          from documents)
+        select doc_id,
+               nfc_normalize(text) as text_nfc,
+               coalesce(nfc_normalize(text) != text, false) as changed
+        from planted
+    """
+    oracles["partitioned_export"] = """
+        select doc_id, lang, source, n_chars
+        from documents where doc_id % 10 = 3
     """
     return oracles

@@ -22,7 +22,7 @@ per turn, so round-robin input splits already balance it (pipeline.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def heavy_hitters(
@@ -97,4 +97,52 @@ def salted_conv_stats(
         F.sum("extracted_chars").alias("extracted_chars"),
         F.sum("parse_errors").alias("parse_errors"),
         F.sum("n_spans").alias("n_spans"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key: str = "user_id",
+    top_k: int = 20,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact key-skew diagnostic: the ``top_k`` heaviest keys with
+    ``(rank, key, n_rows, share_ppm, cum_share_ppm, x_mean_ppm)`` — row
+    share and cumulative share in parts-per-million, and the imbalance
+    factor vs the MEAN per-key count (millionths). The report a pipeline
+    runs before choosing salt factors / AQE thresholds: a top key at
+    200x the mean needs salting; a flat report doesn't.
+
+    All ratios are integer (``div`` against broadcast 1-row totals), so
+    the output is engine-portable and value-hashable. Scale shape: one
+    map-side-combined groupBy over the key, one tiny total/key-count
+    aggregate that rides back as a broadcast, and ``orderBy().limit()``
+    over the already-aggregated counts — Spark executes that as a
+    distributed TakeOrdered (per-partition top-k heaps, then a k-row
+    merge on the driver side of the exchange), NOT a global sort; the
+    rank/cumulative window then runs over only ``top_k`` rows. The mean
+    (not the median) is the reference level precisely because it needs
+    no order statistic — an exact median of 10^8 per-host counts would
+    force the global sort this plan avoids."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_nkeys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col(key).asc()).limit(top_k)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col(key).asc())
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_rows", F.sum("n_rows").over(w))
+        .select(
+            "rank",
+            key,
+            "n_rows",
+            F.expr(f"n_rows * {scale} div _total").alias("share_ppm"),
+            F.expr(f"cum_rows * {scale} div _total").alias("cum_share_ppm"),
+            F.expr(f"n_rows * {scale} div (_total div _nkeys)").alias(
+                "x_mean_ppm"
+            ),
+        )
     )

@@ -331,3 +331,36 @@ def mix_epochs(
         )
         .drop("_copies")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+    order_by: list | None = None,
+) -> DataFrame:
+    """Per-group document cap ("domain balancing"): keep at most ``k``
+    rows per ``group_col``, taking the best rows first. The standard
+    crawl-pipeline guard against a single domain (or dump, or source)
+    flooding the corpus — CommonCrawl-derived corpora cap per-host
+    counts exactly this way before mixing.
+
+    ``order_by`` decides which rows survive; it MUST end in a tiebreaker
+    that is unique per row (the default orders by ``n_chars`` descending
+    then ``doc_id`` ascending) or the survivor set depends on partition
+    iteration order and the cap stops being deterministic.
+
+    Scale shape: one exchange on ``group_col`` + an in-partition top-k —
+    Catalyst rewrites ``row_number() <= k`` into a windowed
+    group-limit (WindowGroupLimit) so each partition keeps only k rows
+    per key before emitting; no global sort, no second shuffle. Skewed
+    groups (one host = millions of docs) cost a bounded heap insert per
+    row, not a per-group sort."""
+    if order_by is None:
+        order_by = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

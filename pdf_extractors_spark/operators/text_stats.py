@@ -907,3 +907,81 @@ def split_sentences(
         .otherwise(start + F.length("sentence"))
         .alias("sent_end"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 40,
+) -> DataFrame:
+    """First BPE merge iteration over the corpus: count adjacent
+    character pairs inside whitespace words and return the ``top_k``
+    most frequent ``(pair, n)`` — exactly the statistic a BPE tokenizer
+    trainer computes to pick its next merge. Running this per merge
+    round (re-tokenize, re-count) IS tokenizer training; one round is
+    the representative kernel and the one with a clean SQL replay.
+
+    Pure column math: split to words, expand each word to its character
+    bigrams with ``transform(sequence(...))`` (no UDF), explode, one
+    map-side-combined groupBy, then a distributed TakeOrdered for the
+    top-k (count desc, pair asc — total order, so the cut is
+    deterministic). The double explode is the honest cost — ~2 bytes of
+    shuffle per corpus character, all combiner-reduced per partition
+    before the exchange."""
+    words = df.select(
+        F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (UAX #15) of a text column — the repair
+    pass a crawl corpus needs before ANY hash-based dedup or shingle
+    operator: "café" composed (U+00E9) and decomposed (e + U+0301) are
+    byte-different, so un-normalized text silently defeats exact dedup,
+    MinHash and fingerprinting. Run this first; every downstream hash
+    then sees one canonical byte sequence.
+
+    Returns ``(id, text_nfc, changed)`` with original column order and
+    nulls preserved. Arrow-batched scalar pandas_udf around
+    ``unicodedata.normalize`` (CPython ships the full UCD; Spark has no
+    normalization builtin) — per-batch Python, never per-row at the
+    Spark level. Both Python and DuckDB's ``nfc_normalize`` implement
+    the same UAX #15 algorithm over the same UCD, which is what makes a
+    cross-engine value oracle possible for NFC."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"not a UAX #15 form: {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    out = _norm(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        out.alias("text_nfc"),
+        (~out.eqNullSafe(F.col(text_col))).alias("changed"),
+    )

@@ -309,6 +309,52 @@ def conv_pairs(
     )
 
 
+def tool_call_stats(
+    transcripts: DataFrame, payload_col: str = "text"
+) -> DataFrame:
+    """Per-tool reliability rollup over agent-transcript tool turns: for
+    every ``role='tool'`` turn, parse the result payload as the standard
+    ``{"status": ..., "latency_ms": ..., ...}`` JSON envelope and emit
+    one row per tool with call counts, ok/error splits, JSON-invalid
+    counts, and exact latency aggregates. The first question asked of an
+    agent-transcript corpus ("which tools fail, how often, how slowly")
+    and the filter basis for dropping conversations with broken tool
+    loops before training.
+
+    ``from_json`` is permissive: a payload that is not a JSON object
+    (truncated tool output, raw text, null) parses to a null struct and
+    is counted in ``n_invalid`` rather than dropped or raised — at
+    10^12 turns malformed tool output is data, not an error. A valid
+    envelope missing ``status`` counts as invalid too (the envelope IS
+    the contract). One filter + one map-side-combined groupBy on tool;
+    JSON parsing is JVM-side codegen (Jackson), no Python anywhere."""
+    j = F.from_json(
+        F.col(payload_col), "status string, latency_ms bigint"
+    )
+    parsed = transcripts.filter(F.col("role") == "tool").select(
+        "tool",
+        j.alias("_j"),
+    )
+    valid = F.col("_j").isNotNull() & F.col("_j.status").isNotNull()
+    lat = F.when(valid, F.col("_j.latency_ms"))
+    return (
+        parsed.groupBy("tool")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum(
+                (valid & (F.col("_j.status") == "ok")).cast("long")
+            ).alias("n_ok"),
+            F.sum(
+                (valid & (F.col("_j.status") != "ok")).cast("long")
+            ).alias("n_error"),
+            F.sum((~valid).cast("long")).alias("n_invalid"),
+            F.sum(lat).cast("long").alias("total_latency_ms"),
+            F.max(lat).cast("long").alias("max_latency_ms"),
+        )
+    )
+
+
+
 def conv_validate(transcripts: DataFrame) -> DataFrame:
     """Per-conversation structural validation — the integrity gate a
     transcript-ingest pipeline runs before extraction: malformed

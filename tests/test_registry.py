@@ -30,6 +30,13 @@ CARRYOVER = {
     "jsonl_export",
     "ngram_counts",
     "blocklist_filter",
+    # added after this round's window was pinned; rotate in next round
+    "domain_cap",
+    "skew_report",
+    "bpe_pairs",
+    "nfc_repair",
+    "tool_call_stats",
+    "partitioned_export",
 }
 
 

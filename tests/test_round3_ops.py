@@ -1,0 +1,182 @@
+"""Round-3 operator tests: per-group caps, skew diagnostics, BPE pair
+counts, unicode normalization, tool-call JSON rollups."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pdf_extractors_spark import pipeline
+from pdf_extractors_spark.operators import salting, sampling, text_stats
+
+
+# --------------------------------------------------------- cap_per_group
+
+
+def test_cap_per_group_keeps_best_k(spark):
+    rows = [(i, f"src{i % 3}", 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = sampling.cap_per_group(df, "source", k=4).collect()
+    assert len(out) == 12
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    # the 4 longest docs of each source survive
+    for src in ("src0", "src1", "src2"):
+        base = int(src[-1])
+        expected = sorted(
+            (100 - i for i in range(base, 30, 3)), reverse=True
+        )[:4]
+        assert sorted(by_src[src], reverse=True) == expected
+
+
+def test_cap_per_group_partitioning_invariant(spark):
+    rows = [(i, f"s{i % 5}", (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    a = {tuple(r) for r in sampling.cap_per_group(df, "source", k=7).collect()}
+    b = {
+        tuple(r)
+        for r in sampling.cap_per_group(df.repartition(13), "source", k=7).collect()
+    }
+    assert a == b and len(a) == 35
+
+
+def test_cap_per_group_ties_break_on_doc_id(spark):
+    # all same length: survivors must be the k smallest doc_ids
+    rows = [(i, "s", 50) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = sorted(r["doc_id"] for r in sampling.cap_per_group(df, "source", k=3).collect())
+    assert out == [0, 1, 2]
+
+
+# ----------------------------------------------------------- skew_report
+
+
+def test_skew_report_exact_values(spark):
+    # keys: a=6 rows, b=3, c=1  \u2192 total 10, nkeys 3, mean = 10 div 3 = 3
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "user_id string")
+    got = {r["user_id"]: r.asDict() for r in salting.skew_report(df, "user_id", top_k=2).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["rank"] == 1 and got["b"]["rank"] == 2
+    assert got["a"]["n_rows"] == 6 and got["b"]["n_rows"] == 3
+    assert got["a"]["share_ppm"] == 600000
+    assert got["b"]["share_ppm"] == 300000
+    assert got["a"]["cum_share_ppm"] == 600000
+    assert got["b"]["cum_share_ppm"] == 900000
+    assert got["a"]["x_mean_ppm"] == 2000000  # 6 / mean(3)
+    assert got["b"]["x_mean_ppm"] == 1000000
+
+
+def test_skew_report_rank_ties_deterministic(spark):
+    rows = [("x",)] * 2 + [("y",)] * 2 + [("z",)]
+    df = spark.createDataFrame(rows, "user_id string")
+    out = salting.skew_report(df, "user_id", top_k=3).collect()
+    assert [r["user_id"] for r in out] == ["x", "y", "z"]
+
+
+# ------------------------------------------------------- bpe_pair_counts
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(0, "abab ab"), (1, "Ba  x")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in text_stats.bpe_pair_counts(df).collect()}
+    # lowercased: "abab" -> ab, ba, ab ; "ab" -> ab ; "ba" -> ba ;
+    # "x" has length 1 -> no pairs
+    assert got == {"ab": 3, "ba": 2}
+
+
+def test_bpe_pair_counts_topk_order_deterministic(spark):
+    df = spark.createDataFrame([(0, "aa bb cc aa bb aa")], "doc_id long, text string")
+    out = text_stats.bpe_pair_counts(df, top_k=2).collect()
+    assert [(r["pair"], r["n"]) for r in out] == [("aa", 3), ("bb", 2)]
+
+
+def test_bpe_pair_counts_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "hi")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in text_stats.bpe_pair_counts(df).collect()}
+    assert got == {"hi": 1}
+
+
+# ----------------------------------------------------- unicode_normalize
+
+
+def test_unicode_normalize_composes_nfc(spark):
+    decomposed = "cafe\u0301 u\u0308ber"
+    df = spark.createDataFrame(
+        [(0, decomposed), (1, "plain ascii"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in text_stats.unicode_normalize(df).collect()}
+    assert got[0]["text_nfc"] == unicodedata.normalize("NFC", decomposed)
+    assert got[0]["text_nfc"] == "caf\u00e9 \u00fcber"
+    assert got[0]["changed"] is True
+    assert got[1]["text_nfc"] == "plain ascii" and got[1]["changed"] is False
+    assert got[2]["text_nfc"] is None and got[2]["changed"] is False
+
+
+def test_unicode_normalize_nfkc_folds_compat(spark):
+    df = spark.createDataFrame([(0, "\ufb01ne \u2460")], "doc_id long, text string")
+    got = text_stats.unicode_normalize(df, form="NFKC").collect()[0]
+    assert got["text_nfc"] == "fine 1"
+    assert got["changed"] is True
+
+
+def test_unicode_normalize_rejects_bad_form(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text_stats.unicode_normalize(df, form="NFX")
+
+
+def test_unicode_normalize_enables_exact_dedup(spark):
+    # the motivating property: composed and decomposed 'caf\u00e9' dedup to
+    # one doc after normalization, two without
+    df = spark.createDataFrame(
+        [(0, "caf\u00e9"), (1, "cafe\u0301")], "doc_id long, text string"
+    )
+    assert df.select("text").distinct().count() == 2
+    assert (
+        text_stats.unicode_normalize(df).select("text_nfc").distinct().count()
+        == 1
+    )
+
+
+# -------------------------------------------------------- tool_call_stats
+
+
+def test_tool_call_stats_counts_and_latency(spark):
+    rows = [
+        ("c0", 0, "tool", '{"status": "ok", "latency_ms": 10}', "search"),
+        ("c0", 1, "tool", '{"status": "ok", "latency_ms": 30}', "search"),
+        ("c0", 2, "tool", '{"status": "error", "latency_ms": 5}', "search"),
+        ("c0", 3, "tool", "raw text, not json", "search"),
+        ("c0", 4, "tool", '{"other": 1}', "search"),  # valid JSON, no status
+        ("c0", 5, "tool", None, "search"),
+        ("c0", 6, "assistant", '{"status": "ok"}', "search"),  # not a tool turn
+        ("c1", 0, "tool", '{"status": "ok", "latency_ms": 7}', "fetch"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {r["tool"]: r.asDict() for r in pipeline.tool_call_stats(df).collect()}
+    s = got["search"]
+    assert s["n_calls"] == 6
+    assert s["n_ok"] == 2 and s["n_error"] == 1 and s["n_invalid"] == 3
+    assert s["total_latency_ms"] == 45 and s["max_latency_ms"] == 30
+    f = got["fetch"]
+    assert (f["n_calls"], f["n_ok"], f["total_latency_ms"]) == (1, 1, 7)
+
+
+def test_tool_call_stats_all_invalid_tool(spark):
+    rows = [("c0", 0, "tool", "oops", "shell"), ("c0", 1, "tool", "{bad", "shell")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = pipeline.tool_call_stats(df).collect()[0]
+    assert got["n_invalid"] == 2 and got["n_ok"] == 0
+    assert got["total_latency_ms"] is None and got["max_latency_ms"] is None
