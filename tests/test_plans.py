@@ -495,3 +495,86 @@ def test_luhn_cards_no_shuffle_no_udf(spark, tmp_path):
     plan = _plan(text_stats.luhn_cards(spark.read.parquet(path)))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_cap_per_group_uses_window_group_limit(spark, tmp_path):
+    """The per-source cap must run as a WindowGroupLimit (per-partition
+    top-k heaps before the single exchange on the group key), not a full
+    per-group sort + filter."""
+    from pdf_extractors_spark.operators import sampling
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 7 % 50) for i in range(30)],
+        "doc_id long, source string, n_chars long",
+    ).write.parquet(path)
+    plan = _plan(sampling.cap_per_group(spark.read.parquet(path), "source", k=5))
+    assert "WindowGroupLimit" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_skew_report_takeordered_no_global_sort(spark, tmp_path):
+    """Top-k over the aggregated counts must be a distributed
+    TakeOrderedAndProject; the totals ride a BroadcastExchange, and
+    nothing ever funnels the counts through a global Sort."""
+    from pdf_extractors_spark.operators import salting
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i % 7,) for i in range(100)], "user_id long"
+    ).write.parquet(path)
+    plan = _plan(salting.skew_report(spark.read.parquet(path), "user_id"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the only Sort allowed is the 20-row window's; no global sort of counts
+    sort_lines = [l for l in plan.splitlines() if re.match(r"\(\d+\) Sort", l)]
+    assert len(sort_lines) <= 1, plan
+
+
+def test_bpe_pair_counts_partial_agg_takeordered(spark, tmp_path):
+    """Pair counting is one map-side-combined groupBy (partial_count
+    before the single exchange) + TakeOrdered — no UDF, no second
+    shuffle for the top-k."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "abab cd"), (1, "cdcd ab")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(text_stats.bpe_pair_counts(spark.read.parquet(path)))
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Python" not in plan
+
+
+def test_unicode_normalize_arrow_batched_no_shuffle(spark, tmp_path):
+    """Normalization is a scalar Arrow-batched pandas_udf
+    (ArrowEvalPython) over pruned columns — zero exchanges, never
+    row-at-a-time BatchEvalPython."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "café"), (1, "x")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(text_stats.unicode_normalize(spark.read.parquet(path)))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_tool_call_stats_single_exchange_jvm_json(spark, tmp_path):
+    """The rollup is filter → from_json project → partial agg → one
+    exchange on tool → final agg; the role filter is pushed to the scan
+    and JSON parsing is JVM codegen (no Python nodes)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("c", 0, "tool", '{"status":"ok","latency_ms":1}', "x")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).write.parquet(path)
+    plan = _plan(pipeline.tool_call_stats(spark.read.parquet(path)))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Python" not in plan, plan
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in plan, plan
