@@ -2089,6 +2089,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_scores"] = q_hits_scores
 
+    def q_triangle_stats(spark, sf):
+        """Global triangle census (degree-oriented Cohen counting) over
+        the planted 64-node graph — the clustering-coefficient spam/
+        quality prior beside pagerank and hits. One row, all integers."""
+        from pdf_extractors_spark.operators import webgraph
+
+        docs = _read(spark, sf, "documents")
+        edges = docs.select(
+            F.expr("cast(doc_id % 64 as long)").alias("src"),
+            F.expr(
+                "cast((doc_id div 64 * 31 + doc_id * 7 + 13) % 64 as long)"
+            ).alias("dst"),
+        )
+        return webgraph.triangle_stats(edges)
+
+    q["triangle_stats"] = q_triangle_stats
+
     def q_domain_cap(spark, sf):
         """Per-source document cap (domain balancing): keep the 30
         longest documents per source, deterministic tiebreak — the
@@ -4879,6 +4896,37 @@ def oracle_sql() -> dict[str, str]:
                       else cast(substr(candidate, i, 1) as int) end))
                  % 10 = 0 as luhn_valid
         from cands
+    """
+    # textbook a<b<c three-way join — exact and fine at 64 nodes; the
+    # Spark side earns its degree orientation at scale, the oracle only
+    # has to agree on the numbers
+    oracles["triangle_stats"] = """
+        with und as (
+          select distinct least(src, dst) as a, greatest(src, dst) as b
+          from (select cast(doc_id % 64 as bigint) as src,
+                       cast((doc_id // 64 * 31 + doc_id * 7 + 13) % 64
+                            as bigint) as dst
+                from documents)
+          where src != dst),
+        deg as (
+          select node, cast(count(*) as bigint) as deg
+          from (select a as node from und union all select b from und)
+          group by node),
+        tri as (
+          select cast(count(*) as bigint) as n_triangles
+          from und e1
+          join und e2 on e2.a = e1.b
+          join und e3 on e3.a = e1.a and e3.b = e2.b)
+        select cast((select count(*) from deg) as bigint) as n_nodes,
+               cast((select count(*) from und) as bigint) as n_edges,
+               cast((select sum(deg * (deg - 1) // 2) from deg) as bigint)
+                 as n_wedges,
+               n_triangles,
+               cast(case when (select sum(deg * (deg - 1) // 2) from deg) > 0
+                    then 3 * n_triangles * 1000000 //
+                         (select sum(deg * (deg - 1) // 2) from deg)
+                    else 0 end as bigint) as closure_ppm
+        from tri
     """
     oracles["domain_cap"] = """
         select doc_id, source, n_chars

@@ -281,3 +281,103 @@ def hits(
         return hub.join(auth, "node").select("node", "hub", "auth")
     finally:
         e.unpersist()
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle census of the (undirected) link graph — ONE row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, closure_ppm)`` where
+    closure is the global clustering coefficient ``3·triangles/wedges``
+    in parts-per-million (integer, engine-portable). Triangle density
+    separates organically-linked sites from link farms (cliques → high
+    closure) and is the standard spam/quality prior a crawl ranking
+    combines with PageRank.
+
+    Algorithm: degree orientation (Cohen's MapReduce triangle counting)
+    — direct every undirected edge from its lower-(degree, id) endpoint
+    to the higher, so each node's OUT-degree is O(sqrt(m)) regardless of
+    how big a hub it is; wedges are pairs of out-edges at a node
+    (≤ outdeg² per node, bounded by the orientation), and a triangle is
+    a wedge whose closing edge exists (semi-join). Without the
+    orientation a 10^7-degree hub builds 10^14 wedges; with it, the
+    wedge total is O(m^1.5) worst-case — the difference between
+    impossible and routine at crawl scale.
+
+    Wedge counting per node is algebraic (``outdeg·(outdeg-1)/2`` summed
+    over the oriented degree sequence), so only triangle *closure* pays
+    a join. Shuffles: degree groupBy, orientation join, the wedge
+    self-join on the pivot node, and the closing-edge semi-join — all
+    equi-joins on int64 keys, no payloads."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))  # self-loops close no triangle
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient low-(deg, id) -> high-(deg, id): a TOTAL order, so every
+    # undirected edge gets exactly one direction
+    oriented = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    oriented = oriented.localCheckpoint()
+    # wedges at pivot u: unordered pairs of out-neighbors (v < w keeps
+    # each pair once)
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), "u")
+        .filter(F.col("x.v") < F.col("y.v"))
+        .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+    )
+    # the wedge pair is emitted with a < b, which is exactly the
+    # canonical form of the undirected edge set — probe it directly
+    # (the closing edge's ORIENTATION is irrelevant; existence is what
+    # closes the triangle)
+    tri = wedges.join(und, ["a", "b"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    counts = und.agg(F.count("*").alias("n_edges"))
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    # total wedges (open + closed) from the UNDIRECTED degree sequence:
+    # sum over nodes of deg·(deg−1)/2 — pure algebra, no join
+    nwedge = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(nwedge)
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "case when n_wedges > 0 then 3 * n_triangles * 1000000"
+                " div n_wedges else 0 end"
+            ).alias("closure_ppm"),
+        )
+    )

@@ -37,6 +37,7 @@ CARRYOVER = {
     "nfc_repair",
     "tool_call_stats",
     "partitioned_export",
+    "triangle_stats",
 }
 
 

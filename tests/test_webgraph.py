@@ -342,3 +342,57 @@ def test_split_sentences_offsets_exact(spark):
         "First sentence.", " Second one!", " Third??", " And a trailing fragment",
     ]
     assert [r["sentence"] for r in by_doc[1]] == ["...", "leading punctuation"]
+
+
+def _triangle_py(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tris = sum(
+        1
+        for a, b in und
+        for c in adj[a] & adj[b]
+        if a < b < c  # count each triangle exactly once
+    )
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    return {
+        "n_nodes": len(nodes),
+        "n_edges": len(und),
+        "n_wedges": wedges,
+        "n_triangles": tris,
+        "closure_ppm": (3 * tris * 10**6) // wedges if wedges else 0,
+    }
+
+
+def test_triangle_stats_known_graphs(spark):
+    # K4: 4 triangles, 12 wedges, closure 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = webgraph.triangle_stats(df).collect()[0].asDict()
+    assert got == {
+        "n_nodes": 4, "n_edges": 6, "n_wedges": 12,
+        "n_triangles": 4, "closure_ppm": 1000000,
+    }
+    # star: no triangles, wedges = C(4,2) at the hub
+    star = [(0, d) for d in (1, 2, 3, 4)]
+    got = webgraph.triangle_stats(
+        spark.createDataFrame(star, "src long, dst long")
+    ).collect()[0].asDict()
+    assert got["n_triangles"] == 0 and got["n_wedges"] == 6
+    assert got["closure_ppm"] == 0
+
+
+def test_triangle_stats_matches_reference_and_input_form(spark):
+    # random digraph with duplicates, self-loops, both orientations
+    rng = random.Random(99)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(120)]
+    expect = _triangle_py(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = webgraph.triangle_stats(df).collect()[0].asDict()
+    assert got == expect
+    # partitioning invariance
+    got2 = webgraph.triangle_stats(df.repartition(7)).collect()[0].asDict()
+    assert got2 == expect
