@@ -2106,6 +2106,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_stats"] = q_triangle_stats
 
+    def q_corpus_clean(spark, sf):
+        """END-TO-END pipeline composition — the shape a real cleaning
+        job has, as ONE declarative plan Catalyst optimizes whole:
+        C4 line-level cleaning (on the same planted multi-line pages as
+        c4_line_filter) → Gopher structural pass on the CLEANED text →
+        exact dedup (min-id representative of the cleaned text) →
+        per-source cap of the 40 longest survivors. Payloads stream
+        through the narrow stages; every wide op moves ids/hashes.
+        The oracle recomputes all four stages in one composed SQL."""
+        from pdf_extractors_spark.operators import dedup, sampling, text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(F.concat(F.lit("c4:"), F.col("doc_id").cast("string"))),
+            F.lit(10),
+        )
+        page = F.concat_ws(
+            "\n",
+            "text",
+            F.lit("Tiny line."),
+            F.lit("This is a sentence with enough words to survive."),
+            F.lit("Enable javascript to view this page today."),
+            F.lit("Another perfectly reasonable sentence appears right here."),
+            F.when(bkt == 0, F.lit("Call us at lorem ipsum dolor sit amet."))
+            .when(bkt == 1, F.lit("if (x) { return; }"))
+            .otherwise(F.lit("Closing remarks conclude this document nicely.")),
+        )
+        # a doc-specific surviving sentence, or the dedup stage would
+        # collapse every same-bucket page to one representative and the
+        # check would degenerate to a single row; every 7th doc takes
+        # doc_id+1's sentence (never itself a multiple of 7), planting
+        # real duplicate pairs for the dedup stage to resolve
+        page = F.concat_ws(
+            "\n",
+            page,
+            F.concat(
+                F.lit("Document number "),
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.col("doc_id") + 1
+                ).otherwise(F.col("doc_id")),
+                F.lit(" closes with one proper sentence of its own."),
+            ),
+        )
+        planted = docs.select("doc_id", page.alias("text"))
+        cleaned = (
+            text_stats.c4_line_filter(planted)
+            .filter("c4_keep")
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
+        passed = (
+            text_stats.gopher_quality_flags(cleaned)
+            .filter("gopher_pass")
+            .select("doc_id")
+        )
+        survivors = cleaned.join(passed, "doc_id", "left_semi")
+        uniq = dedup.dedup_documents(survivors)
+        enriched = uniq.join(
+            docs.select("doc_id", "lang", "source"), "doc_id"
+        ).withColumn("n_chars", F.length("text"))
+        return sampling.cap_per_group(enriched, "source", k=40).select(
+            "doc_id", "lang", "source", F.col("n_chars").alias("clean_chars")
+        )
+
+    q["corpus_clean"] = q_corpus_clean
+
     def q_domain_cap(spark, sf):
         """Per-source document cap (domain balancing): keep the 30
         longest documents per source, deterministic tiebreak — the
@@ -4927,6 +4993,71 @@ def oracle_sql() -> dict[str, str]:
                          (select sum(deg * (deg - 1) // 2) from deg)
                     else 0 end as bigint) as closure_ppm
         from tri
+    """
+    # the four-stage pipeline, recomputed as one composed SQL: the C4
+    # plant + line filter (verbatim from the c4_line_filter oracle), the
+    # Gopher battery re-pointed at the cleaned text, the 32-bit-md5
+    # min-id dedup (same grouping key as exact_dedup), the per-source cap
+    _gopher_on_cleaned = _GOPHER_SQL.replace("from documents", "from cleaned")
+    oracles["corpus_clean"] = rf"""
+        with b as (
+          select doc_id,
+                 cast(concat('0x',
+                      substr(md5('c4:' || cast(doc_id as varchar)), 1, 8))
+                      as bigint) % 10 as bkt,
+                 text
+          from documents),
+        t0 as (select doc_id,
+                      concat_ws(chr(10), text,
+                        'Tiny line.',
+                        'This is a sentence with enough words to survive.',
+                        'Enable javascript to view this page today.',
+                        'Another perfectly reasonable sentence appears right here.',
+                        case when bkt = 0
+                             then 'Call us at lorem ipsum dolor sit amet.'
+                             when bkt = 1 then 'if (x) {{ return; }}'
+                             else 'Closing remarks conclude this document nicely.'
+                        end) as text
+               from b),
+        t1 as (select doc_id,
+                      text || chr(10) || 'Document number ' ||
+                      cast(case when doc_id % 7 = 0 then doc_id + 1
+                                else doc_id end as varchar) ||
+                      ' closes with one proper sentence of its own.' as text
+               from t0),
+        k as (select doc_id, text,
+                     list_filter(string_split(text, chr(10)), l ->
+                       right(rtrim(l), 1) in ('.', '!', '?', '"')
+                       and len(list_filter(
+                             string_split_regex(trim(l), '\s+'),
+                             w -> w <> '')) >= 5
+                       and not contains(lower(l), 'javascript')) as kept
+              from t1),
+        cleaned as (
+          select doc_id, array_to_string(kept, chr(10)) as text
+          from k
+          where len(kept) >= 3
+            and not contains(lower(text), 'lorem ipsum')
+            and not contains(text, '{{')),
+        gp as (select doc_id from ({_gopher_on_cleaned}) g where g.gopher_pass),
+        surv as (select c.doc_id, c.text from cleaned c
+                 join gp on gp.doc_id = c.doc_id),
+        keepers as (
+          select min(doc_id) as doc_id
+          from (select doc_id,
+                       substr(md5({_NORM_SQL}), 1, 8) as h
+                from surv)
+          group by h),
+        uniq as (select s.doc_id, s.text from surv s
+                 join keepers on keepers.doc_id = s.doc_id),
+        enr as (select u.doc_id, d.lang, d.source,
+                       cast(length(u.text) as bigint) as clean_chars
+                from uniq u join documents d on d.doc_id = u.doc_id)
+        select doc_id, lang, source, clean_chars
+        from (select *, row_number() over (partition by source
+                        order by clean_chars desc, doc_id asc) as rn
+              from enr)
+        where rn <= 40
     """
     oracles["domain_cap"] = """
         select doc_id, source, n_chars

@@ -38,6 +38,7 @@ CARRYOVER = {
     "tool_call_stats",
     "partitioned_export",
     "triangle_stats",
+    "corpus_clean",
 }
 
 
