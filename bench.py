@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "global_line_dedup",
     "bm25_topk",
+    # late round-3: the iterative graph kernel, the degree-oriented
+    # triangle census, and the four-stage pipeline composition
+    "hits_scores",
+    "triangle_stats",
+    "corpus_clean",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

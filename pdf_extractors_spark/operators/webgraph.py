@@ -258,7 +258,7 @@ def hits(
         hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
         auth = None
         prev: list[DataFrame] = []
-        for _ in range(iters):
+        for i in range(iters):
             auth_raw = (
                 e.join(
                     hub.select(F.col("node").alias("src"), "hub"), "src"
@@ -266,7 +266,14 @@ def hits(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("hub").alias("raw"))
             )
-            auth = _normalize(auth_raw, nodes, "auth").localCheckpoint()
+            # auth stays lazy: one checkpoint per FULL round (after the
+            # hub update) already caps plan depth at two joins — eagerly
+            # materializing the half-round too just doubles the job
+            # count (measured ~2x wall-clock on small graphs, where the
+            # fixed per-job cost dominates)
+            auth = _normalize(auth_raw, nodes, "auth")
+            if i == iters - 1:
+                auth = auth.localCheckpoint()  # final join reads it twice
             hub_raw = (
                 e.join(
                     auth.select(F.col("node").alias("dst"), "auth"), "dst"
@@ -277,7 +284,7 @@ def hits(
             hub = _normalize(hub_raw, nodes, "hub").localCheckpoint()
             for df in prev:
                 df.unpersist()
-            prev = [auth, hub]
+            prev = [hub]
         return hub.join(auth, "node").select("node", "hub", "auth")
     finally:
         e.unpersist()
