@@ -2172,6 +2172,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_clean"] = q_corpus_clean
 
+    def q_tokenize_ids(spark, sf):
+        """Corpus → token-id sequences with a self-derived top-100
+        frequency vocabulary (0 = OOV) — the final transform before
+        packing/sharding. Vocabulary is a bounded TakeOrdered riding a
+        broadcast into the assignment join; sequences reassemble inside
+        one per-doc aggregate (no window, no global sort)."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        return text_stats.tokenize_ids(docs, vocab_size=100)
+
+    q["tokenize_ids"] = q_tokenize_ids
+
     def q_domain_cap(spark, sf):
         """Per-source document cap (domain balancing): keep the 30
         longest documents per source, deterministic tiebreak — the
@@ -5058,6 +5071,36 @@ def oracle_sql() -> dict[str, str]:
                         order by clean_chars desc, doc_id asc) as rn
               from enr)
         where rn <= 40
+    """
+    oracles["tokenize_ids"] = r"""
+        with toks as (
+          select doc_id,
+                 unnest(range(1, len(ws) + 1)) as pos,
+                 unnest(ws) as token
+          from (select doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') as ws
+                from documents)),
+        vocab as (
+          select token,
+                 cast(row_number() over (order by n desc, token asc)
+                      as bigint) as token_id
+          from (select token, count(*) as n from toks group by token
+                order by n desc, token asc limit 100)),
+        asg as (
+          select t.doc_id, t.pos, coalesce(v.token_id, 0) as tid
+          from toks t left join vocab v on v.token = t.token),
+        seqs as (
+          select doc_id, cast(count(*) as bigint) as n_tokens,
+                 cast(sum(case when tid = 0 then 1 else 0 end) as bigint)
+                   as n_oov,
+                 string_agg(cast(tid as varchar), ' ' order by pos)
+                   as ids_str
+          from asg group by doc_id)
+        select d.doc_id,
+               coalesce(s.n_tokens, 0) as n_tokens,
+               coalesce(s.n_oov, 0) as n_oov,
+               s.ids_str
+        from documents d left join seqs s on s.doc_id = d.doc_id
     """
     oracles["domain_cap"] = """
         select doc_id, source, n_chars

@@ -985,3 +985,70 @@ def unicode_normalize(
         out.alias("text_nfc"),
         (~out.eqNullSafe(F.col(text_col))).alias("changed"),
     )
+
+
+def tokenize_ids(
+    df: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus → token-id sequences: build a frequency vocabulary from
+    the corpus itself (top ``vocab_size`` whitespace tokens by count,
+    ties by token; id = rank, 0 = OOV) and emit each document as its
+    id sequence — the last transform a pretraining pipeline runs before
+    packing and sharding. Returns ``(id, n_tokens, n_oov, ids_str)``
+    with the sequence space-joined into a string (a canonical text form
+    both engines order and hash identically; the array form is one
+    ``split`` away).
+
+    Scale shape: vocabulary = one map-side-combined groupBy + a
+    distributed TakeOrdered (bounded at ``vocab_size`` rows), then rides
+    a BROADCAST into the id-assignment join — token text never shuffles
+    for lookup. Sequence reassembly is one explode + one groupBy(doc)
+    carrying (pos, id) int pairs, ordered inside the aggregate
+    (array_sort on the struct), so no per-document window or global
+    sort. Null-text documents are preserved with null ids_str and zero
+    counts (the engine's preserve-don't-drop contract)."""
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+            .cast("long")
+            .alias("token_id"),
+        )
+    )
+    pos_tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    assigned = pos_tok.join(F.broadcast(vocab), "token", "left").select(
+        id_col, "pos", F.coalesce("token_id", F.lit(0)).alias("tid")
+    )
+    seqs = assigned.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            " ",
+        ).alias("ids_str"),
+    )
+    return (
+        df.select(id_col)
+        .join(seqs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            "ids_str",
+        )
+    )

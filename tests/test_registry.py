@@ -39,6 +39,7 @@ CARRYOVER = {
     "partitioned_export",
     "triangle_stats",
     "corpus_clean",
+    "tokenize_ids",
 }
 
 

@@ -180,3 +180,35 @@ def test_tool_call_stats_all_invalid_tool(spark):
     got = pipeline.tool_call_stats(df).collect()[0]
     assert got["n_invalid"] == 2 and got["n_ok"] == 0
     assert got["total_latency_ms"] is None and got["max_latency_ms"] is None
+
+
+# ------------------------------------------------------------ tokenize_ids
+
+
+def test_tokenize_ids_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b a zzz"), (2, None)],
+        "doc_id long, text string",
+    )
+    # counts: a=3, b=2, c=1, zzz=1 -> vocab(3): a=1, b=2, c=3; zzz OOV
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_stats.tokenize_ids(df, vocab_size=3).collect()
+    }
+    assert got[0]["ids_str"] == "1 2 1 3"
+    assert got[0]["n_tokens"] == 4 and got[0]["n_oov"] == 0
+    assert got[1]["ids_str"] == "2 1 0"
+    assert got[1]["n_oov"] == 1
+    assert got[2]["n_tokens"] == 0 and got[2]["ids_str"] is None
+
+
+def test_tokenize_ids_order_survives_repartition(spark):
+    rows = [(i, " ".join(f"w{(i * 31 + j) % 9}" for j in range(20))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["ids_str"] for r in text_stats.tokenize_ids(df, 5).collect()}
+    b = {
+        r["doc_id"]: r["ids_str"]
+        for r in text_stats.tokenize_ids(df.repartition(11), 5).collect()
+    }
+    assert a == b
+    assert all(len(v.split(" ")) == 20 for v in a.values())
