@@ -578,3 +578,21 @@ def test_tool_call_stats_single_exchange_jvm_json(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Python" not in plan, plan
     assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in plan, plan
+
+
+def test_tokenize_ids_broadcast_vocab_no_seq_window(spark, tmp_path):
+    """Vocabulary assignment must be a BroadcastHashJoin (token text
+    never shuffles for lookup) and sequence reassembly happens inside
+    the per-doc aggregate — the only Window in the plan is the bounded
+    vocab ranking (vocab_size rows), never a per-document sequence
+    window."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(text_stats.tokenize_ids(spark.read.parquet(path), 5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
