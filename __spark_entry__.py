@@ -1617,6 +1617,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_validate"] = q_conv_validate
 
+    def q_conv_sessions(spark, sf):
+        """Event-time session segmentation (time_sessionize): a new
+        session wherever the gap to the previous turn exceeds 30 min —
+        the time-gap counterpart of the marker-count sessionize (M1).
+        Fixture timestamps tick uniformly (7 s), so >30-min idle gaps are
+        planted deterministically in BOTH the query and the oracle: turns
+        whose md5 bucket is 0 push all later turns of the conversation
+        +3600 s (a cumulative shift, keeping ts monotonic)."""
+        from pyspark.sql import Window
+
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select("conv_id", "turn_idx", "ts")
+        planted = F.when(
+            F.pmod(
+                md5_bigint(
+                    F.concat(
+                        F.lit("gap:"),
+                        F.col("conv_id"),
+                        F.lit(":"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                F.lit(7),
+            )
+            == 0,
+            F.lit(3600),
+        ).otherwise(F.lit(0))
+        w = (
+            Window.partitionBy("conv_id")
+            .orderBy("turn_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        shifted = t.withColumn(
+            "ts",
+            (F.col("ts").cast("long") + F.sum(planted).over(w)).cast(
+                "timestamp"
+            ),
+        )
+        out = pipeline.time_sessionize(shifted, gap_s=1800)
+        return _longify(out.select("conv_id", "turn_idx", "session_idx"))
+
+    q["conv_sessions"] = q_conv_sessions
+
+    def q_tool_bigrams(spark, sf):
+        """Tool→tool transition counts (Markov bigram table) over
+        consecutive tool turns within each conversation — the tool-loop
+        analytics behind degenerate-retry detection. Bounded lead()
+        window + tiny (|tools|²) groupBy."""
+        return pipeline.tool_transitions(_transcripts(spark, "sf0.01"))
+
+    q["tool_bigrams"] = q_tool_bigrams
+
+    def q_fingerprint_pairs(spark, sf):
+        """Winnowing candidate pairs (MOSS join): documents sharing ≥2 of
+        their 4 fingerprint minima, with the shared count — completes the
+        fingerprint family (per-doc signature → candidate generation).
+        Window-counted hot-bucket guard on the same exchange the
+        self-join reuses; shuffles carry (8-byte hash, id) only."""
+        docs = _read(spark, sf, "documents")
+        return text_stats.fingerprint_pairs(_spread(docs))
+
+    q["fingerprint_pairs"] = q_fingerprint_pairs
+
     def q_conv_repair(spark, sf):
         """Per-conversation structural repair over the SAME planted
         defects as conv_validate: the duplicated turn 0 merges into one
@@ -4674,6 +4738,34 @@ def oracle_sql() -> dict[str, str]:
                  as tier
         from qs join documents d on qs.doc_id = d.doc_id
     """
+    # winnowing candidate pairs: same minima derivation as the
+    # fingerprint oracle, kept as a list, exploded and self-joined with
+    # the >64-docs hot-bucket guard
+    oracles["fingerprint_pairs"] = r"""
+        with t as (select doc_id,
+                          string_split_regex(trim(lower(text)), '\s+') as toks
+                   from documents),
+        g as (select doc_id,
+                     case when len(toks) >= 4 then
+                       list_distinct(list_transform(
+                         range(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+3], ' ')))
+                     else [] end as grams
+              from t),
+        m as (select doc_id,
+                     unnest(list_sort(list_transform(grams,
+                       gr -> cast(concat('0x', substr(md5(gr),1,8)) as bigint)
+                     ))[1:4]) as h
+              from g),
+        keepers as (select h from m group by h having count(*) <= 64),
+        r as (select m.doc_id, m.h from m join keepers using (h))
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(count(*) as bigint) as n_shared
+        from r a join r b using (h)
+        where a.doc_id < b.doc_id
+        group by a.doc_id, b.doc_id
+        having count(*) >= 2
+    """
     if tp is not None:
         _md5_tc = md5_bigint_sql(
             "'tc:' || conv_id || ':' || cast(turn_idx as varchar)"
@@ -4704,6 +4796,42 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(latency) as bigint) as max_latency_ms
             from c
             group by tool
+        """
+        _md5_gap = md5_bigint_sql(
+            "'gap:' || conv_id || ':' || cast(turn_idx as varchar)"
+        )
+        oracles["conv_sessions"] = f"""
+            with g as (
+              select conv_id, cast(turn_idx as bigint) as turn_idx,
+                     epoch(ts) + sum(case when ({_md5_gap}) % 7 = 0
+                                          then 3600 else 0 end)
+                       over (partition by conv_id order by turn_idx
+                             rows between unbounded preceding
+                                      and current row) as ts_s
+              from read_parquet('{tp}')),
+            d as (
+              select conv_id, turn_idx,
+                     case when lag(ts_s) over w is null
+                            or ts_s - lag(ts_s) over w > 1800
+                          then 1 else 0 end as is_new
+              from g
+              window w as (partition by conv_id order by turn_idx))
+            select conv_id, turn_idx,
+                   cast(sum(is_new) over (partition by conv_id
+                          order by turn_idx rows between unbounded preceding
+                                                     and current row) - 1
+                        as bigint) as session_idx
+            from d
+        """
+        oracles["tool_bigrams"] = f"""
+            with t as (select conv_id, turn_idx, tool
+                       from read_parquet('{tp}') where role = 'tool'),
+            n as (select tool, lead(tool) over (partition by conv_id
+                            order by turn_idx) as next_tool
+                  from t)
+            select tool, next_tool, cast(count(*) as bigint) as n_transitions
+            from n where next_tool is not null
+            group by tool, next_tool
         """
         oracles["conv_pairs"] = f"""
             with w as (

@@ -221,14 +221,10 @@ def repetition_score(
     )
 
 
-def fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 4, n_mins: int = 4,
-) -> DataFrame:
-    """Winnowing-style document fingerprint: the ``n_mins`` smallest
-    hashes of the k-gram (word) set, concatenated. Robust to small edits
-    anywhere outside the minimizing grams (the rolling-hash fingerprint
-    family, cf. Schleimer et al. winnowing)."""
+def _fingerprint_mins(text_col: str, k: int, n_mins: int):
+    """Column expression: the ``n_mins`` smallest k-gram hashes of a
+    document — the winnowing minima shared by ``fingerprint`` (per-doc
+    signature string) and ``fingerprint_pairs`` (candidate join)."""
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= k,
@@ -238,12 +234,63 @@ def fingerprint(
         ),
     ).otherwise(F.array().cast("array<string>"))
     hashes = F.transform(F.array_distinct(grams), lambda g: md5_bigint(g))
-    mins = F.slice(F.array_sort(hashes), 1, n_mins)
+    return F.slice(F.array_sort(hashes), 1, n_mins)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 4, n_mins: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``n_mins`` smallest
+    hashes of the k-gram (word) set, concatenated. Robust to small edits
+    anywhere outside the minimizing grams (the rolling-hash fingerprint
+    family, cf. Schleimer et al. winnowing)."""
+    mins = _fingerprint_mins(text_col, k, n_mins)
     return df.select(
         F.col(id_col),
         F.array_join(F.transform(mins, lambda h: h.cast("string")), "-").alias(
             "fingerprint"
         ),
+    )
+
+
+def fingerprint_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 4, n_mins: int = 4, min_shared: int = 2, max_bucket: int = 64,
+) -> DataFrame:
+    """Winnowing candidate generation (the MOSS join): documents sharing
+    ≥ ``min_shared`` of their ``n_mins`` fingerprint minima become a
+    candidate pair with the shared count — the second half of the
+    fingerprint family (``fingerprint`` computes the per-doc signature;
+    this turns signatures into pairs an exact verifier then scores).
+
+    Plan shape (the LSH-candidate pattern, never all-pairs): explode the
+    minima to (min_hash, id), window-count each hash's bucket over the
+    SAME exchange the self-join reuses (the ``ngram_jaccard_pairs``
+    rewrite), drop buckets larger than ``max_bucket`` — a minimum shared
+    by B documents yields O(B²) pairs and is boilerplate, not signal —
+    then equi-join on the hash and count shared minima per pair. Shuffle
+    carries (8-byte hash, id) only; ``n_mins`` rows per document.
+    """
+    mins = df.select(
+        F.col(id_col),
+        F.explode(_fingerprint_mins(text_col, k, n_mins)).alias("h"),
+    )
+    rare = (
+        mins.withColumn("bucket", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("bucket") <= max_bucket)
+        .select(id_col, "h")
+    )
+    return (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -248,6 +248,58 @@ def session_assign(events: DataFrame, key_col: str, ts_col: str, marker_col: str
     )
 
 
+def time_sessionize(
+    events: DataFrame,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Event-time session segmentation: within each key (ordered by
+    ``order_col``), a new session starts wherever the gap to the previous
+    event's ``ts_col`` exceeds ``gap_s`` seconds — the time-gap
+    counterpart of the marker-count ``session_assign`` (M1), and the
+    batch form of a streaming session window. Appends a 0-based
+    ``session_idx``.
+
+    Two stacked windows (lag, then running sum of session starts), both
+    partitioned on ``key_col`` and ordered by ``order_col`` — Catalyst
+    plans ONE exchange + one sort; no per-row Python. A null gap (the
+    key's first event, or a null timestamp) starts a session, so rows
+    with broken timestamps segment loudly instead of silently extending
+    the previous session."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    return events.withColumn(
+        "session_idx", (F.sum(is_new).over(run) - F.lit(1)).cast("long")
+    )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Tool→tool transition counts over agent-transcript tool turns: for
+    consecutive ``role='tool'`` turns within a conversation (turn order),
+    count each (tool, next_tool) edge corpus-wide — the Markov bigram
+    table behind tool-loop detection ("which tool chains do agents
+    actually run") and behind flagging degenerate retry loops before
+    training. The last tool turn of a conversation emits no edge.
+
+    One bounded window (lead over per-conversation partitions) + one
+    map-side-combined groupBy on the (tool, next_tool) pair — the edge
+    table is tiny (|tools|²) no matter the corpus size."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.filter(F.col("role") == "tool").select(
+        "conv_id", "turn_idx", "tool"
+    )
+    return (
+        t.withColumn("next_tool", F.lead("tool").over(w))
+        .filter(F.col("next_tool").isNotNull())
+        .groupBy("tool", "next_tool")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
 def conv_stitch(transcripts: DataFrame, sep: str = "\n\n") -> DataFrame:
     """Cross-turn assembly via grouped-map ``applyInPandas`` (the
     conversation-level UDF shape from SURVEY §3.2 stage B): all turns of

@@ -40,6 +40,9 @@ CARRYOVER = {
     "triangle_stats",
     "corpus_clean",
     "tokenize_ids",
+    "conv_sessions",
+    "tool_bigrams",
+    "fingerprint_pairs",
 }
 
 

@@ -212,3 +212,95 @@ def test_tokenize_ids_order_survives_repartition(spark):
     }
     assert a == b
     assert all(len(v.split(" ")) == 20 for v in a.values())
+
+
+# -------------------------------------------- time_sessionize / bigrams
+
+
+def test_time_sessionize_gaps_and_null_ts(spark):
+    from datetime import datetime, timedelta, timezone
+
+    def ts(s):
+        return datetime(2026, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=s)
+
+    rows = [
+        ("a", 0, ts(0)), ("a", 1, ts(10)), ("a", 2, ts(20)),
+        ("a", 3, ts(3000)), ("a", 4, ts(3010)), ("a", 5, ts(7000)),
+        ("b", 0, ts(5)),
+        # a null timestamp starts a session loudly, and so does the row
+        # after it (its gap is null too)
+        ("c", 0, ts(0)), ("c", 1, None), ("c", 2, ts(100)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_idx"]
+        for r in pipeline.time_sessionize(df).collect()
+    }
+    assert got == {
+        ("a", 0): 0, ("a", 1): 0, ("a", 2): 0,
+        ("a", 3): 1, ("a", 4): 1, ("a", 5): 2,
+        ("b", 0): 0,
+        ("c", 0): 0, ("c", 1): 1, ("c", 2): 2,
+    }
+
+
+def test_time_sessionize_partitioning_invariant(spark):
+    from datetime import datetime, timedelta, timezone
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (f"c{i % 7}", i // 7, base + timedelta(seconds=(i * 733) % 5000))
+        for i in range(140)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    a = {tuple(r) for r in pipeline.time_sessionize(df).collect()}
+    b = {tuple(r) for r in pipeline.time_sessionize(df.repartition(13)).collect()}
+    assert a == b
+
+
+def test_tool_transitions_counts(spark):
+    rows = [
+        ("a", 0, "user", None), ("a", 1, "tool", "grep"),
+        ("a", 2, "assistant", None), ("a", 3, "tool", "read"),
+        ("a", 4, "tool", "grep"),
+        ("b", 0, "tool", "read"),          # lone tool turn: no edge
+        ("c", 0, "tool", "grep"), ("c", 1, "tool", "read"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    got = {
+        (r["tool"], r["next_tool"]): r["n_transitions"]
+        for r in pipeline.tool_transitions(df).collect()
+    }
+    assert got == {("grep", "read"): 2, ("read", "grep"): 1}
+
+
+# ------------------------------------------------------ fingerprint_pairs
+
+
+def test_fingerprint_pairs_exact_dups(spark):
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "one two three four five six seven eight nine",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = [
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in text_stats.fingerprint_pairs(df).collect()
+    ]
+    # identical docs share all 4 minima; doc 2 shares none
+    assert out == [(0, 1, 4)]
+
+
+def test_fingerprint_pairs_hot_bucket_guard(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    many = spark.createDataFrame(
+        [(i, text) for i in range(50)], "doc_id long, text string"
+    )
+    # every minimum sits in a 50-doc bucket > the cap: no candidates at
+    # all (boilerplate, not signal), instead of 50*49/2 pairs
+    assert text_stats.fingerprint_pairs(many, max_bucket=10).count() == 0
