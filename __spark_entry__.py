@@ -1681,6 +1681,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint_pairs"] = q_fingerprint_pairs
 
+    def q_lang_confusion(spark, sf):
+        """Classifier-evaluation rollup: the stopword-vote lang_id
+        prediction crossed with the corpus's labeled lang → the
+        confusion matrix a pipeline reads before trusting a filter
+        stage. ONE pass: the label rides through the scoring select
+        (lang_id keep_cols), so the only exchange is the tiny
+        |langs|×|langs| groupBy — no re-join on doc_id."""
+        docs = _read(spark, sf, "documents")
+        pred = text_stats.lang_id(docs, keep_cols=("lang",))
+        return _longify(
+            pred.groupBy("lang", "lang_pred").agg(
+                F.count("*").alias("n_docs")
+            )
+        )
+
+    q["lang_confusion"] = q_lang_confusion
+
+    def q_corpus_stats_approx(spark, sf):
+        """The 100-TB form of corpus_stats: percentile_approx (a
+        mergeable KLL-style sketch, single pass, bounded memory) instead
+        of exact interpolated percentiles (which sort every group's
+        values). No SQL oracle BY DESIGN — the sketch is engine-specific;
+        pytest bounds it against the exact percentiles instead
+        (tests/test_round3_ops.py)."""
+        docs = _read(spark, sf, "documents")
+        return _longify(
+            docs.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.expr("approx_percentile(n_chars, 0.5, 1000)").alias(
+                    "p50_chars"
+                ),
+                F.expr("approx_percentile(n_chars, 0.9, 1000)").alias(
+                    "p90_chars"
+                ),
+            )
+        )
+
+    q["corpus_stats_approx"] = q_corpus_stats_approx
+
+    def q_cluster_size_hist(spark, sf):
+        """Dedup health report: duplicate-cluster size histogram over
+        the LSH candidate graph's connected components — the number the
+        corpus owner actually reads ('how big are my dup families').
+        Composes dedup_clusters; the histogram adds two tiny groupBys
+        over (doc, cluster) ids only."""
+        sigs = dedup.minhash_signatures(
+            _spread(_read(spark, sf, "documents")), k=8
+        )
+        comp = dedup.connected_components(dedup.lsh_candidates(sigs, bands=4, rows=2))
+        sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+        return sizes.groupBy("cluster_size").agg(
+            F.count("*").alias("n_clusters")
+        )
+
+    q["cluster_size_hist"] = q_cluster_size_hist
+
     def q_conv_repair(spark, sf):
         """Per-conversation structural repair over the SAME planted
         defects as conv_validate: the duplicated turn 0 merges into one
@@ -4737,6 +4793,23 @@ def oracle_sql() -> dict[str, str]:
                     order by qs.quality_bp desc, qs.doc_id asc) as bigint)
                  as tier
         from qs join documents d on qs.doc_id = d.doc_id
+    """
+    # confusion matrix wraps the lang_id oracle (wrap-don't-duplicate);
+    # the labeled lang joins back on doc_id — oracle clarity over oracle
+    # speed (the Spark side carries the label through one pass)
+    oracles["lang_confusion"] = f"""
+        with p as ({oracles["lang_id"]})
+        select d.lang, p.lang_pred, cast(count(*) as bigint) as n_docs
+        from p join documents d using (doc_id)
+        group by d.lang, p.lang_pred
+    """
+    # cluster-size histogram wraps the dedup_clusters reachability oracle
+    oracles["cluster_size_hist"] = f"""
+        with c as ({oracles["dedup_clusters"]}),
+        sizes as (select cluster_id, cast(count(*) as bigint) as cluster_size
+                  from c group by cluster_id)
+        select cluster_size, cast(count(*) as bigint) as n_clusters
+        from sizes group by cluster_size
     """
     # winnowing candidate pairs: same minima derivation as the
     # fingerprint oracle, kept as a list, exploded and self-joined with

@@ -88,16 +88,21 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Stopword-vote language ID: the language whose stopword list hits
     the most tokens wins; ties broken by language code order; no hits →
-    'und' (undetermined)."""
+    'und' (undetermined). ``keep_cols`` are carried through so per-doc
+    enrichments (confusion vs a labeled column, per-source rollups)
+    compose in the SAME pass instead of re-joining on id afterwards."""
     toks = tokens(F.col(text_col))
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(sw))).alias(f"hits_{lang}")
         for lang, sw in STOPWORDS.items()
     ]
-    scored = df.select(F.col(id_col), *scores)
+    scored = df.select(F.col(id_col), *[F.col(c) for c in keep_cols], *scores)
     langs = list(STOPWORDS)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     pred = F.lit("und")

@@ -43,6 +43,8 @@ CARRYOVER = {
     "conv_sessions",
     "tool_bigrams",
     "fingerprint_pairs",
+    "lang_confusion",
+    "cluster_size_hist",
 }
 
 

@@ -304,3 +304,62 @@ def test_fingerprint_pairs_hot_bucket_guard(spark):
     # every minimum sits in a 50-doc bucket > the cap: no candidates at
     # all (boilerplate, not signal), instead of 50*49/2 pairs
     assert text_stats.fingerprint_pairs(many, max_bucket=10).count() == 0
+
+
+# ------------------------------------- lang keep_cols / approx / report
+
+
+def test_lang_id_keep_cols_carries_label(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog is here", "en"),
+         (1, "der hund und die katze ist da", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: (r["lang"], r["lang_pred"])
+        for r in text_stats.lang_id(df, keep_cols=("lang",)).collect()
+    }
+    assert out == {0: ("en", "en"), 1: ("de", "de")}
+
+
+def test_approx_percentile_brackets_exact(spark):
+    # the sketch must land within the value range and, at accuracy 1000
+    # on ~hundreds of rows per group, equal the exact percentile
+    import pyspark.sql.functions as F
+
+    rows = [(i, "en" if i % 2 else "de", (i * 37) % 997) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    exact = {
+        r["lang"]: r["p50"]
+        for r in df.groupBy("lang")
+        .agg(F.expr("percentile(n_chars, 0.5)").alias("p50"))
+        .collect()
+    }
+    approx = {
+        r["lang"]: r["p50"]
+        for r in df.groupBy("lang")
+        .agg(F.expr("approx_percentile(n_chars, 0.5, 1000)").alias("p50"))
+        .collect()
+    }
+    for lang in exact:
+        assert abs(approx[lang] - exact[lang]) <= max(2.0, 0.01 * exact[lang])
+
+
+def test_cluster_size_histogram_from_pairs(spark):
+    import pyspark.sql.functions as F
+
+    from pdf_extractors_spark.operators import dedup
+
+    # two components: {1,2,3} (size 3) and {10,11} (size 2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .collect()
+    }
+    assert hist == {3: 1, 2: 1}
