@@ -163,6 +163,12 @@ def main() -> int:
     runs = [_one_extract_run() for _ in range(extract_reps)]
     runs.sort(key=lambda r: r[0])
     extract_secs, agg = runs[len(runs) // 2]
+    # min-of-k alongside the median: contention on this shared host can
+    # only ADD wall-clock (same deflation-only error model as
+    # BENCH/BASELINE.md), so the fastest rep is the best estimator of
+    # the uncontended plan cost; the median stays the headline for
+    # round-over-round comparability
+    extract_secs_min = runs[0][0]
     timings["extract_transcripts"] = round(extract_secs, 3)
     turns_per_sec = n_turns / extract_secs if extract_secs else 0.0
 
@@ -181,6 +187,9 @@ def main() -> int:
     seq_secs = time.time() - t0
     sequential_tps = len(sample) / seq_secs if seq_secs else 0.0
 
+    timings_min: dict[str, float] = {
+        "extract_transcripts": round(extract_secs_min, 3)
+    }
     if not extract_only:
         queries = entrymod.queries()
         for qname in BENCH_QUERIES:
@@ -201,6 +210,7 @@ def main() -> int:
                 df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
                 reps.append(time.time() - t0)
             timings[qname] = round(sorted(reps)[len(reps) // 2], 3)
+            timings_min[qname] = round(min(reps), 3)
 
     spark.stop()
 
@@ -212,6 +222,11 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # fastest rep per query: the uncontended-cost estimator
+                # (contention only inflates); medians above remain the
+                # headline for cross-round comparability
+                "queries_min": timings_min,
+                "total_min": round(sum(timings_min.values()), 3),
                 "sf": _sf_of(sf_dir),
                 "cpus": cpus,
                 "extraction": {
