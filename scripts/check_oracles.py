@@ -11,6 +11,7 @@ Usage: python3 scripts/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -92,9 +93,11 @@ def main() -> int:
             print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
             return 2
     failures = []
+    checked = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        checked.append(name)
         t0 = time.time()
         df = fn(spark, sf_dir)
         cols = df.columns
@@ -153,6 +156,22 @@ def main() -> int:
         print("FAILURES:", failures)
         return 1
     print("all oracle checks passed")
+    # durable evidence for queries outside the driver gate window: a
+    # dated record of which names passed the local replica of the
+    # driver's comparator (docs/COVERAGE.md points here)
+    import datetime
+
+    with open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "REPLAY.jsonl",
+    ), "a") as f:
+        f.write(json.dumps({
+            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf_dir": sf_dir,
+            "passed": sorted(checked),
+        }) + "\n")
     return 0
 
 

@@ -60,7 +60,8 @@ def main() -> int:
         f"The driver's correctness gate records the first {window} registry",
         "entries (the `_GATE_ORDER` contract in `__spark_entry__.py`); queries",
         "past the window are verified by the same comparator run locally",
-        "(`scripts/check_oracles.py`) and by pytest.",
+        "(`scripts/check_oracles.py`; dated pass records in",
+        "`docs/REPLAY.jsonl`) and by pytest.",
         "",
         "| query | check | where checked | what it covers |",
         "|---|---|---|---|",
