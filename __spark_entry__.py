@@ -2443,6 +2443,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["partitioned_export"] = q_partitioned_export
 
+    def q_random_projection(spark, sf):
+        """Seeded ±1 random projection of the embedding table to 8 dims
+        — integer-exact (inputs quantized to floor(x*1000)), zero UDFs,
+        zero exchanges: a pure per-row higher-order-function matmul
+        (operators/similarity.py random_projection)."""
+        emb = _read(spark, sf, "embeddings")
+        return similarity.random_projection(emb, k=8)
+
+    q["random_projection"] = q_random_projection
+
+    def q_snapshot_merge(spark, sf):
+        """MERGE INTO (Iceberg upsert) semantics: a deterministic update
+        batch (every 7th doc gets ' [v2]' appended; every 97th≡3 doc
+        re-keyed +1e6 as an insert) merged into the documents snapshot
+        via ONE full-outer join, with a per-row action audit column
+        (operators/joins.py merge_upsert)."""
+        from pdf_extractors_spark.operators import joins
+
+        docs = _read(spark, sf, "documents")
+        mods = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        news = docs.filter(F.col("doc_id") % 97 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        return joins.merge_upsert(
+            docs, mods.unionByName(news), "doc_id", ["text"]
+        )
+
+    q["snapshot_merge"] = q_snapshot_merge
+
+    def q_json_props_extract(spark, sf):
+        """Typed JSON field extraction with from_json (vs the regex
+        battery of regex_field_extract): schema-on-read parse of the
+        events.props payload, JVM-side, null on absent/malformed."""
+        ev = _read(spark, sf, "events")
+        parsed = F.from_json(F.col("props"), "k BIGINT")
+        return ev.select("event_id", parsed.getField("k").alias("k_value"))
+
+    q["json_props_extract"] = q_json_props_extract
+
+    def q_group_topk(spark, sf):
+        """Per-group top-k: 3 largest documents per language by
+        (n_chars desc, doc_id) via window row_number — the bounded
+        per-key selection that at 100 TB replaces a global sort with
+        one hash exchange + per-partition heaps."""
+        from pyspark.sql import Window
+
+        docs = _read(spark, sf, "documents")
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        return _longify(
+            docs.select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.row_number().over(w).alias("rank"),
+            ).filter(F.col("rank") <= 3)
+        )
+
+    q["group_topk"] = q_group_topk
+
+    def q_parity_report(spark, sf):
+        """The north rule's per-turn text-equality invariant as an
+        operator: run A (whitespace-normalized docs) audited against a
+        deliberately perturbed run B (every 13th≡2 doc's text mutated →
+        mismatch, every 11th≡5 doc dropped → only_a, every 101st≡7 doc
+        re-keyed +5e6 → only_b) via one full-outer join
+        (operators/joins.py parity_report)."""
+        from pdf_extractors_spark.operators import joins
+
+        docs = _read(spark, sf, "documents")
+        norm = F.regexp_replace(F.col("text"), "[\\r\\n\\t]", " ")
+        a = docs.select("doc_id", norm.alias("norm"))
+        b = (
+            docs.filter(F.col("doc_id") % 11 != 5)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 13 == 2,
+                    F.concat(F.col("text"), F.lit("!")),
+                )
+                .otherwise(norm)
+                .alias("norm"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 101 == 7).select(
+                    (F.col("doc_id") + 5000000).alias("doc_id"),
+                    F.col("text").alias("norm"),
+                )
+            )
+        )
+        return joins.parity_report(a, b, ["doc_id"], "norm")
+
+    q["parity_report"] = q_parity_report
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -5366,5 +5471,75 @@ def oracle_sql() -> dict[str, str]:
     oracles["partitioned_export"] = """
         select doc_id, lang, source, n_chars
         from documents where doc_id % 10 = 3
+    """
+    # ±1 sign matrix is a pure function of (row index i, output dim j,
+    # seed): identical integer arithmetic on both engines; inputs are
+    # quantized with floor so no float-rounding or summation-order
+    # dependence survives into the compared values.
+    _proj_cols = ",\n               ".join(
+        "cast(list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> cast(floor(cast(embedding[i] as double)*1000) as bigint)"
+        f" * (case when ((((i-1)*1299721 + {j * 104729 + 7919}) % 7919) % 2) = 0"
+        f" then 1 else -1 end))) as bigint) as proj_{j}"
+        for j in range(8)
+    )
+    oracles["random_projection"] = f"""
+        select vec_id,
+               {_proj_cols}
+        from embeddings
+    """
+    oracles["snapshot_merge"] = """
+        with updates as (
+          select doc_id, text || ' [v2]' as text, lang, source, n_chars
+          from documents where doc_id % 7 = 0
+          union all
+          select doc_id + 1000000, 'NEW ' || text, lang, source, n_chars
+          from documents where doc_id % 97 = 3)
+        select coalesce(b.doc_id, u.doc_id) as doc_id,
+               coalesce(u.text, b.text) as text,
+               coalesce(b.lang, u.lang) as lang,
+               coalesce(b.source, u.source) as source,
+               coalesce(b.n_chars, u.n_chars) as n_chars,
+               case when b.doc_id is not null and u.doc_id is not null
+                    then 'update'
+                    when b.doc_id is null then 'insert'
+                    else 'keep' end as action
+        from documents b full outer join updates u on b.doc_id = u.doc_id
+    """
+    oracles["json_props_extract"] = """
+        select event_id,
+               cast(json_extract_string(props, '$.k') as bigint) as k_value
+        from events
+    """
+    oracles["group_topk"] = """
+        select doc_id, lang, n_chars, rank from (
+          select doc_id, lang, n_chars,
+                 row_number() over (partition by lang
+                                    order by n_chars desc, doc_id) as rank
+          from documents) t
+        where rank <= 3
+    """
+    oracles["parity_report"] = r"""
+        with a as (
+          select doc_id, regexp_replace(text, '[\r\n\t]', ' ', 'g') as norm
+          from documents),
+        b as (
+          select doc_id,
+                 case when doc_id % 13 = 2 then text || '!'
+                      else regexp_replace(text, '[\r\n\t]', ' ', 'g') end
+                     as norm
+          from documents where doc_id % 11 <> 5
+          union all
+          select doc_id + 5000000, text from documents where doc_id % 101 = 7)
+        select coalesce(a.doc_id, b.doc_id) as doc_id,
+               case when a.doc_id is not null and b.doc_id is not null
+                         and (a.norm = b.norm
+                              or (a.norm is null and b.norm is null))
+                    then 'equal'
+                    when a.doc_id is not null and b.doc_id is not null
+                    then 'mismatch'
+                    when a.doc_id is not null then 'only_a'
+                    else 'only_b' end as verdict
+        from a full outer join b on a.doc_id = b.doc_id
     """
     return oracles

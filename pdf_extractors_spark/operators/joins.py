@@ -82,3 +82,92 @@ def range_join(
         & (left[point_col] >= r[start_col])
         & (left[point_col] <= r[end_col]),
     ).drop(f"_{key}")
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics (the Iceberg upsert) as a single full-outer
+    join: matched rows take the update's values for ``update_cols``,
+    unmatched update rows are inserted, unmatched base rows pass through.
+    An ``action`` column records what happened per row
+    (``update``/``insert``/``keep``) — the audit trail a snapshot commit
+    wants.
+
+    Scale shape: ONE exchange of each side hashed on ``key`` (or zero
+    for the base side if it is bucketed on ``key`` — see
+    ``operators/bucketing.py``); when the update batch is small Catalyst
+    broadcasts it and the base never shuffles at all. This is exactly
+    the copy-on-write MERGE plan Iceberg executes, minus the manifest
+    commit (``checkpoint.py`` owns that surface).
+
+    Columns not in ``update_cols`` keep the base's value for matched
+    rows and the update's for inserts.
+    """
+    u = updates.select(
+        F.col(key).alias(f"_u_{key}"),
+        *[F.col(c).alias(f"_u_{c}") for c in updates.columns if c != key],
+    )
+    joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
+    matched = base[key].isNotNull() & u[f"_u_{key}"].isNotNull()
+    out_key = F.coalesce(base[key], u[f"_u_{key}"]).alias(key)
+    payload = []
+    for c in base.columns:
+        if c == key:
+            continue
+        if c in update_cols:
+            # update wins on match and insert; base only on keep
+            payload.append(F.coalesce(u[f"_u_{c}"], base[c]).alias(c))
+        else:
+            payload.append(F.coalesce(base[c], u[f"_u_{c}"]).alias(c))
+    action = (
+        F.when(matched, F.lit("update"))
+        .when(base[key].isNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action")
+    )
+    return joined.select(out_key, *payload, action)
+
+
+def parity_report(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-row equality audit between two runs of the same stage — the
+    north rule's "per-turn text equality under stable ordering" as a
+    first-class operator. Full-outer join on ``keys``; each row is
+    classed ``equal`` / ``mismatch`` / ``only_a`` / ``only_b`` (nulls on
+    both sides compare equal). Returns one row per key with the verdict —
+    aggregate downstream for the scoreboard, or filter ``!= 'equal'``
+    for the diff.
+
+    Scale shape: one exchange per side on ``keys``; with both sides
+    written bucketed on the key (the natural layout for an extraction
+    output) the join is exchange-free. Payload text never widens the
+    shuffle beyond the compared column.
+    """
+    av = a.select(*keys, F.col(value_col).alias("_va"))
+    bv = b.select(
+        *[F.col(k).alias(f"_b_{k}") for k in keys],
+        F.col(value_col).alias("_vb"),
+    )
+    cond = None
+    for k in keys:
+        c = av[k] == bv[f"_b_{k}"]
+        cond = c if cond is None else cond & c
+    in_a = av[keys[0]].isNotNull()
+    in_b = bv[f"_b_{keys[0]}"].isNotNull()
+    verdict = (
+        F.when(in_a & in_b & (F.col("_va").eqNullSafe(F.col("_vb"))), "equal")
+        .when(in_a & in_b, "mismatch")
+        .when(in_a, "only_a")
+        .otherwise("only_b")
+        .alias("verdict")
+    )
+    out_keys = [F.coalesce(av[k], bv[f"_b_{k}"]).alias(k) for k in keys]
+    return av.join(bv, cond, "full_outer").select(*out_keys, verdict)

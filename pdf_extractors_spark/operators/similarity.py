@@ -433,3 +433,48 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def random_projection(
+    vectors: DataFrame,
+    k: int = 8,
+    seed: int = 7919,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded sign-matrix random projection to ``k`` dimensions
+    (Achlioptas-style ±1 entries), entirely in native higher-order
+    functions — zero UDFs, zero shuffles, one map-side pass.
+
+    The input is quantized to integers (``floor(x * scale)``) before the
+    matmul so the output is exact integer arithmetic: deterministic,
+    engine-portable (bit-identical in any SQL engine), and insensitive
+    to float summation order. The sign matrix is a pure function of
+    (row index, output dim, seed): ``((i*1299721 + j*104729 + seed) %
+    7919) % 2`` — no materialized matrix, no broadcast, nothing to ship
+    to executors.
+
+    At 100 TB this is the cheapest possible plan shape: a narrow
+    per-row projection with no exchange at all; downstream LSH/ANN
+    (`signbit_buckets`, `ivf_assign`) run on the reduced vectors.
+    Output columns: ``id_col, proj_0..proj_{k-1}`` (bigint).
+    """
+    idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    projections = []
+    for j in range(k):
+        sign = lambda i, j=j: F.when(
+            ((i * F.lit(1299721) + F.lit(j * 104729 + seed)) % 7919) % 2 == 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+        proj = F.aggregate(
+            F.zip_with(quant, idx, lambda q, i: q * sign(i.cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        projections.append(proj.alias(f"proj_{j}"))
+    return vectors.select(F.col(id_col), *projections)

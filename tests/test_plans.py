@@ -596,3 +596,68 @@ def test_tokenize_ids_broadcast_vocab_no_seq_window(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_random_projection_no_exchange_no_udf(spark, tmp_path):
+    """The ±1 projection is a pure per-row higher-order-function matmul:
+    zero Exchanges, zero Python — the narrowest possible plan, so at
+    100 TB it fuses into whatever scan precedes it."""
+    from pdf_extractors_spark.operators import similarity
+
+    path = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, 0.4])], "vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    plan = _plan(similarity.random_projection(spark.read.parquet(path), k=4))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_merge_upsert_single_join_no_cartesian(spark, tmp_path):
+    """MERGE INTO is ONE key-equi full-outer join — never a cartesian,
+    never a second join, no Python. (Broadcast full-outer is not legal
+    for the streamed side, so the general plan is SMJ on the key; a
+    bucketed base makes its Exchange vanish — see operators/bucketing.)"""
+    from pdf_extractors_spark.operators import joins
+
+    base_p, upd_p = str(tmp_path / "base"), str(tmp_path / "upd")
+    spark.createDataFrame(
+        [(1, "a", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(base_p)
+    spark.createDataFrame(
+        [(1, "b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(upd_p)
+    plan = _plan(
+        joins.merge_upsert(
+            spark.read.parquet(base_p), spark.read.parquet(upd_p),
+            "doc_id", ["text"],
+        )
+    )
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_parity_report_single_join_no_cartesian(spark, tmp_path):
+    """The equality audit is ONE key-equi full-outer join; only the
+    compared column rides the shuffle (payload pruning shows in
+    ReadSchema)."""
+    from pdf_extractors_spark.operators import joins
+
+    a_p, b_p = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a_p, b_p):
+        spark.createDataFrame(
+            [(1, 0, "x", "junk")],
+            "conv_id long, turn_idx long, text string, extra string",
+        ).write.parquet(p)
+    plan = _plan(
+        joins.parity_report(
+            spark.read.parquet(a_p), spark.read.parquet(b_p),
+            ["conv_id", "turn_idx"], "text",
+        )
+    )
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # untouched payload columns never reach the join
+    assert "extra" not in plan, plan

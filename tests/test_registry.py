@@ -45,6 +45,11 @@ CARRYOVER = {
     "fingerprint_pairs",
     "lang_confusion",
     "cluster_size_hist",
+    "random_projection",
+    "snapshot_merge",
+    "json_props_extract",
+    "group_topk",
+    "parity_report",
 }
 
 
