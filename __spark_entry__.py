@@ -2548,6 +2548,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["parity_report"] = q_parity_report
 
+    def q_skew_join(spark, sf):
+        """Salted equi-join (replicate-small-side): the 3 hottest
+        lineitem orderkeys are salted over 16 reducers, the orders side
+        replicates only those keys, and the result is value-identical
+        to the plain join — which is exactly what the oracle checks
+        (salt-invariance is the correctness property). The heavy-key
+        probe is a bounded top-k collect, the same sampled
+        heavy-hitter pattern as salted_conv_stats
+        (operators/salting.py skew_join)."""
+        from pdf_extractors_spark.operators import salting
+
+        li = _read(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("okey"), "l_linenumber", "l_quantity"
+        )
+        orders = _read(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        )
+        top = [
+            r["okey"]
+            for r in li.groupBy("okey")
+            .count()
+            .orderBy(F.desc("count"), F.asc("okey"))
+            .limit(3)
+            .collect()
+        ]
+        joined = salting.skew_join(
+            li, orders, "okey", top, order_col="l_linenumber"
+        )
+        return _longify(
+            joined.select("okey", "l_linenumber", "o_orderpriority")
+        )
+
+    q["skew_join"] = q_skew_join
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -5505,6 +5539,10 @@ def oracle_sql() -> dict[str, str]:
                     when b.doc_id is null then 'insert'
                     else 'keep' end as action
         from documents b full outer join updates u on b.doc_id = u.doc_id
+    """
+    oracles["skew_join"] = """
+        select l_orderkey as okey, l_linenumber, o_orderpriority
+        from lineitem join orders on l_orderkey = o_orderkey
     """
     oracles["json_props_extract"] = """
         select event_id,

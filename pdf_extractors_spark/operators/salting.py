@@ -146,3 +146,43 @@ def skew_report(
             ),
         )
     )
+
+
+def skew_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str,
+    heavy_keys: list[str],
+    order_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted equi-join for a skewed fact side: the replicate-small-side
+    pattern AQE applies to *shuffle* joins, available explicitly for when
+    the dimension is too big to broadcast but the fact side's key
+    distribution is power-law.
+
+    Heavy fact keys get ``salt = pmod(hash(key, order_col), S)`` (derived
+    from data, never partition order — deterministic under any input
+    split); normal keys keep salt 0. The dim side replicates each heavy
+    key's row S times via one ``explode(sequence(...))`` — tiny, because
+    only the heavy keys (dozens, not millions) replicate — and the join
+    runs on (key, salt), spreading each hot key over S reducers instead
+    of melting one. Join results are value-identical to the plain
+    equi-join (the salt is dropped).
+
+    At 100 TB: heavy-key detection comes from `heavy_hitters` sampling;
+    the replicated dim adds |heavy| × S rows to one side of the exchange,
+    noise next to the fact table, while the hottest reducer shrinks S×.
+    """
+    salted_facts = with_salt(
+        facts, heavy_keys, key=key, order_col=order_col, n_salts=n_salts
+    )
+    is_heavy = F.col(key).isin(heavy_keys) if heavy_keys else F.lit(False)
+    salts = F.when(
+        is_heavy, F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).otherwise(F.array(F.lit(0)))
+    salted_dims = dims.withColumn(
+        "_salt", F.explode(F.transform(salts, lambda s: s.cast("int")))
+    )
+    out = salted_facts.join(salted_dims, [key, "_salt"])
+    return out.drop("_salt")

@@ -661,3 +661,26 @@ def test_parity_report_single_join_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     # untouched payload columns never reach the join
     assert "extra" not in plan, plan
+
+
+def test_skew_join_equi_on_key_and_salt_no_cartesian(spark, tmp_path):
+    """The salted join must stay a (key, salt) equi-join — two-column
+    hash exchange, never a cartesian or a theta join; the heavy-only
+    dim replication is a generate over a literal array, not a join."""
+    from pdf_extractors_spark.operators import salting
+
+    f_p, d_p = str(tmp_path / "facts"), str(tmp_path / "dims")
+    spark.createDataFrame(
+        [("hot", 1, 2)], "key string, seq int, v int"
+    ).write.parquet(f_p)
+    spark.createDataFrame([("hot", "H")], "key string, label string").write.parquet(d_p)
+    plan = _plan(
+        salting.skew_join(
+            spark.read.parquet(f_p), spark.read.parquet(d_p),
+            "key", ["hot"], "seq", n_salts=8,
+        )
+    )
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin)", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "_salt" in plan, plan

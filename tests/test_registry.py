@@ -50,6 +50,7 @@ CARRYOVER = {
     "json_props_extract",
     "group_topk",
     "parity_report",
+    "skew_join",
 }
 
 
