@@ -2582,6 +2582,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skew_join"] = q_skew_join
 
+    def q_bigram_lift(spark, sf):
+        """Collocation lift (integer-exact PMI core) over adjacent word
+        bigrams; one token explode feeds both count tables, corpus
+        total rides a broadcast 1-row aggregate
+        (operators/text_stats.py bigram_lift)."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _spread(_read(spark, sf, "documents"))
+        return text_stats.bigram_lift(docs, min_count=5)
+
+    q["bigram_lift"] = q_bigram_lift
+
+    def q_cdc_chunks(spark, sf):
+        """Content-defined chunking: rolling-hash boundaries as pure
+        higher-order-function column math — zero UDFs, zero exchanges;
+        chunk spans (1-based offsets), never chunk payloads
+        (operators/text_stats.py cdc_chunks)."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _spread(_read(spark, sf, "documents"))
+        return text_stats.cdc_chunks(docs)
+
+    q["cdc_chunks"] = q_cdc_chunks
+
+    def q_winsorize(spark, sf):
+        """Per-language winsorization of document lengths: exact
+        interpolated [p05, p95] group brackets broadcast back onto the
+        rows — the data side never shuffles
+        (operators/sampling.py winsorize_per_group)."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        return sampling.winsorize_per_group(docs, "lang", "n_chars")
+
+    q["winsorize"] = q_winsorize
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -5543,6 +5581,76 @@ def oracle_sql() -> dict[str, str]:
     oracles["skew_join"] = """
         select l_orderkey as okey, l_linenumber, o_orderpriority
         from lineitem join orders on l_orderkey = o_orderkey
+    """
+    oracles["bigram_lift"] = r"""
+        with toks as (
+          select list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             w -> w <> '') as ws
+          from documents where text is not null),
+        toks2 as (select ws from toks where len(ws) > 0),
+        uni as (select unnest(ws) as w from toks2),
+        cu as (select w, count(*) as c_w from uni group by w),
+        pairs as (
+          select ws[i] as x, ws[i+1] as y
+          from (select ws, unnest(range(1, len(ws))) as i
+                from toks2 where len(ws) >= 2)),
+        big as (select x, y, count(*) as n from pairs
+                group by x, y having count(*) >= 5),
+        tot as (select count(*) as n_bi from pairs)
+        select x, y, n,
+               cast(floor((10000 * n_bi * n) / (cx.c_w * cy.c_w)) as bigint)
+                   as lift
+        from big, tot
+        join cu cx on big.x = cx.w
+        join cu cy on big.y = cy.w
+    """
+    # same rolling-hash parameters as text_stats.CDC_*: window 8, base
+    # 31 (power list literal — ** is double in DuckDB), mod 1e9+7, cut
+    # divisor 64; exact int64 arithmetic end to end on both engines
+    oracles["cdc_chunks"] = r"""
+        with base as (
+          select doc_id, text, length(text) as n
+          from documents where text is not null and length(text) > 0),
+        hashed as (
+          select doc_id, n,
+            list_transform(range(1, n+1),
+              i -> cast(unicode(substr(text, i, 1)) as bigint)) as codes
+          from base),
+        cuts_t as (
+          select doc_id, n,
+            list_filter(range(8, n+1), i ->
+              (cast(list_sum(list_transform(range(0, 8),
+                 t -> codes[i - t] *
+                      ([1,31,961,29791,923521,28629151,887503681,
+                        27512614111])[t+1]
+               )) as bigint) % 1000000007) % 64 = 0) as cuts
+          from hashed),
+        spanned as (
+          select doc_id,
+            case when len(cuts) > 0 and cuts[-1] = n then cuts
+                 else list_append(cuts, n) end as ends
+          from cuts_t),
+        ex as (
+          select doc_id, unnest(ends) as e,
+                 generate_subscripts(ends, 1) as k, ends
+          from spanned)
+        select doc_id, cast(k - 1 as bigint) as chunk_idx,
+               cast(case when k = 1 then 1 else ends[k-1] + 1 end as bigint)
+                   as chunk_start,
+               cast(e - (case when k = 1 then 1 else ends[k-1] + 1 end) + 1
+                    as bigint) as chunk_len
+        from ex
+    """
+    oracles["winsorize"] = """
+        with b as (
+          select lang,
+                 quantile_cont(n_chars, 0.05) as p_lo,
+                 quantile_cont(n_chars, 0.95) as p_hi
+          from documents group by lang)
+        select doc_id, d.lang, n_chars,
+               round(least(greatest(cast(n_chars as double), p_lo), p_hi), 2)
+                   as n_chars_clipped
+        from documents d join b on d.lang = b.lang
     """
     oracles["json_props_extract"] = """
         select event_id,

@@ -364,3 +364,45 @@ def cap_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def winsorize_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group outlier clipping: values clamped to the group's exact
+    interpolated [lo, hi] percentiles — the tail-taming pass before
+    length-weighted sampling or budget packing, where one 10⁶-char
+    document would otherwise dominate its stratum.
+
+    Shape: one map-side-combined groupBy computes the per-group
+    bracket (two ``percentile`` aggregates — exact here; swap in
+    ``approx_percentile`` for the single-pass bounded-memory form at
+    100 TB, same plan), then the bracket table — one row per group —
+    broadcasts back onto the rows. The data side shuffles ZERO times:
+    scan → broadcast-join → clip projection.
+
+    Emits the original row keys plus ``<value_col>_clipped`` (double,
+    rounded to 2 — percentile interpolation is fractional even on
+    integer inputs)."""
+    brackets = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_p_hi"),
+    )
+    clipped = F.round(
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("_p_lo")),
+            F.col("_p_hi"),
+        ),
+        2,
+    )
+    return (
+        df.join(F.broadcast(brackets), group_col)
+        .select(
+            *df.columns,
+            clipped.alias(f"{value_col}_clipped"),
+        )
+    )

@@ -1104,3 +1104,156 @@ def tokenize_ids(
             "ids_str",
         )
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    min_count: int = 5,
+    scale: int = 10000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation lift table over adjacent word bigrams — the
+    integer-exact core of PMI (lift = P(x,y)/(P(x)P(y)), reported as
+    ``floor(scale · N · c_xy / (c_x · c_y))`` so both engines compare
+    exact integers; take log offline if you want PMI proper).
+
+    One token explode feeds BOTH count tables: unigrams groupBy(word),
+    bigrams groupBy(x, y) — each map-side combined, so the exchanges
+    carry distinct keys per partition, not occurrences. The corpus
+    bigram total N rides a broadcast 1-row aggregate (the lm_score
+    pattern, no driver collect) and the two unigram lookups are plain
+    hashed equi-joins on the word. ``min_count`` prunes the bigram
+    long-tail BEFORE the joins. Empty tokens are dropped before
+    adjacency (so bigrams span runs of whitespace).
+
+    Overflow bound: scale·N·c_xy must fit int64 — at scale=10⁴ that
+    holds to N≈10⁹ bigrams with 10⁵-count pairs; shrink ``scale`` or
+    pre-aggregate per shard beyond that (docstring contract, loud in
+    the comparison rather than silent)."""
+    words = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    toks = df.select(words.alias("ws")).filter(F.size("ws") > 0)
+    unigrams = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c_w")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("x"),
+                        F.element_at("ws", i + 1).alias("y"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p")
+    ).select("p.x", "p.y")
+    big = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    total = pairs.groupBy().agg(F.count("*").alias("n_bi"))
+    cx = unigrams.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))
+    cy = unigrams.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))
+    return (
+        big.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            "n",
+            F.floor(
+                (F.lit(scale) * F.col("n_bi") * F.col("n"))
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("lift"),
+        )
+    )
+
+
+# content-defined chunking parameters: w-char polynomial rolling window,
+# base B, modulus M (int64-safe: max_codepoint·B^(w-1)·w < 2^63), a cut
+# after position i when H(i) % D == 0 → expected chunk length ≈ D chars
+CDC_WINDOW = 8
+CDC_BASE = 31
+CDC_MOD = 1_000_000_007
+CDC_DIV = 64
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style): chunk boundaries
+    where a polynomial hash of the trailing ``CDC_WINDOW`` characters
+    hits ``H % CDC_DIV == 0``, so INSERTIONS SHIFT BOUNDARIES ONLY
+    LOCALLY — two documents sharing a long span produce identical
+    interior chunks even at different offsets, which is what makes
+    chunk-hash dedup catch partially-overlapping documents where
+    whole-doc hashing and fixed-width windows both miss.
+
+    Pure higher-order-function column math (zero UDFs, ZERO exchanges —
+    a per-row generate): codepoints via ``ascii(substr)``, the rolling
+    hash as an ``aggregate`` over a literal power array, boundaries via
+    ``filter``, chunk spans via ``arrays_zip`` + ``posexplode``. Cost
+    is O(len·w) integer ops per row inside codegen — w is 8; at 100 TB
+    this fuses into the scan like random_projection. Emits
+    (id, chunk_idx, chunk_start, chunk_len) with 1-based character
+    offsets; chunk TEXT deliberately stays behind (substr on demand)
+    so the output never re-ships payloads. Null/empty documents emit
+    no chunks (a chunk is a non-empty span by definition).
+
+    Hash math is exact int64 both engines: codepoint·B^(w-1)·w ≈
+    2·10¹⁶ < 2⁶³ (ASCII/BMP inputs; normalize first — see
+    unicode_normalize — for combining-mark stability)."""
+    pows = F.array(*[F.lit(CDC_BASE**t).cast("long") for t in range(CDC_WINDOW)])
+    t = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col)),
+            lambda i: F.ascii(F.col(text_col).substr(i, F.lit(1))).cast("long"),
+        ).alias("codes"),
+    )
+    n = F.size("codes")
+
+    def rolling_hash(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(CDC_WINDOW - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, tt: acc
+            + F.element_at(F.col("codes"), (i - tt).cast("int"))
+            * F.element_at(pows, (tt + 1).cast("int")),
+        ) % CDC_MOD
+
+    # guard: Spark's sequence(a, b) DESCENDS when b < a, so a doc
+    # shorter than the window must short-circuit to "no interior cuts"
+    cuts = F.when(
+        n >= CDC_WINDOW,
+        F.filter(
+            F.sequence(F.lit(CDC_WINDOW), n),
+            lambda i: rolling_hash(i) % CDC_DIV == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # append the document end unless it is already a cut (order-preserving)
+    ends = F.when(
+        (F.size(cuts) > 0) & (F.element_at(cuts, -1) == n), cuts
+    ).otherwise(F.concat(cuts, F.array(n)))
+    spans = t.select(
+        id_col,
+        F.posexplode(ends).alias("chunk_idx", "end"),
+        ends.alias("_ends"),
+    )
+    start = F.when(F.col("chunk_idx") == 0, F.lit(1)).otherwise(
+        F.element_at("_ends", F.col("chunk_idx")) + 1
+    )
+    return spans.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("chunk_start"),
+        (F.col("end") - start + 1).cast("long").alias("chunk_len"),
+    )

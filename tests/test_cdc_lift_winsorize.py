@@ -1,0 +1,112 @@
+"""cdc_chunks (content-defined chunking), bigram_lift (collocations),
+winsorize_per_group (percentile clipping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractors_spark.operators import sampling, text_stats
+
+
+# -------------------------------------------------------------- cdc_chunks
+
+
+def _chunks(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return text_stats.cdc_chunks(df).collect()
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    rows = sorted(_chunks(spark, [text]), key=lambda r: r["chunk_idx"])
+    assert rows[0]["chunk_start"] == 1
+    # contiguous: each chunk starts right after the previous one ends
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["chunk_start"] == prev["chunk_start"] + prev["chunk_len"]
+    assert sum(r["chunk_len"] for r in rows) == len(text)
+    assert len(rows) > 1  # long text must actually split
+
+
+def test_cdc_chunks_short_null_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = text_stats.cdc_chunks(df).collect()
+    # sub-window doc: one chunk covering everything; null/empty: no rows
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 0
+    assert (rows[0]["chunk_start"], rows[0]["chunk_len"]) == (1, 3)
+
+
+def test_cdc_chunks_boundaries_shift_locally_on_insert(spark):
+    """The CDC property: prepending bytes must not move interior
+    boundaries — every cut of the original reappears shifted by the
+    insertion length (the window spans only original chars there)."""
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 15
+    shifted = "XYZ" + base
+    rows_a = _chunks(spark, [base])
+    df_b = spark.createDataFrame([(0, shifted)], "doc_id long, text string")
+    rows_b = text_stats.cdc_chunks(df_b).collect()
+    ends_a = sorted(r["chunk_start"] + r["chunk_len"] - 1 for r in rows_a)
+    ends_b = {r["chunk_start"] + r["chunk_len"] - 1 for r in rows_b}
+    # all interior cuts of the original (not the synthetic doc-end)
+    for e in ends_a[:-1]:
+        assert e + 3 in ends_b, (e, sorted(ends_b))
+
+
+# ------------------------------------------------------------- bigram_lift
+
+
+def test_bigram_lift_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["x"], r["y"]): (r["n"], r["lift"])
+        for r in text_stats.bigram_lift(docs, min_count=1).collect()
+    }
+    # N=4 bigrams; unigrams a=4 b=3 c=1
+    assert got == {
+        ("a", "b"): (2, 10000 * 4 * 2 // (4 * 3)),
+        ("a", "c"): (1, 10000 * 4 * 1 // (4 * 1)),
+        ("b", "a"): (1, 10000 * 4 * 1 // (3 * 4)),
+    }
+
+
+def test_bigram_lift_min_count_prunes_and_empty_tokens_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "x  y"), (1, "x \t y"), (2, None)], "doc_id long, text string"
+    )
+    # whitespace runs collapse: (x,y) twice despite the double spaces
+    got = text_stats.bigram_lift(docs, min_count=2).collect()
+    assert len(got) == 1 and got[0]["n"] == 2
+    assert text_stats.bigram_lift(docs, min_count=3).count() == 0
+
+
+# ----------------------------------------------------- winsorize_per_group
+
+
+def test_winsorize_clips_group_tails(spark):
+    rows = [(i, "en", i * 10) for i in range(11)]  # 0,10,...,100
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {
+        r["doc_id"]: r["n_chars_clipped"]
+        for r in sampling.winsorize_per_group(df, "lang", "n_chars").collect()
+    }
+    # exact interpolated p05 = 5.0, p95 = 95.0 on 0..100 step 10
+    assert got[0] == 5.0 and got[10] == 95.0
+    assert got[5] == 50.0  # interior values untouched
+
+
+def test_winsorize_groups_are_independent(spark):
+    rows = [(0, "en", 0), (1, "en", 100), (2, "fr", 1000), (3, "fr", 2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {
+        r["doc_id"]: r["n_chars_clipped"]
+        for r in sampling.winsorize_per_group(df, "lang", "n_chars", 0.0, 1.0).collect()
+    }
+    # lo=0/hi=1 → identity per group, proving the bracket join keyed right
+    assert got == {0: 0.0, 1: 100.0, 2: 1000.0, 3: 2000.0}

@@ -684,3 +684,53 @@ def test_skew_join_equi_on_key_and_salt_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
     assert "_salt" in plan, plan
+
+
+def test_cdc_chunks_no_exchange_no_udf(spark, tmp_path):
+    """CDC boundaries are per-row higher-order-function math + one
+    Generate: no Exchange, no Python anywhere in the plan."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "some text long enough to chunk " * 4)], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(text_stats.cdc_chunks(spark.read.parquet(path)))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_bigram_lift_no_cartesian_broadcast_total(spark, tmp_path):
+    """The corpus total joins as a broadcast 1-row aggregate (BNLJ is
+    the right plan for a 1-row cross), never a CartesianProduct; no
+    Python in the token/count path."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "a b a b")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(text_stats.bigram_lift(spark.read.parquet(path), min_count=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_winsorize_data_side_never_shuffles(spark, tmp_path):
+    """The bracket table (one row per group) aggregates on its own and
+    broadcasts back; the row side goes scan → BroadcastHashJoin → clip
+    with no exchange of the data."""
+    from pdf_extractors_spark.operators import sampling
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "en", 10)], "doc_id long, lang string, n_chars long"
+    ).write.parquet(path)
+    plan = _plan(
+        sampling.winsorize_per_group(spark.read.parquet(path), "lang", "n_chars")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Exchange is the bracket aggregation's group-key shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Python" not in plan, plan

@@ -51,6 +51,9 @@ CARRYOVER = {
     "group_topk",
     "parity_report",
     "skew_join",
+    "bigram_lift",
+    "cdc_chunks",
+    "winsorize",
 }
 
 
