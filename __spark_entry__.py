@@ -2620,6 +2620,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winsorize"] = q_winsorize
 
+    def q_postings(spark, sf):
+        """Inverted-index posting table (term, doc, tf, df ≥ 2) — the
+        search-index build sink behind bm25/tfidf
+        (operators/retrieval.py postings)."""
+        from pdf_extractors_spark.operators import retrieval
+
+        docs = _spread(_read(spark, sf, "documents"))
+        return retrieval.postings(docs, min_df=2)
+
+    q["postings"] = q_postings
+
+    def q_trailing_counts(spark, sf):
+        """Per-user trailing-hour event counts and value sums as of each
+        event: one RANGE-frame window, no self-join
+        (operators/joins.py trailing_counts)."""
+        from pdf_extractors_spark.operators import joins
+
+        ev = _read(spark, sf, "events")
+        return joins.trailing_counts(
+            ev, "user_id", "ts", "value", window_s=3600
+        )
+
+    q["trailing_counts"] = q_trailing_counts
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -5651,6 +5675,34 @@ def oracle_sql() -> dict[str, str]:
                round(least(greatest(cast(n_chars as double), p_lo), p_hi), 2)
                    as n_chars_clipped
         from documents d join b on d.lang = b.lang
+    """
+    oracles["postings"] = r"""
+        with toks as (
+          select doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   w -> w <> '')) as term
+          from documents where text is not null),
+        tf as (select term, doc_id, count(*) as tf
+               from toks group by term, doc_id),
+        dfreq as (select term, count(*) as df
+                  from tf group by term having count(*) >= 2)
+        select tf.term, doc_id, tf, df
+        from tf join dfreq on tf.term = dfreq.term
+    """
+    # timestamps truncate to whole epoch seconds and values quantize to
+    # floor(value*100) int64 on both engines, so the trailing sums are
+    # exact integers; the RANGE frame makes peers-of-a-second aggregate
+    # together deterministically
+    oracles["trailing_counts"] = """
+        select event_id, user_id,
+               cast(count(*) over w as bigint) as n_trailing,
+               cast(sum(v100) over w as bigint) as v_trailing
+        from (select event_id, user_id,
+                     cast(floor(epoch(ts)) as bigint) as es,
+                     cast(floor(value * 100) as bigint) as v100
+              from events where ts is not null)
+        window w as (partition by user_id order by es
+                     range between 3600 preceding and current row)
     """
     oracles["json_props_extract"] = """
         select event_id,

@@ -171,3 +171,50 @@ def parity_report(
     )
     out_keys = [F.coalesce(av[k], bv[f"_b_{k}"]).alias(k) for k in keys]
     return av.join(bv, cond, "full_outer").select(*out_keys, verdict)
+
+
+def trailing_counts(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 3600,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trailing time-window aggregates per key — "events and value in
+    the last hour, as of each event" — the sliding-window counterpart
+    of the tumbling ``time_rollup``, and the rate-limiter / burst-
+    detector primitive.
+
+    One RANGE frame window (``rangeBetween(-window_s, 0)`` over epoch
+    seconds): ONE exchange on the key + one sort, no self-join — the
+    naive formulation (self-join on ``ts BETWEEN ts-w AND ts``) is a
+    per-key range join that degenerates quadratically on hot keys.
+    Timestamps truncate to whole epoch seconds on both engines (ties
+    within a second aggregate together, deterministically — a range
+    frame includes ALL peers of the current ordering value, so the
+    result is order-stable under any partitioning). Values quantize to
+    ``floor(value·100)`` int64 so the trailing sum is exact integer
+    math. Null timestamps are excluded loudly (a trailing window over
+    an unknown time is meaningless).
+
+    ``unix_timestamp`` (not a bare long cast) so TIMESTAMP_NTZ columns
+    — what parquet scans yield — resolve too; the session pins UTC
+    (session.py), making NTZ epoch math engine-portable.
+    """
+    es = F.unix_timestamp(F.col(ts_col))
+    v100 = F.floor(F.col(value_col) * 100).cast("long")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(es)
+        .rangeBetween(-window_s, Window.currentRow)
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(key),
+            F.count("*").over(w).alias("n_trailing"),
+            F.sum(v100).over(w).alias("v_trailing"),
+        )
+    )

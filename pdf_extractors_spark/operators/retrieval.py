@@ -123,3 +123,36 @@ def bm25_topk(
     )
     rank = F.row_number().over(Window.partitionBy(query_id_col).orderBy(*order))
     return local.withColumn("rank", rank.cast("long")).filter(F.col("rank") <= k)
+
+
+def postings(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index construction: the (term, doc, tf, df) posting
+    table behind bm25_topk/tfidf, exposed as its own sink-able output —
+    what a search-index build job materializes per corpus snapshot.
+
+    Two map-side-combined aggregations sharing one token explode:
+    tf on (term, doc), then df as a count over the ALREADY-collapSED
+    (term, doc) rows — the second exchange carries one row per distinct
+    (term, doc), never per occurrence. ``min_df`` prunes hapax terms
+    (the overwhelming majority of the distinct-term space at corpus
+    scale) before the df table joins back on the term. Empty tokens
+    are dropped; null-text docs contribute nothing.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return tf.join(dfreq, "term").select("term", id_col, "tf", "df")

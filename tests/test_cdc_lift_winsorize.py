@@ -110,3 +110,99 @@ def test_winsorize_groups_are_independent(spark):
     }
     # lo=0/hi=1 → identity per group, proving the bracket join keyed right
     assert got == {0: 0.0, 1: 100.0, 2: 1000.0, 3: 2000.0}
+
+
+# ------------------------------------------------------ postings (index)
+
+
+def test_postings_tf_df_hand_computed(spark):
+    from pdf_extractors_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "b  b c")], "doc_id long, text string"
+    )
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["df"])
+        for r in retrieval.postings(docs, min_df=2).collect()
+    }
+    # df: a→2 docs, b→2 docs, c→2 docs; all survive min_df=2
+    assert got == {
+        ("a", 0): (2, 2),
+        ("a", 1): (1, 2),
+        ("b", 0): (1, 2),
+        ("b", 2): (2, 2),
+        ("c", 1): (1, 2),
+        ("c", 2): (1, 2),
+    }
+
+
+def test_postings_min_df_prunes_hapax(spark):
+    from pdf_extractors_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(0, "unique common"), (1, "common")], "doc_id long, text string"
+    )
+    terms = {r["term"] for r in retrieval.postings(docs, min_df=2).collect()}
+    assert terms == {"common"}
+
+
+# -------------------------------------------------------- trailing_counts
+
+
+def test_trailing_counts_window_arithmetic(spark):
+    from datetime import datetime
+
+    from pdf_extractors_spark.operators import joins
+
+    rows = [
+        # user u: events at t=0, 1800, 3600, 7201 (s), value 1.0 each
+        (0, "u", datetime(2026, 1, 1, 0, 0, 0), 1.0),
+        (1, "u", datetime(2026, 1, 1, 0, 30, 0), 1.0),
+        (2, "u", datetime(2026, 1, 1, 1, 0, 0), 1.0),
+        (3, "u", datetime(2026, 1, 1, 2, 0, 1), 1.0),
+        (4, "v", datetime(2026, 1, 1, 0, 0, 0), 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["n_trailing"], r["v_trailing"])
+        for r in joins.trailing_counts(df, "user_id", "ts", "value").collect()
+    }
+    # t=3600 still sees t=0 (inclusive frame); t=7201 sees only itself
+    assert got[0] == (1, 100)
+    assert got[1] == (2, 200)
+    assert got[2] == (3, 300)
+    assert got[3] == (1, 100)
+    assert got[4] == (1, 250)
+
+
+def test_trailing_counts_same_second_ties_are_peers(spark):
+    from datetime import datetime
+
+    from pdf_extractors_spark.operators import joins
+
+    t = datetime(2026, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(0, "u", t, 1.0), (1, "u", t, 1.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["n_trailing"]
+        for r in joins.trailing_counts(df, "user_id", "ts", "value").collect()
+    }
+    # RANGE frame: both rows see both peers — deterministic under ties
+    assert got == {0: 2, 1: 2}
+
+
+def test_trailing_counts_null_ts_excluded(spark):
+    from datetime import datetime
+
+    from pdf_extractors_spark.operators import joins
+
+    df = spark.createDataFrame(
+        [(0, "u", datetime(2026, 1, 1), 1.0), (1, "u", None, 1.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    rows = joins.trailing_counts(df, "user_id", "ts", "value").collect()
+    assert [r["event_id"] for r in rows] == [0]

@@ -734,3 +734,39 @@ def test_winsorize_data_side_never_shuffles(spark, tmp_path):
     # the only Exchange is the bracket aggregation's group-key shuffle
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_postings_two_partial_aggs_no_occurrence_df(spark, tmp_path):
+    """df counts run over the already-collapsed (term, doc) rows: the
+    plan has exactly one join (df back onto tf, on the term) and every
+    HashAggregate pairs with a partial — no per-occurrence exchange
+    for the df side."""
+    from pdf_extractors_spark.operators import retrieval
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "a b a")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(retrieval.postings(spark.read.parquet(path), min_df=1))
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_trailing_counts_single_exchange_no_self_join(spark, tmp_path):
+    """The trailing window is ONE exchange on the key + a sort — no
+    join anywhere (the naive self-join formulation is quadratic on hot
+    keys)."""
+    from datetime import datetime
+
+    from pdf_extractors_spark.operators import joins
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(0, "u", datetime(2026, 1, 1), 1.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    ).write.parquet(path)
+    plan = _plan(joins.trailing_counts(spark.read.parquet(path), "user_id", "ts", "value"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan

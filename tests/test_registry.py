@@ -54,6 +54,8 @@ CARRYOVER = {
     "bigram_lift",
     "cdc_chunks",
     "winsorize",
+    "postings",
+    "trailing_counts",
 }
 
 
