@@ -2644,6 +2644,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trailing_counts"] = q_trailing_counts
 
+    def q_event_pivot(spark, sf):
+        """Per-user event-type pivot (the wide activity matrix): Spark
+        `pivot` with an EXPLICIT value list — the open-ended form needs
+        a distinct-scan pass and breaks at unbounded type cardinality;
+        pinning the list keeps it one map-side-combined aggregation."""
+        ev = _read(spark, sf, "events")
+        kinds = ["click", "view", "purchase", "signup", "error"]
+        wide = (
+            ev.groupBy("user_id").pivot("event_type", kinds).count()
+        )
+        return wide.select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+
+    q["event_pivot"] = q_event_pivot
+
+    def q_percent_rank(spark, sf):
+        """Per-language length CDF position: percent_rank over a
+        fully-deterministic ordering (n_chars, doc_id) — identical
+        (rank-1)/(n-1) definition on both engines."""
+        from pyspark.sql import Window
+
+        docs = _read(spark, sf, "documents")
+        w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        return docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+
+    q["percent_rank"] = q_percent_rank
+
+    def q_zorder_key(spark, sf):
+        """Morton Z-order key over (user_id, epoch-minute) — the
+        two-dimensional clustering key for write_sorted; exact integer
+        bit interleave, zero exchanges
+        (operators/bucketing.py zorder_key)."""
+        from pdf_extractors_spark.operators import bucketing
+
+        ev = _read(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            (F.unix_timestamp("ts") / 60).cast("long").alias("minute"),
+        )
+        return bucketing.zorder_key(ev, "user_id", "minute").select(
+            "event_id", "zkey"
+        )
+
+    q["zorder_key"] = q_zorder_key
+
+    def q_fk_violations(spark, sf):
+        """Referential-integrity audit: events whose user has no
+        customer row — a third of the parent side is deterministically
+        dropped so the orphan list is non-empty and exact
+        (operators/joins.py fk_violations)."""
+        from pdf_extractors_spark.operators import joins
+
+        ev = _read(spark, sf, "events")
+        cust = _read(spark, sf, "customer").filter(
+            F.col("c_custkey") % 3 != 1
+        )
+        return joins.fk_violations(ev, cust, "user_id", "c_custkey")
+
+    q["fk_violations"] = q_fk_violations
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -5703,6 +5770,42 @@ def oracle_sql() -> dict[str, str]:
               from events where ts is not null)
         window w as (partition by user_id order by es
                      range between 3600 preceding and current row)
+    """
+    oracles["event_pivot"] = """
+        select user_id,
+               count(*) filter (event_type = 'click') as n_click,
+               count(*) filter (event_type = 'view') as n_view,
+               count(*) filter (event_type = 'purchase') as n_purchase,
+               count(*) filter (event_type = 'signup') as n_signup,
+               count(*) filter (event_type = 'error') as n_error
+        from events group by user_id
+    """
+    oracles["percent_rank"] = """
+        select doc_id, lang, n_chars,
+               round(percent_rank() over (partition by lang
+                                          order by n_chars, doc_id), 6) as pr
+        from documents
+    """
+    # Morton interleave as div/mod by powers of two — integer-exact on
+    # both engines; bit t of x lands at 2t, of y at 2t+1
+    _zsum = " + ".join(
+        f"((x // {2**t}) % 2) * {4**t} + ((y // {2**t}) % 2) * {2 * 4**t}"
+        for t in range(16)
+    )
+    oracles["zorder_key"] = f"""
+        select event_id, cast({_zsum} as bigint) as zkey
+        from (select event_id,
+                     user_id % 65536 as x,
+                     (cast(floor(epoch(ts)) as bigint) // 60) % 65536 as y
+              from events)
+    """
+    oracles["fk_violations"] = """
+        select user_id, count(*) as n_rows
+        from events e
+        where not exists (
+          select 1 from customer c
+          where c.c_custkey % 3 <> 1 and c.c_custkey = e.user_id)
+        group by user_id
     """
     oracles["json_props_extract"] = """
         select event_id,

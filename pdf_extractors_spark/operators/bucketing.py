@@ -77,3 +77,43 @@ def write_sorted(
         else df.repartitionByRange(*cols)
     )
     ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def zorder_key(
+    df,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    out_col: str = "zkey",
+):
+    """Morton (Z-order) interleave of two columns' low ``bits`` bits —
+    the multi-dimensional sort key behind Z-ORDER clustering: sorting
+    by ``zkey`` before `write_sorted` gives BOTH columns locality in
+    the file layout, so zone maps prune point/range scans on either
+    dimension (single-column sort keys prune only their own column).
+
+    Pure integer column math via an ``aggregate`` over a literal power
+    array — variable bit shifts become div/mod by 2^t, exact int64 for
+    bits ≤ 31, zero UDFs, zero exchanges (the sort that consumes the
+    key owns the exchange). Bit t of x lands at position 2t, of y at
+    2t+1 (x in the even lanes).
+    """
+    from pyspark.sql import functions as F
+
+    pows = F.array(*[F.lit(2**t).cast("long") for t in range(bits)])
+    x = F.col(x_col).cast("long") % F.lit(2**bits)
+    y = F.col(y_col).cast("long") % F.lit(2**bits)
+
+    z = F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + ((x / F.element_at(pows, t.cast("int"))).cast("long") % 2)
+        * F.element_at(pows, t.cast("int"))
+        * F.element_at(pows, t.cast("int"))
+        + ((y / F.element_at(pows, t.cast("int"))).cast("long") % 2)
+        * F.element_at(pows, t.cast("int"))
+        * F.element_at(pows, t.cast("int"))
+        * 2,
+    )
+    return df.withColumn(out_col, z)

@@ -218,3 +218,30 @@ def trailing_counts(
             F.sum(v100).over(w).alias("v_trailing"),
         )
     )
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit: child keys with no parent row —
+    the data-quality gate an ingest pipeline runs before committing a
+    snapshot whose downstream joins assume the FK holds (a silent
+    orphan becomes silent row loss at the first inner join).
+
+    One aggregate on the child key (map-side combined: distinct keys
+    per partition, never raw child rows on the exchange) + one
+    LEFT-ANTI join against the parent's key projection — the anti join
+    ships only the parent's key column, and broadcasts when the parent
+    is small. Emits (child_key, n_rows) per orphaned key: the triage
+    list, not a boolean."""
+    keyed = child.groupBy(F.col(child_key).alias("_k")).agg(
+        F.count("*").alias("n_rows")
+    )
+    return keyed.join(
+        parent.select(F.col(parent_key).alias("_k")),
+        "_k",
+        "left_anti",
+    ).select(F.col("_k").alias(child_key), "n_rows")

@@ -770,3 +770,38 @@ def test_trailing_counts_single_exchange_no_self_join(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_zorder_key_no_exchange_no_udf(spark, tmp_path):
+    from pdf_extractors_spark.operators import bucketing
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(0, 3, 7)], "id long, x long, y long"
+    ).write.parquet(path)
+    plan = _plan(bucketing.zorder_key(spark.read.parquet(path), "x", "y"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_fk_violations_anti_join_ships_keys_only(spark, tmp_path):
+    """Child collapses to (key, n) BEFORE the anti join (partial agg),
+    and the parent side reads only its key column (pruned ReadSchema)."""
+    from pdf_extractors_spark.operators import joins
+
+    c_p, p_p = str(tmp_path / "child"), str(tmp_path / "parent")
+    spark.createDataFrame(
+        [(1, "payload")], "user_id long, v string"
+    ).write.parquet(c_p)
+    spark.createDataFrame(
+        [(1, "junk")], "c_custkey long, extra string"
+    ).write.parquet(p_p)
+    plan = _plan(
+        joins.fk_violations(
+            spark.read.parquet(c_p), spark.read.parquet(p_p),
+            "user_id", "c_custkey",
+        )
+    )
+    assert "LeftAnti" in plan, plan
+    assert "extra" not in plan, plan  # parent payload pruned
+    assert "CartesianProduct" not in plan, plan

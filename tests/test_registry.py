@@ -56,6 +56,10 @@ CARRYOVER = {
     "winsorize",
     "postings",
     "trailing_counts",
+    "event_pivot",
+    "percent_rank",
+    "zorder_key",
+    "fk_violations",
 }
 
 
