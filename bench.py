@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "hits_scores",
     "triangle_stats",
     "corpus_clean",
+    # round-3 batch 2: the three heaviest new kernels — per-char CDC
+    # rolling hash (codegen-bound), the inverted-index build (double
+    # agg + join), and the bigram collocation table (double explode)
+    "cdc_chunks",
+    "postings",
+    "bigram_lift",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

@@ -130,3 +130,30 @@ def test_random_projection_partitioning_invariant(spark):
         map(tuple, similarity.random_projection(df.repartition(7), k=3).collect())
     )
     assert a == b
+
+
+def test_merge_upsert_idempotent_reapply(spark):
+    """Applying the same update batch twice equals applying it once
+    (MERGE idempotence) — the property a checkpoint-resumed snapshot
+    commit relies on."""
+    base = _docs(spark, [(1, "a", "en"), (2, "b", "fr")])
+    updates = _docs(spark, [(2, "B2", "fr"), (9, "new", "es")])
+    once = joins.merge_upsert(base, updates, "doc_id", ["text"])
+    twice = joins.merge_upsert(
+        once.drop("action"), updates, "doc_id", ["text"]
+    )
+    a = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in once.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in twice.collect()
+    )
+    assert a == b
+
+
+def test_parity_report_identical_runs_all_equal(spark):
+    a = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "k long, text string"
+    )
+    out = joins.parity_report(a, a, ["k"], "text").collect()
+    assert len(out) == 20 and all(r["verdict"] == "equal" for r in out)
