@@ -2711,6 +2711,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fk_violations"] = q_fk_violations
 
+    def q_chunk_overlap_pairs(spark, sf):
+        """Partial-overlap candidates via shared CDC chunk hashes: the
+        offset-insensitive dedup front end (docs embedding the same
+        span share its interior chunks verbatim). Hot-chunk guard +
+        hash-only shuffle (operators/text_stats.py
+        chunk_overlap_pairs)."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _spread(_read(spark, sf, "documents"))
+        return text_stats.chunk_overlap_pairs(docs, min_shared=2)
+
+    q["chunk_overlap_pairs"] = q_chunk_overlap_pairs
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -5806,6 +5819,57 @@ def oracle_sql() -> dict[str, str]:
           select 1 from customer c
           where c.c_custkey % 3 <> 1 and c.c_custkey = e.user_id)
         group by user_id
+    """
+    # chunk hashes replay the cdc_chunks CTE chain with the text carried
+    # through, then the fingerprint_pairs join shape (distinct → bucket
+    # guard → self-join a<b → shared count)
+    _chunk_start_sql = "case when k = 1 then 1 else ends[k-1] + 1 end"
+    _chunk_hash_sql = md5_bigint_sql(
+        f"substr(text, cast({_chunk_start_sql} as int),"
+        f" cast(e - ({_chunk_start_sql}) + 1 as int))"
+    )
+    oracles["chunk_overlap_pairs"] = f"""
+        with base as (
+          select doc_id, text, length(text) as n
+          from documents where text is not null and length(text) > 0),
+        hashed as (
+          select doc_id, text, n,
+            list_transform(range(1, n+1),
+              i -> cast(unicode(substr(text, i, 1)) as bigint)) as codes
+          from base),
+        cuts_t as (
+          select doc_id, text, n,
+            list_filter(range(8, n+1), i ->
+              (cast(list_sum(list_transform(range(0, 8),
+                 t -> codes[i - t] *
+                      ([1,31,961,29791,923521,28629151,887503681,
+                        27512614111])[t+1]
+               )) as bigint) % 1000000007) % 64 = 0) as cuts
+          from hashed),
+        spanned as (
+          select doc_id, text,
+            case when len(cuts) > 0 and cuts[-1] = n then cuts
+                 else list_append(cuts, n) end as ends
+          from cuts_t),
+        ex as (
+          select doc_id, text, unnest(ends) as e,
+                 generate_subscripts(ends, 1) as k, ends
+          from spanned),
+        chunk_hashes as (
+          select distinct doc_id, {_chunk_hash_sql} as chunk_hash
+          from ex),
+        rare as (
+          select doc_id, chunk_hash from (
+            select doc_id, chunk_hash,
+                   count(*) over (partition by chunk_hash) as bucket
+            from chunk_hashes)
+          where bucket <= 64)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               count(*) as n_shared
+        from rare a join rare b
+          on a.chunk_hash = b.chunk_hash and a.doc_id < b.doc_id
+        group by 1, 2
+        having count(*) >= 2
     """
     oracles["json_props_extract"] = """
         select event_id,

@@ -1186,6 +1186,7 @@ def cdc_chunks(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_hash: bool = False,
 ) -> DataFrame:
     """Content-defined chunking (FastCDC/rsync-style): chunk boundaries
     where a polynomial hash of the trailing ``CDC_WINDOW`` characters
@@ -1214,6 +1215,7 @@ def cdc_chunks(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0)
     ).select(
         F.col(id_col),
+        F.col(text_col).alias("_text"),
         F.transform(
             F.sequence(F.lit(1), F.length(text_col)),
             lambda i: F.ascii(F.col(text_col).substr(i, F.lit(1))).cast("long"),
@@ -1245,15 +1247,71 @@ def cdc_chunks(
     ).otherwise(F.concat(cuts, F.array(n)))
     spans = t.select(
         id_col,
+        "_text",
         F.posexplode(ends).alias("chunk_idx", "end"),
         ends.alias("_ends"),
     )
     start = F.when(F.col("chunk_idx") == 0, F.lit(1)).otherwise(
         F.element_at("_ends", F.col("chunk_idx")) + 1
     )
-    return spans.select(
-        id_col,
+    out = [
+        F.col(id_col),
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         start.cast("long").alias("chunk_start"),
         (F.col("end") - start + 1).cast("long").alias("chunk_len"),
+    ]
+    if with_hash:
+        # content hash of the chunk substring, computed here where the
+        # payload is already in hand — consumers (chunk_overlap_pairs)
+        # never join back to the text
+        out.append(
+            md5_bigint(
+                F.col("_text").substr(start, F.col("end") - start + 1)
+            ).alias("chunk_hash")
+        )
+    return spans.select(*out)
+
+
+def chunk_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partial-overlap candidate pairs via shared CDC chunk hashes —
+    the consumer `cdc_chunks` exists for: two documents embedding the
+    same long span (quoted article, boilerplate wrapper, near-identical
+    revision) share its interior chunks VERBATIM even at different
+    offsets, so a plain equi-join on chunk hash finds them where
+    whole-document hashing (offset-sensitive) and fixed windows both
+    miss.
+
+    Plan shape is the LSH-candidate pattern (fingerprint_pairs): hash
+    chunks in the same pass that cuts them (no join back to payloads),
+    window-count each hash's bucket on the SAME exchange the self-join
+    reuses, drop buckets over ``max_bucket`` (a chunk shared by B docs
+    is boilerplate and would emit O(B²) pairs), then equi-join and
+    count shared chunks per pair. Shuffle carries (8-byte hash, id)
+    rows only — chunk text never moves."""
+    hashed = cdc_chunks(df, text_col, id_col, with_hash=True).select(
+        id_col, "chunk_hash"
+    ).distinct()
+    rare = (
+        hashed.withColumn(
+            "bucket", F.count("*").over(Window.partitionBy("chunk_hash"))
+        )
+        .filter(F.col("bucket") <= max_bucket)
+        .select(id_col, "chunk_hash")
+    )
+    return (
+        rare.alias("a")
+        .join(rare.alias("b"), "chunk_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

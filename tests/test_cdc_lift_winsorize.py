@@ -206,3 +206,39 @@ def test_trailing_counts_null_ts_excluded(spark):
     )
     rows = joins.trailing_counts(df, "user_id", "ts", "value").collect()
     assert [r["event_id"] for r in rows] == [0]
+
+
+# ------------------------------------------------------ chunk_overlap_pairs
+
+
+def test_chunk_overlap_finds_embedded_span(spark):
+    """A long span embedded at DIFFERENT offsets in two documents
+    produces shared interior chunks — the partial-overlap case that
+    whole-document hashing misses."""
+    # NON-periodic span: a repeated phrase would make every interior
+    # chunk the same string and distinct() collapses it to one
+    span = " ".join(f"alpha{i} beta{i * 7} gamma{i * 13}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, "intro A. " + span + " outro A."),
+            (1, "a completely different and longer introduction B! " + span),
+            (2, "unrelated content with nothing in common at all " * 9),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = text_stats.chunk_overlap_pairs(docs, min_shared=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["n_shared"] >= 2
+
+
+def test_chunk_overlap_hot_chunk_guard(spark):
+    """A chunk shared by more than max_bucket docs is boilerplate: the
+    guard drops it before the self-join (no O(B^2) pair flood)."""
+    boiler = " ".join(f"footer{i} legal{i * 3} notice{i * 11}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, f"unique head {i} " * 6 + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    n_all = text_stats.chunk_overlap_pairs(docs, min_shared=1, max_bucket=64).count()
+    n_guarded = text_stats.chunk_overlap_pairs(docs, min_shared=1, max_bucket=3).count()
+    assert n_all > 0 and n_guarded < n_all

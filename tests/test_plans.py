@@ -805,3 +805,23 @@ def test_fk_violations_anti_join_ships_keys_only(spark, tmp_path):
     assert "LeftAnti" in plan, plan
     assert "extra" not in plan, plan  # parent payload pruned
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_overlap_hash_shuffle_no_payload_join(spark, tmp_path):
+    """Chunk hashes are computed where the payload already is (no join
+    back to text); the bucket-guard window shares the hash exchange the
+    self-join reuses; no cartesian."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "some text long enough to form chunks " * 4)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    plan = _plan(text_stats.chunk_overlap_pairs(spark.read.parquet(path)))
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    # one equi self-join on the hash (SMJ at scale, BHJ on tiny input)
+    assert len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
+    )) == 1, plan

@@ -60,6 +60,7 @@ CARRYOVER = {
     "percent_rank",
     "zorder_key",
     "fk_violations",
+    "chunk_overlap_pairs",
 }
 
 
