@@ -2724,6 +2724,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_overlap_pairs"] = q_chunk_overlap_pairs
 
+    def q_compact_changelog(spark, sf):
+        """CDC changelog → snapshot compaction: latest row per user by
+        (ts, event_id), keys whose latest op is a delete dropped — the
+        merge-on-read compaction step (operators/joins.py
+        compact_changelog). 'error' events play the delete op."""
+        from pdf_extractors_spark.operators import joins
+
+        ev = _read(spark, sf, "events")
+        cl = ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("v100"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+        )
+        return joins.compact_changelog(
+            cl, "user_id", ["ts", "event_id"]
+        ).select("user_id", "event_id", "v100")
+
+    q["compact_changelog"] = q_compact_changelog
+
+    def q_scd2_intervals(spark, sf):
+        """Type-2 SCD build: each user's purchase stream becomes
+        validity intervals [valid_from, valid_to) with the current row
+        open-ended — the dimension table asof_join/range_join consume
+        (operators/joins.py scd2_intervals)."""
+        from pdf_extractors_spark.operators import joins
+
+        ev = _read(spark, sf, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+        changes = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v100"),
+        )
+        return joins.scd2_intervals(
+            changes, "user_id", "ts", ["v100"], ["ts", "event_id"]
+        )
+
+    q["scd2_intervals"] = q_scd2_intervals
+
+    def q_cluster_keep_best(spark, sf):
+        """Quality-aware dedup keep: within each LSH duplicate cluster
+        keep the longest document (ties → smallest id) via one
+        max(struct) aggregate — no window sort
+        (operators/dedup.py cluster_keep_best)."""
+        docs = _read(spark, sf, "documents")
+        sigs = dedup.minhash_signatures(_spread(docs), k=8)
+        pairs = dedup.lsh_candidates(sigs, bands=4, rows=2)
+        comp = dedup.connected_components(pairs)
+        clusters = comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        return _longify(
+            dedup.cluster_keep_best(
+                clusters,
+                docs.select("doc_id", F.col("n_chars").alias("quality")),
+            )
+        )
+
+    q["cluster_keep_best"] = q_cluster_keep_best
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -5067,6 +5133,39 @@ def oracle_sql() -> dict[str, str]:
     # same reachability oracle, so the gate pins both algorithms to one
     # output
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    oracles["compact_changelog"] = """
+        with cl as (
+          select user_id, event_id, ts,
+                 cast(floor(value * 100) as bigint) as v100,
+                 case when event_type = 'error' then 'delete'
+                      else 'upsert' end as op
+          from events),
+        r as (
+          select *, row_number() over (partition by user_id
+                                       order by ts desc, event_id desc) as rn
+          from cl)
+        select user_id, event_id, v100
+        from r where rn = 1 and op <> 'delete'
+    """
+    oracles["scd2_intervals"] = """
+        select user_id,
+               cast(floor(value * 100) as bigint) as v100,
+               ts as valid_from,
+               lead(ts) over (partition by user_id
+                              order by ts, event_id) as valid_to
+        from events where event_type = 'purchase'
+    """
+    oracles["cluster_keep_best"] = f"""
+        with cc as ({oracles["dedup_clusters"]}),
+        scored as (
+          select cc.cluster_id, cc.doc_id, d.n_chars as quality,
+                 row_number() over (partition by cc.cluster_id
+                                    order by d.n_chars desc,
+                                             cc.doc_id asc) as rn
+          from cc join documents d on cc.doc_id = d.doc_id)
+        select cluster_id, doc_id, quality
+        from scored where rn = 1
+    """
     oracles["quality_tiers"] = f"""
         with qs as ({oracles["quality_score"]})
         select qs.doc_id, d.lang, qs.quality_bp,

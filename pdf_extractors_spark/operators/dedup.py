@@ -906,3 +906,41 @@ def edit_distance_verify(
             <= F.greatest(F.length("norm_a"), F.length("norm_b")) * threshold_bp
         ).alias("is_dup"),
     )
+
+
+def cluster_keep_best(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware cluster representative selection: within each
+    duplicate cluster keep the HIGHEST-``quality_col`` member (ties →
+    smallest id) instead of `neardup_keep`'s smallest-id convention —
+    what a production dedup actually wants (drop the truncated mirror,
+    keep the clean original).
+
+    One join of the cluster map to the per-doc quality column (ids and
+    one numeric only — payloads never move), then a single
+    ``max(struct(quality, -id))`` aggregate per cluster: partial-agg
+    combinable (one struct per cluster per map partition), no window
+    sort, no second pass. Singleton docs (absent from ``clusters``)
+    are implicitly kept — compose with a left-anti like `neardup_keep`.
+    Emits (cluster_id, keeper id, keeper quality)."""
+    scored = clusters.join(
+        quality.select(
+            F.col(id_col), F.col(quality_col).cast("long").alias("_q")
+        ),
+        id_col,
+    )
+    best = scored.groupBy(cluster_col).agg(
+        F.max(F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid"))).alias(
+            "_best"
+        )
+    )
+    return best.select(
+        cluster_col,
+        (-F.col(f"_best._nid")).alias(id_col),
+        F.col("_best._q").alias(quality_col),
+    )

@@ -245,3 +245,57 @@ def fk_violations(
         "_k",
         "left_anti",
     ).select(F.col("_k").alias(child_key), "n_rows")
+
+
+def compact_changelog(
+    changelog: DataFrame,
+    key: str,
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Changelog compaction (the CDC → snapshot step): keep each key's
+    LATEST row by ``order_cols`` and drop keys whose latest operation
+    is a delete — exactly what an Iceberg/Hudi merge-on-read compaction
+    materializes from an upsert/delete stream.
+
+    One window (`row_number` over the key, descending order) → the
+    WindowGroupLimit rule bounds per-partition state at one row per
+    (key, map partition) before the single exchange; the delete filter
+    is a plain predicate on the surviving row. ``order_cols`` must be a
+    total order per key (include a tiebreaker id) or "latest" is
+    partition-dependent — the docstring contract, loud in review."""
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build: a stream of
+    per-key attribute changes becomes validity intervals
+    ``[valid_from, valid_to)`` — ``valid_to`` null on the current row.
+    The dimension table `asof_join` and `range_join` consume, built
+    from the same changelog that feeds `compact_changelog`.
+
+    One window per key (lead of the next change's timestamp) — single
+    exchange, no self-join; ``order_cols`` (default ``[ts_col]``)
+    must totally order each key's changes."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return changes.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )

@@ -825,3 +825,65 @@ def test_chunk_overlap_hash_shuffle_no_payload_join(spark, tmp_path):
     assert len(re.findall(
         r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
     )) == 1, plan
+
+
+def test_compact_changelog_window_group_limit(spark, tmp_path):
+    """Latest-row selection compiles to WindowGroupLimit: one row per
+    (key, map partition) crosses the single exchange."""
+    from pdf_extractors_spark.operators import joins
+
+    path = str(tmp_path / "cl")
+    spark.createDataFrame(
+        [("u", 1, 100, "upsert")],
+        "user_id string, event_id long, v100 long, op string",
+    ).write.parquet(path)
+    plan = _plan(
+        joins.compact_changelog(spark.read.parquet(path), "user_id", ["event_id"])
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_scd2_intervals_single_exchange_no_join(spark, tmp_path):
+    from datetime import datetime
+
+    from pdf_extractors_spark.operators import joins
+
+    path = str(tmp_path / "ch")
+    spark.createDataFrame(
+        [("u", datetime(2026, 1, 1), 0, 10)],
+        "user_id string, ts timestamp, event_id long, v100 long",
+    ).write.parquet(path)
+    plan = _plan(
+        joins.scd2_intervals(
+            spark.read.parquet(path), "user_id", "ts", ["v100"], ["ts", "event_id"]
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cluster_keep_best_agg_not_window(spark, tmp_path):
+    """Representative selection is max(struct) partial aggregation —
+    no Window sort of cluster members, payloads never join in."""
+    from pdf_extractors_spark.operators import dedup
+
+    c_p, q_p = str(tmp_path / "c"), str(tmp_path / "q")
+    spark.createDataFrame(
+        [(1, 10)], "doc_id long, cluster_id long"
+    ).write.parquet(c_p)
+    spark.createDataFrame(
+        [(1, 5, "payload")], "doc_id long, quality long, text string"
+    ).write.parquet(q_p)
+    plan = _plan(
+        dedup.cluster_keep_best(
+            spark.read.parquet(c_p),
+            spark.read.parquet(q_p).select("doc_id", "quality"),
+        )
+    )
+    assert "Window" not in plan, plan
+    assert "text" not in plan, plan  # payload pruned at the scan
+    # struct max is a SortAggregate (structs aren't hash-aggregable) —
+    # still partial/final, so one struct per cluster per map partition
+    assert re.search(r"(?:Hash|Sort)Aggregate", plan), plan

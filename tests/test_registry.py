@@ -61,6 +61,9 @@ CARRYOVER = {
     "zorder_key",
     "fk_violations",
     "chunk_overlap_pairs",
+    "compact_changelog",
+    "scd2_intervals",
+    "cluster_keep_best",
 }
 
 
