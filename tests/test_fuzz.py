@@ -55,3 +55,57 @@ def test_payload_generation_is_pure(conv, turn):
     a = payloads.payload_for(f"conv-{conv:08d}", turn)
     b = payloads.payload_for(f"conv-{conv:08d}", turn)
     assert a == b
+
+
+# ---------------------------------------------------- cdc_chunks vs python
+
+
+def _py_cdc_ends(text: str) -> list[int]:
+    """Pure-Python reference of the CDC boundary rule (text_stats.CDC_*)."""
+    from pdf_extractors_spark.operators.text_stats import (
+        CDC_BASE, CDC_DIV, CDC_MOD, CDC_WINDOW,
+    )
+
+    codes = [ord(c) for c in text]
+    n = len(codes)
+    cuts = []
+    for i in range(CDC_WINDOW, n + 1):
+        h = sum(
+            codes[i - 1 - t] * CDC_BASE**t for t in range(CDC_WINDOW)
+        ) % CDC_MOD
+        if h % CDC_DIV == 0:
+            cuts.append(i)
+    if not (cuts and cuts[-1] == n):
+        cuts.append(n)
+    return cuts
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cdc_chunks_match_python_reference(spark, texts):
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in text_stats.cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"] + r["chunk_len"] - 1)
+        )
+    for i, t in enumerate(texts):
+        if len(t) == 0:
+            assert i not in got
+            continue
+        ends = [e for _, e in sorted(got[i])]
+        assert ends == _py_cdc_ends(t), (i, t)
