@@ -2790,6 +2790,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_keep_best"] = q_cluster_keep_best
 
+    def q_containment_pairs(spark, sf):
+        """Asymmetric shingle containment ≥ 0.8: directed inclusion
+        near-dups (short doc quoted inside a long one) that Jaccard's
+        symmetric denominator misses (operators/dedup.py
+        containment_pairs)."""
+        return dedup.containment_pairs(
+            _spread(_read(spark, sf, "documents")), n=3, threshold=0.8
+        )
+
+    q["containment_pairs"] = q_containment_pairs
+
+    def q_global_index(spark, sf):
+        """Deterministic global row index without a global sort:
+        per-bucket counts → prefix offsets over the tiny bucket table →
+        broadcast back + per-bucket row_number
+        (operators/bucketing.py global_index)."""
+        from pdf_extractors_spark.operators.bucketing import global_index
+
+        docs = _read(spark, sf, "documents")
+        return global_index(docs, key_col="doc_id", n_buckets=256).select(
+            "doc_id", "row_index"
+        )
+
+    q["global_index"] = q_global_index
+
+    def q_boundary_stitch(spark, sf):
+        """Shard-boundary stitch detection: plant continuation shards
+        (each 7th document's last 64 normalized chars prefixed onto a
+        synthetic tail doc), then recover (left, right) stitch pairs via
+        the edge-hash equi-join (operators/dedup.py boundary_stitch)."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        nt = dedup.normalize_text(F.col("text"))
+        derived = (
+            docs.select("doc_id", nt.alias("_nt"))
+            .filter((F.length("_nt") >= 64) & (F.col("doc_id") % 7 == 0))
+            .select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.concat(
+                    F.substring("_nt", -64, 64),
+                    F.lit(" continuation of the shard"),
+                ).alias("text"),
+            )
+        )
+        return dedup.boundary_stitch(docs.unionByName(derived), k=64)
+
+    q["boundary_stitch"] = q_boundary_stitch
+
+    def q_interpolate_gaps(spark, sf):
+        """Per-user linear interpolation of metric gaps: 'error' events'
+        values are treated as missing and filled between nearest
+        non-null neighbours over event time; leading/trailing gaps stay
+        null (operators/joins.py interpolate_gaps)."""
+        from pdf_extractors_spark.operators.joins import interpolate_gaps
+
+        ev = _read(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ord_us"),
+            F.when(
+                F.col("event_type") != "error", F.col("value")
+            ).alias("value_gapped"),
+        )
+        return interpolate_gaps(
+            ev, key="user_id", ord_col="ord_us", val_col="value_gapped"
+        ).select("event_id", "user_id", "value_filled")
+
+    q["interpolate_gaps"] = q_interpolate_gaps
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6005,5 +6073,95 @@ def oracle_sql() -> dict[str, str]:
                     when a.doc_id is not null then 'only_a'
                     else 'only_b' end as verdict
         from a full outer join b on a.doc_id = b.doc_id
+    """
+    # directed containment: the jaccard CTE chain with the symmetric
+    # denominator replaced by the SOURCE side's shingle count, each
+    # unordered pair emitted in both directions
+    oracles["containment_pairs"] = f"""
+        with t as (select doc_id, string_split({norm}, ' ') as w from documents),
+        sh as (select doc_id, unnest({shingle3}) as shingle from t),
+        sizes as (select doc_id, count(*) as n_shingles from sh group by doc_id),
+        dfreq as (select shingle, count(*) as df_count from sh group by shingle),
+        rare as (select sh.doc_id, sh.shingle from sh join dfreq using (shingle)
+                 where df_count <= 100),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as common
+          from rare a join rare b using (shingle)
+          where a.doc_id < b.doc_id
+          group by 1, 2
+        ),
+        directed as (
+          select id_a, id_b, common from pairs
+          union all
+          select id_b, id_a, common from pairs
+        )
+        select d.id_a as src_id, d.id_b as dst_id, d.common,
+               round(d.common * 1.0 / s.n_shingles, 4) as containment
+        from directed d join sizes s on s.doc_id = d.id_a
+        where round(d.common * 1.0 / s.n_shingles, 4) >= 0.8
+    """
+    # global index: the realized total order is (portable md5 bucket,
+    # key) — the oracle states it directly as one ranked window
+    _md5_gidx = md5_bigint_sql("cast(doc_id as varchar)")
+    oracles["global_index"] = f"""
+        select doc_id,
+               cast(row_number() over (
+                 order by (({_md5_gidx}) % 256), doc_id) - 1 as bigint)
+                 as row_index
+        from documents
+    """
+    oracles["boundary_stitch"] = f"""
+        with norm0 as (select doc_id, {norm} as nt from documents),
+        derived as (
+          select doc_id + 10000000 as doc_id,
+                 substr(nt, len(nt) - 63, 64)
+                   || ' continuation of the shard' as text
+          from norm0 where len(nt) >= 64 and doc_id % 7 = 0),
+        inp as (select doc_id, text from documents
+                union all select doc_id, text from derived),
+        base as (select doc_id, {norm} as t from inp),
+        elig as (select doc_id, t from base where len(t) >= 64)
+        select a.doc_id as left_id, b.doc_id as right_id
+        from elig a join elig b
+          on substr(a.t, len(a.t) - 63, 64) = substr(b.t, 1, 64)
+        where a.doc_id <> b.doc_id
+    """
+    oracles["interpolate_gaps"] = """
+        with ev as (
+          select event_id, user_id, epoch_us(ts) as ord_us,
+                 case when event_type <> 'error' then value end as v
+          from events),
+        w as (
+          select event_id, user_id,
+                 cast(v as double) as v,
+                 cast(ord_us as double) as o,
+                 last_value(cast(v as double) ignore nulls) over
+                   (partition by user_id order by ord_us
+                    rows between unbounded preceding and current row)
+                   as p_val,
+                 last_value(case when v is not null
+                                 then cast(ord_us as double) end
+                            ignore nulls) over
+                   (partition by user_id order by ord_us
+                    rows between unbounded preceding and current row)
+                   as p_ord,
+                 first_value(cast(v as double) ignore nulls) over
+                   (partition by user_id order by ord_us
+                    rows between current row and unbounded following)
+                   as n_val,
+                 first_value(case when v is not null
+                                  then cast(ord_us as double) end
+                             ignore nulls) over
+                   (partition by user_id order by ord_us
+                    rows between current row and unbounded following)
+                   as n_ord
+          from ev)
+        select event_id, user_id,
+               case when v is not null then v
+                    when p_val is null or n_val is null then null
+                    else round(p_val + (n_val - p_val) * (o - p_ord)
+                               / (n_ord - p_ord), 6)
+               end as value_filled
+        from w
     """
     return oracles

@@ -117,3 +117,56 @@ def zorder_key(
         * 2,
     )
     return df.withColumn(out_col, z)
+
+
+def global_index(
+    df,
+    key_col: str = "doc_id",
+    n_buckets: int = 256,
+    out_col: str = "row_index",
+):
+    """Deterministic 0-based global row index, ordered by ``key_col``
+    within portable hash buckets — WITHOUT a global sort.
+
+    The naive `row_number() OVER (ORDER BY key)` collapses the whole
+    table into one reducer; `monotonically_increasing_id` is
+    partition-layout-dependent (different cluster → different ids) and
+    gapped; RDD `zipWithIndex` leaves the DataFrame world. This is the
+    scalable two-pass form: (1) one map-side-combined count per bucket
+    (``n_buckets`` rows — driver-free, it stays a DataFrame), turned
+    into exclusive prefix offsets by a window over the TINY bucket
+    table; (2) a broadcast join of the offsets back, plus
+    `row_number()` within each bucket (exchange on bucket + per-bucket
+    sort — fully parallel). Index = bucket offset + local rank.
+
+    The bucket is ``md5_bigint(key) % n_buckets`` (portable — a DuckDB
+    oracle reproduces the exact assignment), so the total order realized
+    is (bucket, key): stable across runs, cluster sizes, and input
+    layouts. Keys must be unique for the index to be well-defined.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .hashing import md5_bigint
+
+    bucket = F.pmod(md5_bigint(F.col(key_col).cast("string")), F.lit(n_buckets))
+    keyed = df.withColumn("_bucket", bucket)
+    counts = keyed.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "_bucket",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_offset"),
+    ).fillna({"_offset": 0})
+    local = F.row_number().over(
+        Window.partitionBy("_bucket").orderBy(key_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, (F.col("_offset") + local - 1).cast("long"))
+        .drop("_bucket", "_offset")
+    )

@@ -944,3 +944,107 @@ def cluster_keep_best(
         (-F.col(f"_best._nid")).alias(id_col),
         F.col("_best._q").alias(quality_col),
     )
+
+
+def containment_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.8, max_shingle_df: int = 100,
+) -> DataFrame:
+    """Asymmetric shingle containment: directed pairs (src, dst) where
+    containment(src→dst) = |shingles(src) ∩ shingles(dst)| / |shingles(src)|
+    ≥ ``threshold``. Catches inclusion near-dups Jaccard misses — a short
+    document quoted wholesale inside a long one has high containment but
+    low Jaccard (the reference's duplicate-prefix trimmer,
+    `mobil-oil/mobil-oil-extractor.py:77`, is the one-document analogue
+    of this cross-document test).
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — intersections
+    come from a per-shingle equi-join (never all-pairs), document
+    frequencies from a window count over the SAME shingle exchange the
+    join reuses, and the hot-key guard (``max_shingle_df``) drops
+    boilerplate shingles before the join. The join key is
+    ``xxhash64(shingle)`` (8-byte shuffle rows). Each unordered pair's
+    intersection is computed once and emitted in both directions, so
+    the directed output costs no extra shuffle."""
+    sh = (
+        shingles(df, text_col, id_col, n)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    rare = (
+        sh.withColumn(
+            "df_count", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df_count") <= max_shingle_df)
+        .select(id_col, "shingle")
+    )
+    common = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    directed = common.unionByName(
+        common.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "common"
+        )
+    )
+    return (
+        directed.join(
+            sizes.withColumnsRenamed({id_col: "id_a", "n_shingles": "size_src"}),
+            "id_a",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.col("size_src"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias("src_id"),
+            F.col("id_b").alias("dst_id"),
+            "common",
+            "containment",
+        )
+    )
+
+
+def boundary_stitch(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 64,
+) -> DataFrame:
+    """Shard-boundary stitch detection: pairs (left_id, right_id) where
+    the LAST ``k`` normalized characters of one document equal the FIRST
+    ``k`` of another — the signature of a single logical document split
+    across ingestion shard boundaries (the cross-document analogue of the
+    reference's continuation-line merger,
+    `roman-census/household.py:78`).
+
+    Scale shape: each side reduces to (id, 16-byte md5 of its k-char
+    edge) before the shuffle — payloads never move; one equi-join on the
+    hash, then an exact string re-check of the k-char edges (carried only
+    for rows that matched, so the verify costs k bytes per CANDIDATE,
+    not per row). Documents shorter than ``k`` normalized chars are
+    excluded (their edges overlap themselves)."""
+    norm = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col), norm.alias("_t")
+    ).filter(F.length("_t") >= k)
+    tails = base.select(
+        F.col(id_col).alias("left_id"),
+        F.substring(F.col("_t"), -k, k).alias("_edge_l"),
+    ).withColumn("_h", F.md5("_edge_l"))
+    heads = base.select(
+        F.col(id_col).alias("right_id"),
+        F.substring(F.col("_t"), 1, k).alias("_edge_r"),
+    ).withColumn("_h", F.md5("_edge_r"))
+    return (
+        tails.join(heads, "_h")
+        .filter(
+            (F.col("left_id") != F.col("right_id"))
+            & (F.col("_edge_l") == F.col("_edge_r"))
+        )
+        .select("left_id", "right_id")
+    )

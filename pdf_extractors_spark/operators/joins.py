@@ -299,3 +299,52 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w).alias("valid_to"),
     )
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    val_col: str,
+    out_col: str = "value_filled",
+) -> DataFrame:
+    """Per-key linear interpolation of null gaps in ``val_col`` over the
+    numeric order column ``ord_col`` — the standard sensor/metric
+    gap-fill. Interior nulls get
+    ``prev + (next - prev) * (ord - prev_ord) / (next_ord - prev_ord)``
+    between their nearest non-null neighbours; leading/trailing nulls
+    (no neighbour on one side) stay null; non-null rows pass through
+    unchanged. Generalizes the reference's constant carry-forward
+    (`mobil-oil/mobil-oil-extractor.py:93` hierarchical carry) to
+    value-aware filling.
+
+    Scale shape: ONE exchange on ``key`` shared by all four window
+    functions (two backward `last(ignorenulls)` + two forward
+    `first(ignorenulls)` over the same partitioning/ordering — Catalyst
+    computes them in two Window operators over one sort, no joins, no
+    per-row Python). Skewed keys spill in the sort exactly like any
+    window aggregate; there is no join to explode."""
+    back = (
+        Window.partitionBy(key)
+        .orderBy(ord_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(ord_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(val_col).cast("double")
+    o = F.col(ord_col).cast("double")
+    marked_ord = F.when(v.isNotNull(), o)
+    p_val = F.last(v, ignorenulls=True).over(back)
+    p_ord = F.last(marked_ord, ignorenulls=True).over(back)
+    n_val = F.first(v, ignorenulls=True).over(fwd)
+    n_ord = F.first(marked_ord, ignorenulls=True).over(fwd)
+    interp = p_val + (n_val - p_val) * (o - p_ord) / (n_ord - p_ord)
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull(), v)
+        .when(p_val.isNull() | n_val.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(interp, 6)),
+    )

@@ -321,6 +321,43 @@ splits ≫ cores); doubling cores halves wall-clock until splits run out.
 Conversation-level aggregation (the only keyed stage) uses salted
 two-level aggregation (`operators/salting.py`), so skewed conversations
 cannot create straggler reducers.
+
+## Extraction-throughput note (r2 regression investigated, round 3)
+
+BENCH_r02 recorded 96.5k turns/s for `extract_transcripts` at sf0.1
+(r1: 109.3k) while the SAME kernel run sequentially got FASTER
+(8.2k → 9.3k turns/s) — so the kernel did not regress; the Spark-side
+number did. Round-3 re-measurement on a quiet host: **105.7k turns/s**
+Spark-side, 10.3k turns/s sequential, ratio stable at ~10.3× — the r2
+dip was shared-host contention during that round's bench run, not a
+plan or kernel change (the plan is exchange-free and pinned by
+`test_extraction_stage_has_no_shuffle`). Repeated single-process
+micro-benchmarks on this VM drift ±40% within minutes (measured:
+272→370 µs/turn across 6 back-to-back identical reps), so sub-15%
+round-over-round swings in BENCH_r{{N}} extraction numbers are below the
+host's noise floor. Round 3 also removed per-probe work from the
+census hot path (loop-invariant name normalizations hoisted out of the
+J1 person×declarant loop; necessary-condition substring guards before
+the X10 father/mother regexes) — value-identical by the golden/oracle
+parity suite, profile-verified fewer operations; no wall-clock claim
+is made at this noise level.
+
+## Per-query bench timings: r2→r3 methodology break (read before comparing)
+
+`bench.py` per-query numbers in BENCH_r03 are NOT comparable to
+BENCH_r01/r02 for map-heavy queries. The old harness timed
+`df.count()`, which lets Catalyst prune projection/window expressions —
+map-only queries were timing a parquet metadata scan (verified: 1.0 s
+vs 4.9 s for the same regex projection). Round 3 fixed the
+under-measurement: every query is now forced to full evaluation via a
+`bit_xor(xxhash64(*all_columns))` checksum, `spark.catalog.clearCache()`
+runs between reps (so operator-internal caches cannot hide recompute
+cost), and each query reports median-of-3 plus min-of-3. Queries whose
+r3 timing jumped versus r2 under identical plans (e.g.
+`minhash_signatures` 1.37 s → ~5 s: the checksum now evaluates all 128
+signature columns instead of counting rows) did not get slower — r2's
+number was measuring less work. Cross-round comparisons are valid from
+r3 onward.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

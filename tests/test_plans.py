@@ -887,3 +887,73 @@ def test_cluster_keep_best_agg_not_window(spark, tmp_path):
     # struct max is a SortAggregate (structs aren't hash-aggregable) —
     # still partial/final, so one struct per cluster per map partition
     assert re.search(r"(?:Hash|Sort)Aggregate", plan), plan
+
+
+def test_containment_pairs_no_cartesian_payload_pruned(spark, tmp_path):
+    """The directed containment join is an equi-join on the shingle
+    hash — no cartesian anywhere, and the union-both-directions trick
+    must not double the intersection work (one groupBy on pairs)."""
+    from pdf_extractors_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    plan = _plan(dedup.containment_pairs(spark.read.parquet(path)))
+    assert "Cartesian" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_boundary_stitch_joins_on_hash_not_payload(spark, tmp_path):
+    """The stitch join key is the 16-byte edge md5; the full text
+    column must be pruned before the exchange (only the k-char edges
+    ride along for the exact re-check)."""
+    from pdf_extractors_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "x" * 100)], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(dedup.boundary_stitch(spark.read.parquet(path), k=64))
+    assert "Cartesian" not in plan, plan
+    assert "Python" not in plan, plan
+    # join keyed on the edge hash (Catalyst folds the exact edge
+    # equality in as a second equi-key — [_edge_l, _h])
+    assert re.search(r"Left keys.*_h#", plan), plan
+
+
+def test_global_index_broadcast_offsets_no_global_sort(spark, tmp_path):
+    """The offsets table joins back via BroadcastHashJoin and the only
+    wide sort is per-bucket (rank within hashpartitioning(_bucket)) —
+    never a global range-partitioned sort of the data."""
+    from pdf_extractors_spark.operators.bucketing import global_index
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "p")], "doc_id long, payload string"
+    ).write.parquet(path)
+    plan = _plan(global_index(spark.read.parquet(path), n_buckets=64))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
+    # no rangepartitioning of the data side (that would be the global
+    # sort this operator exists to avoid); the data exchange is hash on
+    # the bucket column
+    assert "hashpartitioning(_bucket" in plan, plan
+    data_range_sorts = re.findall(r"rangepartitioning\((?!_bucket)", plan)
+    assert not data_range_sorts, plan
+
+
+def test_interpolate_gaps_single_exchange_no_join(spark, tmp_path):
+    """All four ignorenulls window functions share one exchange on the
+    key; no join, no UDF."""
+    from pdf_extractors_spark.operators.joins import interpolate_gaps
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [("u", 0, 1.0)], "k string, o long, v double"
+    ).write.parquet(path)
+    plan = _plan(interpolate_gaps(spark.read.parquet(path), "k", "o", "v"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan

@@ -64,6 +64,10 @@ CARRYOVER = {
     "compact_changelog",
     "scd2_intervals",
     "cluster_keep_best",
+    "containment_pairs",
+    "global_index",
+    "boundary_stitch",
+    "interpolate_gaps",
 }
 
 

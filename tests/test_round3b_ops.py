@@ -1,0 +1,194 @@
+"""Round-3 batch-3 operator tests: directed shingle containment,
+scalable global row indexing, shard-boundary stitching, and per-key
+linear gap interpolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractors_spark.operators import dedup
+from pdf_extractors_spark.operators.bucketing import global_index
+from pdf_extractors_spark.operators.hashing import md5_bigint_py
+from pdf_extractors_spark.operators.joins import interpolate_gaps
+
+
+# ----------------------------------------------------- containment_pairs
+
+
+def test_containment_asymmetric_inclusion(spark):
+    # doc 1 = 8 words fully quoted inside doc 2's 20 words:
+    # containment(1→2) = 1.0 but jaccard is low (6/18 shingles shared)
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = (
+        "prelude one two three four five six "
+        + short
+        + " coda seven eight nine ten"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    out = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    # the reverse direction (long into short) is far below threshold,
+    # and so is jaccard: 6 shared / (6 + 18 - 6)
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(jac) == 1 and jac[0]["jaccard"] < 0.5
+
+
+def test_containment_emits_both_directions_for_exact_dups(spark):
+    t = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert out == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_hot_shingle_guard(spark):
+    # a shingle present in every doc is dropped by max_shingle_df, so
+    # sharing ONLY boilerplate yields no pairs
+    rows = [(i, f"the common boilerplate line plus unique{i} word{i} tail{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.containment_pairs(df, threshold=0.1, max_shingle_df=3).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------- global_index
+
+
+def test_global_index_is_dense_permutation(spark):
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(500)], "doc_id long, payload string"
+    )
+    out = global_index(df, key_col="doc_id", n_buckets=16)
+    idx = [r["row_index"] for r in out.collect()]
+    assert sorted(idx) == list(range(500))
+
+
+def test_global_index_matches_bucket_key_order(spark):
+    n_buckets = 8
+    keys = [f"k{i}" for i in range(100)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    out = {
+        r["key"]: r["row_index"]
+        for r in global_index(df, key_col="key", n_buckets=n_buckets).collect()
+    }
+    expected_order = sorted(keys, key=lambda k: (md5_bigint_py(k) % n_buckets, k))
+    assert out == {k: i for i, k in enumerate(expected_order)}
+
+
+def test_global_index_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    a = {tuple(r) for r in global_index(df, n_buckets=32).collect()}
+    b = {
+        tuple(r)
+        for r in global_index(df.repartition(17), n_buckets=32).collect()
+    }
+    assert a == b
+
+
+# ------------------------------------------------------- boundary_stitch
+
+
+def test_boundary_stitch_finds_planted_split(spark):
+    head = "alpha " * 30  # 180 chars incl. trailing space
+    # the duplicated boundary region must be exactly k chars for the
+    # suffix-k == prefix-k test to fire (A ends with it, B starts with it)
+    overlap = "".join(chr(97 + i % 26) for i in range(64))
+    tail = " omega" * 30
+    df = spark.createDataFrame(
+        [(1, head + overlap), (2, overlap + tail), (3, "unrelated " * 20)],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["left_id"], r["right_id"])
+        for r in dedup.boundary_stitch(df, k=64).collect()
+    ]
+    assert out == [(1, 2)]
+
+
+def test_boundary_stitch_skips_short_and_self(spark):
+    t = "x" * 100
+    df = spark.createDataFrame(
+        [(1, t), (2, "tiny"), (3, t)], "doc_id long, text string"
+    )
+    out = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.boundary_stitch(df, k=64).collect()
+    }
+    # identical all-'x' docs overlap each other in both directions but
+    # never themselves; the short doc never appears
+    assert out == {(1, 3), (3, 1)}
+
+
+# ------------------------------------------------------ interpolate_gaps
+
+
+def test_interpolate_linear_exact(spark):
+    rows = [
+        ("u", 0, 10.0),
+        ("u", 10, None),
+        ("u", 30, None),
+        ("u", 40, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {
+        r["o"]: r["value_filled"]
+        for r in interpolate_gaps(df, "k", "o", "v").collect()
+    }
+    # slope = (50-10)/40 = 1.0 per unit
+    assert out == {0: 10.0, 10: 20.0, 30: 40.0, 40: 50.0}
+
+
+def test_interpolate_edges_stay_null(spark):
+    rows = [
+        ("u", 0, None),
+        ("u", 1, 5.0),
+        ("u", 2, None),
+        ("u", 3, 7.0),
+        ("u", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {
+        r["o"]: r["value_filled"]
+        for r in interpolate_gaps(df, "k", "o", "v").collect()
+    }
+    assert out[0] is None and out[4] is None
+    assert out == {**out, 1: 5.0, 2: 6.0, 3: 7.0}
+
+
+def test_interpolate_per_key_isolation(spark):
+    rows = [
+        ("a", 0, 0.0),
+        ("a", 2, None),
+        ("a", 4, 4.0),
+        ("b", 3, None),  # b has no neighbours at all → stays null
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {
+        (r["k"], r["o"]): r["value_filled"]
+        for r in interpolate_gaps(df, "k", "o", "v").collect()
+    }
+    assert out[("a", 2)] == 2.0
+    assert out[("b", 3)] is None
+
+
+def test_interpolate_partitioning_invariant(spark):
+    rows = [
+        (f"k{i % 7}", i, float(i) if i % 3 else None) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    a = {tuple(r) for r in interpolate_gaps(df, "k", "o", "v").collect()}
+    b = {
+        tuple(r)
+        for r in interpolate_gaps(df.repartition(13), "k", "o", "v").collect()
+    }
+    assert a == b
