@@ -2858,6 +2858,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interpolate_gaps"] = q_interpolate_gaps
 
+    def q_sft_pack(spark, sf):
+        """Per-conversation SFT example assembly: turns packed in order
+        as 'role: text\\n' pieces plus the assistant loss-mask span
+        string (pipeline.py sft_pack)."""
+        return pipeline.sft_pack(_transcripts(spark, "sf0.01"))
+
+    q["sft_pack"] = q_sft_pack
+
+    def q_split_leakage(spark, sf):
+        """Train→test contamination audit: distinct rare shingles each
+        test-split doc shares with any train-split doc
+        (operators/dedup.py split_leakage)."""
+        return dedup.split_leakage(_spread(_read(spark, sf, "documents")))
+
+    q["split_leakage"] = q_split_leakage
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6164,4 +6180,50 @@ def oracle_sql() -> dict[str, str]:
                end as value_filled
         from w
     """
+    # train→test leakage: split assignment is the SAME portable md5
+    # bucket as train_split_counts, shingles the same 3-gram CTE chain
+    # as the jaccard/containment oracles
+    _split_b = (
+        "cast(concat('0x', substr(md5(concat('split:', "
+        "cast(doc_id as varchar))), 1, 8)) as bigint) % 100"
+    )
+    oracles["split_leakage"] = f"""
+        with t as (select doc_id, string_split({norm}, ' ') as w from documents),
+        sh as (select doc_id, unnest({shingle3}) as shingle from t),
+        dfreq as (select shingle, count(*) as df_count from sh group by shingle),
+        rare as (select sh.doc_id, sh.shingle,
+                        case when ({_split_b}) < 80 then 'train'
+                             when ({_split_b}) < 90 then 'val'
+                             else 'test' end as split
+                 from sh join dfreq using (shingle)
+                 where df_count <= 100),
+        train as (select distinct shingle from rare where split = 'train'),
+        test as (select doc_id, shingle from rare where split = 'test')
+        select doc_id, cast(count(*) as bigint) as n_shared
+        from test join train using (shingle)
+        group by doc_id
+    """
+    if tp is not None:
+        oracles["sft_pack"] = f"""
+            with t as (
+              select conv_id, turn_idx, role,
+                     coalesce(text, '') as txt,
+                     role || ': ' || coalesce(text, '') || chr(10) as piece
+              from read_parquet('{tp}')),
+            o as (
+              select *, coalesce(sum(length(piece)) over (
+                       partition by conv_id order by turn_idx
+                       rows between unbounded preceding and 1 preceding),
+                     0) as st
+              from t)
+            select conv_id,
+                   string_agg(piece, '' order by turn_idx) as packed_text,
+                   cast(count(*) as bigint) as n_turns,
+                   coalesce(string_agg(
+                     case when role = 'assistant' then
+                       cast(st + length(role) + 2 as varchar) || ':' ||
+                       cast(st + length(role) + 2 + length(txt) as varchar)
+                     end, ';' order by turn_idx), '') as mask_spans
+            from o group by conv_id
+        """
     return oracles

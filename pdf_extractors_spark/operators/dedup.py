@@ -1048,3 +1048,56 @@ def boundary_stitch(
         )
         .select("left_id", "right_id")
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+    from_split: str = "train",
+    to_split: str = "test",
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Cross-split contamination audit: for every document the hash
+    split assigns to ``to_split``, count the distinct rare shingles it
+    shares with ANY ``from_split`` document — the train→test leakage
+    report a pipeline must run after splitting (``decontaminate``'s
+    within-corpus sibling: same shingle-overlap evidence, but both
+    sides come from one table and the split itself is the portable
+    hash, so the audit is reproducible from doc ids alone).
+
+    Scale shape: the split label is pure column math on the id (no
+    join), shingles explode ONCE and both sides filter from that
+    exchange; the train side reduces to distinct 8-byte shingle hashes
+    before the equi-join, and the document-frequency hot-key guard
+    (``max_shingle_df``, computed over the WHOLE corpus) drops
+    boilerplate shingles before any pair forms. Output: (id, n_shared)
+    for leaking ``to_split`` docs only — clean docs are absent, so the
+    report is small even at corpus scale."""
+    from .sampling import hash_split
+
+    sh = hash_split(
+        shingles(df, text_col, id_col, n),
+        weights or {"train": 80, "val": 10, "test": 10},
+        id_col,
+        salt,
+    ).select(id_col, F.xxhash64("shingle").alias("shingle"), "split")
+    rare = (
+        sh.withColumn(
+            "df_count", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df_count") <= max_shingle_df)
+        .select(id_col, "shingle", "split")
+    )
+    train = (
+        rare.filter(F.col("split") == from_split).select("shingle").distinct()
+    )
+    return (
+        rare.filter(F.col("split") == to_split)
+        .join(train, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -361,6 +361,75 @@ def conv_pairs(
     )
 
 
+def sft_pack(
+    transcripts: DataFrame,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Pack each conversation into ONE supervised-fine-tuning example:
+    all turns concatenated in turn order as ``role: text\\n`` pieces,
+    plus the LOSS-MASK span list — the ``start:end`` (end-exclusive)
+    character ranges of ``packed_text`` that hold ``response_role``
+    turns' payload, i.e. the only characters a fine-tune computes loss
+    on. Spans are emitted as the canonical ``"s:e;s:e"`` string so the
+    result is engine-portable (and trivially value-hashable).
+
+    Scale shape: ONE exchange on conv_id serves both the
+    offset window (cumulative piece length over turn order) and the
+    final per-conversation aggregation — Catalyst reuses the
+    partitioning, so a conversation's bytes move once. Ordered
+    reassembly is array_sort over collected (turn_idx, piece) structs
+    (the A6 keyed-order contract: no global sort). Null text packs as
+    '' — a masked empty span, not a dropped turn."""
+    piece = F.concat(
+        F.col("role"), F.lit(": "), F.coalesce(F.col("text"), F.lit("")), F.lit("\n")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.length("_piece")).over(w), F.lit(0))
+    text_start = F.col("_start") + F.length("role") + F.lit(2)
+    text_end = text_start + F.length(F.coalesce(F.col("text"), F.lit("")))
+    span = F.concat(
+        text_start.cast("string"), F.lit(":"), text_end.cast("string")
+    )
+    staged = (
+        transcripts.withColumn("_piece", piece)
+        .withColumn("_start", start)
+        .withColumn(
+            "_span",
+            F.when(F.col("role") == response_role, span),
+        )
+    )
+    return staged.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "_piece"))
+                ),
+                lambda x: x["_piece"],
+            ),
+            "",
+        ).alias("packed_text"),
+        F.count("*").cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_span").isNotNull(),
+                            F.struct("turn_idx", "_span"),
+                        )
+                    )
+                ),
+                lambda x: x["_span"],
+            ),
+            ";",
+        ).alias("mask_spans"),
+    )
+
+
 def tool_call_stats(
     transcripts: DataFrame, payload_col: str = "text"
 ) -> DataFrame:

@@ -957,3 +957,34 @@ def test_interpolate_gaps_single_exchange_no_join(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_sft_pack_single_exchange(spark, tmp_path):
+    """The offset window and the per-conversation aggregation share one
+    exchange on conv_id (Catalyst reuses the partitioning); no join."""
+    from pdf_extractors_spark import pipeline
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("c", 0, "user", "hi", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).write.parquet(path)
+    plan = _plan(pipeline.sft_pack(spark.read.parquet(path)))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_split_leakage_no_cartesian_hash_keys(spark, tmp_path):
+    """The leakage join is an equi-join on the 8-byte shingle hash; the
+    split label is column math (no join against a split table)."""
+    from pdf_extractors_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(dedup.split_leakage(spark.read.parquet(path)))
+    assert "Cartesian" not in plan, plan
+    assert "Python" not in plan, plan

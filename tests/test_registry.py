@@ -68,6 +68,8 @@ CARRYOVER = {
     "global_index",
     "boundary_stitch",
     "interpolate_gaps",
+    "sft_pack",
+    "split_leakage",
 }
 
 

@@ -192,3 +192,125 @@ def test_interpolate_partitioning_invariant(spark):
         for r in interpolate_gaps(df.repartition(13), "k", "o", "v").collect()
     }
     assert a == b
+
+
+# -------------------------------------------------------------- sft_pack
+
+
+def test_sft_pack_spans_address_response_text(spark):
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        ("c1", 0, "user", "hi", None, None),
+        ("c1", 1, "assistant", "hello there", None, None),
+        ("c1", 2, "user", "bye", None, None),
+        ("c1", 3, "assistant", "farewell", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = pipeline.sft_pack(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["packed_text"] == (
+        "user: hi\nassistant: hello there\nuser: bye\nassistant: farewell\n"
+    )
+    assert r["n_turns"] == 4
+    # every span must slice exactly the assistant payload out of the
+    # packed text
+    got = [
+        r["packed_text"][int(s) : int(e)]
+        for s, e in (sp.split(":") for sp in r["mask_spans"].split(";"))
+    ]
+    assert got == ["hello there", "farewell"]
+
+
+def test_sft_pack_null_text_and_no_assistant(spark):
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        ("c1", 0, "user", None, None, None),
+        ("c1", 1, "tool", "result", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = pipeline.sft_pack(df).collect()[0]
+    assert r["packed_text"] == "user: \ntool: result\n"
+    assert r["mask_spans"] == ""
+
+
+def test_sft_pack_order_survives_repartition(spark):
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        (f"c{i % 5}", j, "assistant" if j % 2 else "user", f"t{i}-{j}", None, None)
+        for i in range(10)
+        for j in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    a = {tuple(r) for r in pipeline.sft_pack(df).collect()}
+    b = {tuple(r) for r in pipeline.sft_pack(df.repartition(13)).collect()}
+    assert a == b
+
+
+# --------------------------------------------------------- split_leakage
+
+
+def test_split_leakage_counts_shared_rare_shingles(spark):
+    from pdf_extractors_spark.operators.sampling import hash_split
+
+    # find ids the 80/10/10 split maps to train vs test, then plant an
+    # overlapping phrase across the boundary
+    probe = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            probe, {"train": 80, "val": 10, "test": 10}
+        ).collect()
+    }
+    train_id = next(i for i, s in splits.items() if s == "train")
+    test_id = next(i for i, s in splits.items() if s == "test")
+    other_test = next(
+        i for i, s in splits.items() if s == "test" and i != test_id
+    )
+    leak = "the secret benchmark answer is forty two exactly"
+    rows = [
+        (train_id, "prefix words here " + leak),
+        (test_id, leak + " plus trailing content words"),
+        (other_test, "completely different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared"] for r in dedup.split_leakage(df).collect()}
+    assert test_id in out and out[test_id] >= 6  # the 8-word leak → 6 3-grams
+    assert other_test not in out
+
+
+def test_split_leakage_ignores_boilerplate(spark):
+    from pdf_extractors_spark.operators.sampling import hash_split
+
+    probe = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            probe, {"train": 80, "val": 10, "test": 10}
+        ).collect()
+    }
+    # every doc shares the same boilerplate → df cap drops those
+    # shingles, so nothing leaks
+    rows = [
+        (i, f"standard footer boilerplate text unique{i} word{i}")
+        for i in splits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.split_leakage(df, max_shingle_df=50).collect() == []
