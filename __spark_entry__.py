@@ -2874,6 +2874,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_leakage"] = q_split_leakage
 
+    def q_pii_spans(spark, sf):
+        """Exact-offset PII span extraction over the same planted
+        addresses as pii_scrub — (label, span_start, span_end, value)
+        rows instead of in-place redaction
+        (operators/text_stats.py pii_spans)."""
+        docs = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ph +1 555 0199 ip 10.0.0.7"),
+            ).alias("text"),
+        )
+        return text_stats.pii_spans(docs)
+
+    q["pii_spans"] = q_pii_spans
+
+    def q_lsh_eval(spark, sf):
+        """LSH banding recall/precision audit against exact n-gram
+        Jaccard ground truth — one integer-exact summary row
+        (operators/dedup.py lsh_eval)."""
+        return dedup.lsh_eval(
+            _spread(_read(spark, sf, "documents")),
+            n=3,
+            threshold=0.5,
+            bands=4,
+            rows=2,
+        )
+
+    q["lsh_eval"] = q_lsh_eval
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6226,4 +6258,84 @@ def oracle_sql() -> dict[str, str]:
                      end, ';' order by turn_idx), '') as mask_spans
             from o group by conv_id
         """
+    # pii_spans: offsets from list-slice length sums over the split
+    # segments (ps) and matches (ms); only segments up to the last
+    # match are consumed, so trailing-empty split behavior can't matter
+    from pdf_extractors_spark.operators.text_stats import PII_PATTERNS
+
+    _pii_per = " union all ".join(
+        f"""select doc_id, '{kind}' as label,
+                   regexp_extract_all(ptext, '{pat}') as ms,
+                   regexp_split_to_array(ptext, '{pat}') as ps
+            from planted"""
+        for kind, pat in PII_PATTERNS.items()
+    )
+    oracles["pii_spans"] = f"""
+        with planted as (
+          select doc_id,
+                 text || ' Contact: user' || cast(doc_id as varchar)
+                      || '@example.com ph +1 555 0199 ip 10.0.0.7' as ptext
+          from documents),
+        per as ({_pii_per}),
+        u as (select doc_id, label, ms, ps,
+                     unnest(ms) as value,
+                     generate_subscripts(ms, 1) as i
+              from per)
+        select doc_id, label,
+               cast(coalesce(list_sum(list_transform(ps[1:i], x -> length(x))), 0)
+                  + coalesce(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0)
+                 as bigint) as span_start,
+               cast(coalesce(list_sum(list_transform(ps[1:i], x -> length(x))), 0)
+                  + coalesce(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0)
+                  + length(value)
+                 as bigint) as span_end,
+               value
+        from u
+    """
+    # lsh_eval: the candidate side is the SAME banding CTE chain as
+    # minhash_lsh_candidates; the truth side the SAME jaccard chain —
+    # renamed CTEs so the two coexist in one statement
+    oracles["lsh_eval"] = f"""
+        with {_lsh_pairs_ctes()},
+        sizes as (select doc_id, count(*) as n_shingles from sh group by doc_id),
+        dfreq as (select shingle, count(*) as df_count from sh group by shingle),
+        rare as (select sh.doc_id, sh.shingle from sh join dfreq using (shingle)
+                 where df_count <= 100),
+        jpairs as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as common
+          from rare a join rare b using (shingle)
+          where a.doc_id < b.doc_id
+          group by 1, 2
+        ),
+        truth as (
+          select id_a, id_b
+          from jpairs
+          join sizes sa on sa.doc_id = id_a
+          join sizes sb on sb.doc_id = id_b
+          where round(common * 1.0 /
+                      (sa.n_shingles + sb.n_shingles - common), 4) >= 0.5
+        ),
+        f as (
+          select coalesce(t2.id_a, c.id_a) as id_a,
+                 (t2.id_a is not null)::int as t,
+                 (c.id_a is not null)::int as c
+          from truth t2
+          full outer join pairs c
+            on t2.id_a = c.id_a and t2.id_b = c.id_b
+        ),
+        s as (
+          select cast(coalesce(sum(t), 0) as bigint) as n_true,
+                 cast(coalesce(sum(c), 0) as bigint) as n_candidates,
+                 cast(coalesce(sum(t * c), 0) as bigint) as n_true_positive
+          from f
+        )
+        select n_true, n_candidates, n_true_positive,
+               cast(case when n_true > 0
+                    then (n_true_positive * 10000) // n_true
+                    else 10000 end as bigint) as recall_bp,
+               cast(case when n_candidates > 0
+                    then (n_true_positive * 10000) // n_candidates
+                    else 10000 end as bigint) as precision_bp
+        from s
+    """
     return oracles

@@ -1101,3 +1101,65 @@ def split_leakage(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def lsh_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows: int = 2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Self-audit of the LSH candidate generator against exact n-gram
+    Jaccard ground truth: ONE summary row with the true-pair count, the
+    candidate count, the true positives, and integer-exact recall /
+    precision in basis points — the report that justifies (or vetoes)
+    replacing the exact O(pairs-sharing-a-shingle) join with banding at
+    corpus scale. Run it on a sample tier before trusting the banded
+    path at 100 TB; the band/row knobs trade recall against candidate
+    volume and this measures both sides of that trade.
+
+    Scale shape: the truth side is ``ngram_jaccard_pairs`` (hot-key
+    guarded equi-join), the candidate side ``minhash_signatures`` →
+    ``lsh_candidates`` (per-band equi-join); both emit (id_a < id_b)
+    pairs, so the comparison is one full-outer join on the pair key
+    followed by a single 1-row aggregate. Ratios are floor'd basis
+    points (bigint), bit-identical at any parallelism."""
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, n, threshold, max_shingle_df
+    ).select("id_a", "id_b", F.lit(1).alias("_t"))
+    cand = lsh_candidates(
+        minhash_signatures(df, text_col, id_col, n, k=bands * rows),
+        id_col,
+        bands,
+        rows,
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
+    both = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    n_true = F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+    n_cand = F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+    n_tp = F.sum(
+        (F.col("_t").isNotNull() & F.col("_c").isNotNull()).cast("int")
+    )
+    summary = both.agg(
+        F.coalesce(n_true, F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(n_cand, F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(n_tp, F.lit(0)).cast("long").alias("n_true_positive"),
+    )
+    # `div` (integer division), not `/`: basis points stay exact int64
+    # at any count magnitude — no double rounding anywhere
+    return summary.select(
+        "n_true",
+        "n_candidates",
+        "n_true_positive",
+        F.expr(
+            "case when n_true > 0 then (n_true_positive * 10000) div n_true "
+            "else 10000 end"
+        ).cast("long").alias("recall_bp"),
+        F.expr(
+            "case when n_candidates > 0 then "
+            "(n_true_positive * 10000) div n_candidates else 10000 end"
+        ).cast("long").alias("precision_bp"),
+    )

@@ -1315,3 +1315,75 @@ def chunk_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def pii_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-offset PII span extraction: one row per PII hit with its
+    ``[span_start, span_end)`` character range and matched value — the
+    labeled-span sibling of ``pii_scrub`` (which redacts in place), and
+    the same span contract the extraction pipeline's north rule uses
+    for field spans. Offsets let a downstream redactor edit the ORIGINAL
+    bytes (or audit a scrub) instead of trusting a rewritten string.
+
+    Zero UDFs, zero shuffles: for each pattern the text splits into
+    non-matching segments (``split``) beside its matches
+    (``regexp_extract_all``), and one ``aggregate`` fold over the match
+    indices turns segment/match lengths into running start/end offsets
+    — per-row column math in codegen, so the operator fuses into the
+    scan. One pass per pattern kind (the pattern set is small and
+    fixed); rows with no hits produce no output rows."""
+    span_t = "array<struct<span_start:bigint,span_end:bigint,value:string>>"
+    parts = []
+    for kind, pat in PII_PATTERNS.items():
+        ms = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ps = F.split(F.col(text_col), pat, -1)
+        idxs = F.when(
+            F.size(ms) > 0, F.sequence(F.lit(1), F.size(ms))
+        ).otherwise(F.array().cast("array<int>"))
+        init = F.struct(
+            F.lit(0).cast("long").alias("pos"),
+            F.array().cast(span_t).alias("spans"),
+        )
+
+        def _make_step(ms, ps):
+            def _step(acc, i):
+                start = acc["pos"] + F.length(F.element_at(ps, i))
+                end = start + F.length(F.element_at(ms, i))
+                return F.struct(
+                    end.alias("pos"),
+                    F.concat(
+                        acc["spans"],
+                        F.array(
+                            F.struct(
+                                start.alias("span_start"),
+                                end.alias("span_end"),
+                                F.element_at(ms, i).alias("value"),
+                            )
+                        ),
+                    ).alias("spans"),
+                )
+
+            return _step
+
+        _step = _make_step(ms, ps)
+
+        spans = F.aggregate(idxs, init, _step, lambda acc: acc["spans"])
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(kind).alias("label"),
+                F.explode(spans).alias("_s"),
+            ).select(
+                id_col,
+                "label",
+                F.col("_s.span_start").alias("span_start"),
+                F.col("_s.span_end").alias("span_end"),
+                F.col("_s.value").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

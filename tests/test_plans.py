@@ -988,3 +988,31 @@ def test_split_leakage_no_cartesian_hash_keys(spark, tmp_path):
     plan = _plan(dedup.split_leakage(spark.read.parquet(path)))
     assert "Cartesian" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_pii_spans_no_shuffle_no_udf(spark, tmp_path):
+    """Span extraction is per-row column math — the whole operator is
+    scans + unions, no Exchange, no Python."""
+    from pdf_extractors_spark.operators import text_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "mail a@b.co")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(text_stats.pii_spans(spark.read.parquet(path)))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_lsh_eval_no_cartesian(spark, tmp_path):
+    """Both evidence sides are equi-joins (shingle hash / band key) and
+    the comparison is a pair-keyed full-outer join — no cartesian."""
+    from pdf_extractors_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(dedup.lsh_eval(spark.read.parquet(path)))
+    assert "Cartesian" not in plan, plan
+    assert "Python" not in plan, plan

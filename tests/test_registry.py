@@ -70,6 +70,8 @@ CARRYOVER = {
     "interpolate_gaps",
     "sft_pack",
     "split_leakage",
+    "pii_spans",
+    "lsh_eval",
 }
 
 

@@ -314,3 +314,80 @@ def test_split_leakage_ignores_boilerplate(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert dedup.split_leakage(df, max_shingle_df=50).collect() == []
+
+
+# -------------------------------------------------------------- pii_spans
+
+
+def test_pii_spans_offsets_slice_the_source(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    text = (
+        "reach me at a.b@example.com or +1 555 0199 today; "
+        "backup c_d@test.org from 10.0.0.7"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = text_stats.pii_spans(df).collect()
+    # every span must slice its own value out of the original text
+    for r in out:
+        assert text[r["span_start"] : r["span_end"]] == r["value"], r
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r["value"])
+    assert by_label["email"] == ["a.b@example.com", "c_d@test.org"]
+    assert by_label["phone"] == ["+1 555 0199 "]  # pattern eats the optional trailing sep
+    assert by_label["ipv4"] == ["10.0.0.7"]
+
+
+def test_pii_spans_no_hits_no_rows_and_null_safe(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "perfectly clean text"), (2, None)], "doc_id long, text string"
+    )
+    assert text_stats.pii_spans(df).collect() == []
+
+
+def test_pii_spans_adjacent_matches(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    # two emails separated by one space; offsets must not drift
+    text = "a@x.com b@y.org"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        (r["span_start"], r["span_end"], r["value"])
+        for r in text_stats.pii_spans(df).collect()
+    )
+    assert out == [(0, 7, "a@x.com"), (8, 15, "b@y.org")]
+
+
+# --------------------------------------------------------------- lsh_eval
+
+
+def test_lsh_eval_perfect_on_exact_dups(spark):
+    # exact duplicates: identical signatures -> candidates, jaccard 1.0
+    # -> truth; disjoint docs are neither
+    rows = [
+        (1, "one two three four five six seven eight"),
+        (2, "one two three four five six seven eight"),
+        (3, "alpha beta gamma delta epsilon zeta eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.lsh_eval(df).collect()[0]
+    assert r["n_true"] == 1 and r["n_true_positive"] == 1
+    assert r["recall_bp"] == 10000
+    assert r["n_candidates"] >= 1
+    assert 0 < r["precision_bp"] <= 10000
+
+
+def test_lsh_eval_empty_corpus_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, "solo document with no pair at all")], "doc_id long, text string"
+    )
+    r = dedup.lsh_eval(df).collect()[0]
+    assert (
+        r["n_true"],
+        r["n_candidates"],
+        r["recall_bp"],
+        r["precision_bp"],
+    ) == (0, 0, 10000, 10000)
