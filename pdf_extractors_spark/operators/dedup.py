@@ -949,6 +949,7 @@ def cluster_keep_best(
 def containment_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.8, max_shingle_df: int = 100,
+    cache: bool = True,
 ) -> DataFrame:
     """Asymmetric shingle containment: directed pairs (src, dst) where
     containment(src→dst) = |shingles(src) ∩ shingles(dst)| / |shingles(src)|
@@ -964,12 +965,23 @@ def containment_pairs(
     join reuses, and the hot-key guard (``max_shingle_df``) drops
     boilerplate shingles before the join. The join key is
     ``xxhash64(shingle)`` (8-byte shuffle rows). Each unordered pair's
-    intersection is computed once and emitted in both directions, so
-    the directed output costs no extra shuffle."""
+    intersection is aggregated ONCE; both directions then come from a
+    2-element explode over the aggregated row — NOT a union of two
+    reads of the pair subplan, which would plan the shingle self-join
+    twice (verified in the physical plan; plan-pinned single pair
+    aggregation).
+
+    ``cache`` — the exploded shingle table feeds four consumers (sizes,
+    the df window, both self-join sides); same materialization contract
+    as ``ngram_jaccard_pairs``: cache by default, pass ``cache=False``
+    to recompute per consumer when the explosion exceeds storage
+    memory."""
     sh = (
         shingles(df, text_col, id_col, n)
         .select(id_col, F.xxhash64("shingle").alias("shingle"))
     )
+    if cache:
+        sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     rare = (
         sh.withColumn(
@@ -987,27 +999,38 @@ def containment_pairs(
         )
         .agg(F.count("*").alias("common"))
     )
-    directed = common.unionByName(
-        common.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "common"
-        )
+    with_sizes = common.join(
+        sizes.withColumnsRenamed({id_col: "id_a", "n_shingles": "size_a"}),
+        "id_a",
+    ).join(
+        sizes.withColumnsRenamed({id_col: "id_b", "n_shingles": "size_b"}),
+        "id_b",
     )
+    directed = with_sizes.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.col("common").alias("common"),
+                    F.col("size_a").alias("size_src"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.col("common").alias("common"),
+                    F.col("size_b").alias("size_src"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.*")
     return (
-        directed.join(
-            sizes.withColumnsRenamed({id_col: "id_a", "n_shingles": "size_src"}),
-            "id_a",
-        )
-        .withColumn(
+        directed.withColumn(
             "containment",
             F.round(F.col("common") / F.col("size_src"), 4),
         )
         .filter(F.col("containment") >= threshold)
-        .select(
-            F.col("id_a").alias("src_id"),
-            F.col("id_b").alias("dst_id"),
-            "common",
-            "containment",
-        )
+        .select("src_id", "dst_id", "common", "containment")
     )
 
 

@@ -903,6 +903,9 @@ def test_containment_pairs_no_cartesian_payload_pruned(spark, tmp_path):
     plan = _plan(dedup.containment_pairs(spark.read.parquet(path)))
     assert "Cartesian" not in plan, plan
     assert "Python" not in plan, plan
+    # both directions come from ONE pair aggregation (explode), never a
+    # union of two reads of the self-join subplan
+    assert "Union" not in plan, plan
 
 
 def test_boundary_stitch_joins_on_hash_not_payload(spark, tmp_path):
