@@ -2906,6 +2906,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_eval"] = q_lsh_eval
 
+    def q_kmv_distinct(spark, sf):
+        """Per-language vocabulary-size estimate via the KMV
+        k-minimum-values sketch (operators/sketches.py): bounded-state
+        distinct counting whose shuffle carries at most k 8-byte hashes
+        per (group, partition) — the 100-TB substitute for an exact
+        COUNT(DISTINCT token) whose exchange would carry every distinct
+        (lang, token) pair. k=64 so the large languages exercise the
+        estimator path and the small ones the exact (<k) path in the
+        same run; the integer-exact estimator replays bit-for-bit in
+        the DuckDB oracle."""
+        from pdf_extractors_spark.operators import sketches
+
+        docs = _read(spark, sf, "documents")
+        toks = docs.select(
+            "lang", F.explode(text_stats.tokens(F.col("text"))).alias("tok")
+        )
+        return _longify(sketches.kmv_distinct(toks, "tok", ["lang"], k=64))
+
+    q["kmv_distinct"] = q_kmv_distinct
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6338,4 +6358,16 @@ def oracle_sql() -> dict[str, str]:
                     else 10000 end as bigint) as precision_bp
         from s
     """
+    # kmv_distinct: the sketch module emits its own oracle — the
+    # candidate-merge is estimator-invariant, so the ground truth is the
+    # window form over ALL distinct hashes (same estimator arithmetic)
+    from pdf_extractors_spark.operators.sketches import kmv_distinct_sql
+
+    oracles["kmv_distinct"] = kmv_distinct_sql(
+        r"(select lang, unnest(string_split_regex(trim(lower(text)), '\s+'))"
+        r" as tok from documents) toked",
+        "tok",
+        ["lang"],
+        k=64,
+    )
     return oracles

@@ -1,0 +1,115 @@
+"""KMV distinct-count sketch: exact path, estimator accuracy,
+partition-invariance of the candidate merge, null handling, DuckDB
+bit-parity, and the bounded-shuffle plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from pdf_extractors_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_distinct_sql,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_kmv_exact_below_k(spark):
+    # 3 distinct values in group a (with repeats), 1 in b — both < k,
+    # so the sketch IS the exact count
+    rows = [("a", "x"), ("a", "y"), ("a", "y"), ("a", "z"), ("b", "q")]
+    out = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(_docs(spark, rows), "v", ["g"], k=16).collect()
+    }
+    assert out == {"a": 3, "b": 1}
+
+
+def test_kmv_nulls_ignored(spark):
+    rows = [("a", "x"), ("a", None), ("b", None)]
+    out = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(_docs(spark, rows), "v", ["g"], k=8).collect()
+    }
+    # null values never count; the all-null group emits no row
+    # (COUNT(DISTINCT ...) semantics)
+    assert out == {"a": 1}
+
+
+def test_kmv_estimator_accuracy(spark):
+    # 2000 distinct values, k=64: KMV standard error is ~1/sqrt(k-2)
+    # ≈ 12.7%; the fixed md5 hash makes the estimate deterministic, so
+    # a 3-sigma bound is a stable assertion, not a flaky one
+    rows = [("a", f"tok{i}") for i in range(2000)]
+    (est,) = kmv_distinct(_docs(spark, rows), "v", ["g"], k=64).collect()
+    assert abs(est["est_distinct"] - 2000) / 2000 < 0.38, est
+
+
+def test_kmv_partition_invariant(spark):
+    # the candidate merge (union of per-partition k-minima → global
+    # k smallest) must give the identical estimate at any parallelism
+    rows = [("a", f"tok{i % 300}") for i in range(3000)] + [
+        ("b", f"w{i}") for i in range(40)
+    ]
+    df = _docs(spark, rows)
+    one = sorted(
+        kmv_distinct(df.coalesce(1), "v", ["g"], k=64).collect()
+    )
+    many = sorted(
+        kmv_distinct(df.repartition(16), "v", ["g"], k=64).collect()
+    )
+    assert one == many
+    by_g = {r["g"]: r["est_distinct"] for r in one}
+    assert by_g["b"] == 40  # exact path
+    assert abs(by_g["a"] - 300) / 300 < 0.38  # estimator path
+
+
+def test_kmv_duckdb_bit_parity(spark, tmp_path):
+    # the estimator is defined in portable bigint arithmetic: DuckDB
+    # must reproduce every estimate EXACTLY, not within error bounds
+    rows = [("a", f"tok{i}") for i in range(500)] + [
+        ("b", f"b{i}" if i % 3 else None) for i in range(90)
+    ]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(path)
+    spark_out = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(
+            spark.read.parquet(path).repartition(8), "v", ["g"], k=32
+        ).collect()
+    }
+    sql = kmv_distinct_sql(f"'{path}'", "v", ["g"], k=32)
+    duck_out = dict(duckdb.sql(sql).fetchall())
+    assert spark_out == duck_out
+
+
+def test_kmv_plan_single_exchange(spark, tmp_path):
+    # the scale contract: a zero-exchange bounded-state map side
+    # (mapInPandas on the scan) and ONE exchange carrying only the
+    # per-(group, partition) k-minima
+    pd.DataFrame(
+        [("a", f"t{i}") for i in range(100)], columns=["g", "v"]
+    ).to_parquet(str(tmp_path / "t.parquet"))
+    df = kmv_distinct(
+        spark.read.parquet(str(tmp_path / "t.parquet")), "v", ["g"], k=16
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # count tree nodes, not the per-node detail sections that repeat
+    # each operator name below the tree
+    assert plan.count("- Exchange") == 1, plan
+    # the map side runs BEFORE the exchange: MapInPandas must appear
+    # after (deeper than) Exchange in the formatted tree listing
+    assert "MapInPandas" in plan, plan
+    assert plan.index("Exchange") < plan.index("MapInPandas"), plan
