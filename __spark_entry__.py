@@ -2926,6 +2926,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_distinct"] = q_kmv_distinct
 
+    def q_bpe_vocab(spark, sf):
+        """Full BPE tokenizer training (operators/text_stats.py
+        bpe_learn): the learned merge table over the documents corpus —
+        one distributed word-histogram aggregation, then the Sennrich
+        merge loop on the capped histogram. No SQL oracle BY DESIGN
+        (iterative argmax); rows-only here, while pytest pins
+        hand-computed merges, the lexicographic tiebreak, parallelism
+        invariance, and round-1 equality with the SQL-oracled
+        bpe_pair_counts statistic (tests/test_bpe.py)."""
+        docs = _read(spark, sf, "documents")
+        return text_stats.bpe_learn(docs, n_merges=40, max_words=50_000)
+
+    q["bpe_vocab"] = q_bpe_vocab
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after

@@ -1387,3 +1387,156 @@ def pii_spans(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------- BPE trainer
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    max_words: int = 100_000,
+) -> "DataFrame":
+    """Full BPE tokenizer training (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"): returns the
+    learned merge table ``(rank, left, right, merged)`` — the artifact a
+    tokenizer ships. ``bpe_pair_counts`` is round one of this loop with
+    a SQL replay; this is the whole loop.
+
+    Distributed shape — the corpus is touched ONCE: a single
+    map-side-combined ``groupBy(word)`` builds the weighted word
+    histogram, capped to the ``max_words`` most frequent words by
+    (count desc, word asc) — a deterministic total order, so the cap is
+    reproducible at any parallelism. The merge loop then runs on the
+    capped histogram (≤ max_words rows, broadcast-scale — the same
+    driver-side class as ``salting.heavy_hitters``; corpus text never
+    leaves the executors), which is how production BPE trainers work:
+    merge statistics are a function of the word histogram, not of the
+    corpus, so re-scanning per merge round would be pure waste.
+    Tie-breaks inside the loop are lexicographic on the pair, making the
+    merge table a pure function of the histogram.
+
+    No SQL oracle BY DESIGN (iterative argmax is not expressible as one
+    DuckDB query); pytest pins the trainer against hand-computed merges
+    and property-checks the encode/decode round-trip instead."""
+    hist = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["n"] for r in hist
+    }
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # deterministic argmax: highest count, then lexicographically
+        # smallest pair
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1]))
+        merged_sym = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt) for r, l, rt in merges],
+        "rank int, left string, right string, merged string",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list: ``(id, bpe_tokens array<string>,
+    n_bpe_tokens)`` per document. Whitespace words are split to
+    characters and the merges replayed in rank order — the standard
+    greedy BPE encoder.
+
+    Arrow-batched ``mapInPandas`` with a per-batch WORD memo: each
+    distinct word is encoded once per batch and the result reused
+    (Zipf makes the memo hit rate ~95%+ on natural text), so the
+    Python-side work scales with distinct words, not corpus tokens.
+    Tokenization is an inherently per-word state machine — same
+    slow-path justification as the extraction kernels; everything
+    around it stays in codegen.
+
+    Invariant (pytest property): ``concat(bpe_tokens)`` of each word
+    equals the word — encoding never drops or duplicates characters."""
+    ranks: dict[tuple[str, str], int] = {
+        (l, r): i for i, (l, r) in enumerate(merges)
+    }
+
+    def _encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_i, best_rank = i, rk
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        memo[word] = syms
+        return syms
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe_tokens int"
+    )
+
+    def _encode_batches(batches):
+        for pdf_ in batches:
+            memo: dict = {}
+            toks = [
+                [
+                    t
+                    for w in str(txt).lower().split()
+                    for t in _encode_word(w, memo)
+                ]
+                if txt is not None
+                else []
+                for txt in pdf_[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf_[id_col],
+                    "bpe_tokens": toks,
+                    "n_bpe_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_encode_batches, out_schema)
