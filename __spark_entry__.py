@@ -2940,6 +2940,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_vocab"] = q_bpe_vocab
 
+    def q_kmv_overlap(spark, sf):
+        """Two-corpus vocabulary overlap from merged KMV sketches
+        (operators/sketches.py kmv_overlap): the even-doc_id half of the
+        documents corpus vs the odd half, one profile row
+        (est_distinct_a/b, est_union, est_intersection, jaccard_ppm) —
+        corpus-overlap profiling without joining the corpora. Bigint
+        estimators replay bit-for-bit in the DuckDB oracle."""
+        from pdf_extractors_spark.operators import sketches
+
+        docs = _read(spark, sf, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(text_stats.tokens(F.col("text"))).alias("tok")
+        )
+        return sketches.kmv_overlap(
+            toks.filter(F.col("doc_id") % 2 == 0),
+            toks.filter(F.col("doc_id") % 2 == 1),
+            "tok",
+            k=64,
+        )
+
+    q["kmv_overlap"] = q_kmv_overlap
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6383,5 +6405,14 @@ def oracle_sql() -> dict[str, str]:
         "tok",
         ["lang"],
         k=64,
+    )
+    from pdf_extractors_spark.operators.sketches import kmv_overlap_sql
+
+    _toked_half = (
+        r"(select unnest(string_split_regex(trim(lower(text)), '\s+'))"
+        r" as tok from documents where doc_id % 2 = {p}) t{p}"
+    )
+    oracles["kmv_overlap"] = kmv_overlap_sql(
+        _toked_half.format(p=0), _toked_half.format(p=1), "tok", k=64
     )
     return oracles

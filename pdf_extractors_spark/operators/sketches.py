@@ -145,3 +145,179 @@ def kmv_distinct_sql(
         where rn <= {k}
         group by {g}
     """
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Two-corpus set-overlap profile from merged KMV sketches (Beyer
+    et al. 2007, "On synopses for distinct-value estimation under
+    multiset operations"): ONE row ``(est_distinct_a, est_distinct_b,
+    est_union, est_intersection, jaccard_ppm)``, all bigint.
+
+    The question a decontamination / corpus-merge plan starts with —
+    "how much does corpus B overlap corpus A?" — answered without ever
+    joining the corpora: each side contributes its k smallest distinct
+    hashes (same bounded plan as :func:`kmv_distinct`), the driver-free
+    merge happens in one tiny aggregation, and the estimators are pure
+    bigint arithmetic replayed exactly by the DuckDB oracle.
+
+    Estimator: pool = k smallest distinct hashes of sketch(A) ∪
+    sketch(B) (a valid KMV sketch of A ∪ B, since each side's sketch
+    is its k-minima); ``est_union`` from the pool's k-th value;
+    ``est_intersection = (|pool ∩ A ∩ B| * est_union) div |pool|``;
+    jaccard in parts-per-million from the same integers."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def _sketch(df: DataFrame, side: int) -> DataFrame:
+        proj = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(
+                F.lit(side).alias("side"),
+                md5_bigint(value_col).alias("h"),
+            )
+        )
+        schema = proj.schema
+
+        def _partition_kmins(batches):
+            state = None
+            for batch in batches:
+                merged = batch if state is None else pd.concat(
+                    [state, batch], ignore_index=True
+                )
+                state = (
+                    merged.drop_duplicates()
+                    .sort_values("h", kind="mergesort")
+                    .head(k)
+                )
+            if state is not None and len(state):
+                yield state
+
+        return (
+            proj.mapInPandas(_partition_kmins, schema)
+            .groupBy("side")
+            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmins"))
+        )
+
+    both = _sketch(df_a, 0).unionByName(_sketch(df_b, 1))
+    # the merge is a 2-row aggregation: arrays in, one profile row out
+    merged = both.agg(
+        F.first(F.when(F.col("side") == 0, F.col("kmins")), ignorenulls=True).alias("ka"),
+        F.first(F.when(F.col("side") == 1, F.col("kmins")), ignorenulls=True).alias("kb"),
+    )
+
+    def _est(arr: str) -> F.Column:
+        m = F.size(F.col(arr))
+        return F.when(m < k, m.cast("long")).otherwise(
+            F.expr(
+                f"{(k - 1) * _HASH_SPACE}L div (element_at({arr}, {k}) + 1L)"
+            )
+        )
+
+    return (
+        merged.select(
+            F.coalesce("ka", F.array().cast("array<bigint>")).alias("ka"),
+            F.coalesce("kb", F.array().cast("array<bigint>")).alias("kb"),
+        )
+        .withColumn(
+            "pool",
+            F.slice(F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, k),
+        )
+        .withColumn("np", F.size("pool"))
+        .withColumn(
+            "est_union",
+            F.when(F.col("np") < k, F.col("np").cast("long")).otherwise(
+                F.expr(
+                    f"{(k - 1) * _HASH_SPACE}L div (element_at(pool, {k}) + 1L)"
+                )
+            ),
+        )
+        .withColumn(
+            "n_common",
+            F.expr(
+                "size(filter(pool, h -> array_contains(ka, h)"
+                " and array_contains(kb, h)))"
+            ),
+        )
+        .select(
+            _est("ka").alias("est_distinct_a"),
+            _est("kb").alias("est_distinct_b"),
+            F.col("est_union"),
+            F.when(F.col("np") > 0, F.expr("(n_common * est_union) div np"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("est_intersection"),
+            F.when(F.col("np") > 0, F.expr("(n_common * 1000000) div np"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+def kmv_overlap_sql(
+    table_a: str,
+    table_b: str,
+    value_expr: str,
+    k: int = 256,
+) -> str:
+    """DuckDB SQL replaying :func:`kmv_overlap` bit-for-bit."""
+    h = md5_bigint_sql(value_expr)
+    space = _HASH_SPACE
+    return f"""
+        with sa as (
+            select h from (
+                select distinct {h} as h from {table_a}
+                where ({value_expr}) is not null
+            ) order by h limit {k}
+        ),
+        sb as (
+            select h from (
+                select distinct {h} as h from {table_b}
+                where ({value_expr}) is not null
+            ) order by h limit {k}
+        ),
+        pool as (
+            select h from (
+                select distinct h from (
+                    select h from sa union all select h from sb
+                )
+            ) order by h limit {k}
+        ),
+        stats as (
+            select
+              (select count(*) from sa) as ma,
+              (select max(h) from (select h from sa order by h limit {k})
+                 where (select count(*) from sa) >= {k}) as kth_a,
+              (select count(*) from sb) as mb,
+              (select max(h) from (select h from sb order by h limit {k})
+                 where (select count(*) from sb) >= {k}) as kth_b,
+              (select count(*) from pool) as np,
+              (select max(h) from pool
+                 where (select count(*) from pool) >= {k}) as kth_p,
+              (select count(*) from pool
+                 where h in (select h from sa) and h in (select h from sb))
+                as n_common
+        )
+        select
+          cast(case when ma < {k} then ma
+               else {(k - 1) * space} // (kth_a + 1) end as bigint)
+            as est_distinct_a,
+          cast(case when mb < {k} then mb
+               else {(k - 1) * space} // (kth_b + 1) end as bigint)
+            as est_distinct_b,
+          cast(case when np < {k} then np
+               else {(k - 1) * space} // (kth_p + 1) end as bigint)
+            as est_union,
+          cast(case when np > 0 then
+                 (n_common * (case when np < {k} then np
+                              else {(k - 1) * space} // (kth_p + 1) end)) // np
+               else 0 end as bigint) as est_intersection,
+          cast(case when np > 0 then (n_common * 1000000) // np
+               else 0 end as bigint) as jaccard_ppm
+        from stats
+    """

@@ -113,3 +113,76 @@ def test_kmv_plan_single_exchange(spark, tmp_path):
     # after (deeper than) Exchange in the formatted tree listing
     assert "MapInPandas" in plan, plan
     assert plan.index("Exchange") < plan.index("MapInPandas"), plan
+
+
+# ----------------------------------------------------------- kmv_overlap
+
+
+def _vals(spark, names):
+    from pdf_extractors_spark.operators.sketches import kmv_overlap  # noqa
+
+    return spark.createDataFrame([(n,) for n in names], "v string")
+
+
+def test_kmv_overlap_exact_path(spark):
+    from pdf_extractors_spark.operators.sketches import kmv_overlap
+
+    # 30 + 30 values sharing exactly 10: below k everything is exact —
+    # union 50, intersection 10, jaccard 10/50 = 200000 ppm
+    a = _vals(spark, [f"a{i}" for i in range(20)] + [f"s{i}" for i in range(10)])
+    b = _vals(spark, [f"b{i}" for i in range(20)] + [f"s{i}" for i in range(10)])
+    (r,) = kmv_overlap(a, b, "v", k=256).collect()
+    assert (
+        r["est_distinct_a"],
+        r["est_distinct_b"],
+        r["est_union"],
+        r["est_intersection"],
+        r["jaccard_ppm"],
+    ) == (30, 30, 50, 10, 200000)
+
+
+def test_kmv_overlap_disjoint_and_empty(spark):
+    from pdf_extractors_spark.operators.sketches import kmv_overlap
+
+    a = _vals(spark, [f"a{i}" for i in range(15)])
+    b = _vals(spark, [f"b{i}" for i in range(5)])
+    (r,) = kmv_overlap(a, b, "v", k=64).collect()
+    assert r["est_intersection"] == 0 and r["jaccard_ppm"] == 0
+    assert r["est_union"] == 20
+    empty = _vals(spark, []).filter("v is not null")
+    (r2,) = kmv_overlap(a, empty, "v", k=64).collect()
+    assert r2["est_distinct_b"] == 0 and r2["est_union"] == 15
+
+
+def test_kmv_overlap_estimator_accuracy(spark):
+    from pdf_extractors_spark.operators.sketches import kmv_overlap
+
+    # 2000 ∪ 2000 with 1000 shared (true union 3000, jaccard 1/3);
+    # deterministic hash → stable assertion at ~3 sigma
+    a = _vals(spark, [f"x{i}" for i in range(2000)])
+    b = _vals(spark, [f"x{i}" for i in range(1000, 3000)])
+    (r,) = kmv_overlap(a.repartition(8), b.repartition(4), "v", k=64).collect()
+    assert abs(r["est_union"] - 3000) / 3000 < 0.38, r
+    assert abs(r["est_intersection"] - 1000) / 1000 < 0.55, r
+
+
+def test_kmv_overlap_duckdb_bit_parity(spark, tmp_path):
+    import duckdb as _dd
+
+    from pdf_extractors_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_overlap_sql,
+    )
+
+    pa_ = str(tmp_path / "a.parquet")
+    pb_ = str(tmp_path / "b.parquet")
+    pd.DataFrame({"v": [f"x{i}" for i in range(400)]}).to_parquet(pa_)
+    pd.DataFrame({"v": [f"x{i}" for i in range(300, 600)]}).to_parquet(pb_)
+    spark_row = kmv_overlap(
+        spark.read.parquet(pa_).repartition(8),
+        spark.read.parquet(pb_),
+        "v",
+        k=32,
+    ).collect()[0]
+    duck_row = _dd.sql(kmv_overlap_sql(f"'{pa_}'", f"'{pb_}'", "v", k=32)).fetchone()
+    assert tuple(spark_row) == duck_row
