@@ -66,6 +66,15 @@ def host_per_core_rate(procs: int, per: int = 2000) -> float:
 
 # ------------------------------------------------------------- spark runs
 
+def _vm_counters() -> tuple[float, float]:
+    """VM-wide (busy_seconds, steal_seconds) from /proc/stat line 1."""
+    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    hz = os.sysconf("SC_CLK_TCK")
+    user, nice, system, _idle, _iowait, irq, softirq = vals[:7]
+    steal = vals[7] if len(vals) > 7 else 0
+    return (user + nice + system + irq + softirq) / hz, steal / hz
+
+
 def run_at(cpus: int, sf_dir: str, pin_cores: str | None = None) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -77,11 +86,39 @@ def run_at(cpus: int, sf_dir: str, pin_cores: str | None = None) -> dict:
         # count (see main()): a 4N-executor cluster brings 4× the
         # hardware, so proportional pinning is the faithful stand-in.
         cmd = ["taskset", "-c", pin_cores] + cmd
+    # DURING-phase interference instrument: the pre/post host-quality
+    # bracket cannot see contention that arrives mid-phase (observed:
+    # a 0.548-efficiency attempt inside a 0.905-quality bracket whose 4N
+    # phase ran 1.5× slow). Sample VM-wide busy+steal jiffies across the
+    # phase and subtract our own process tree's CPU (children rusage):
+    # what remains is neighbors' compute plus hypervisor steal, in
+    # average cores, measured exactly over the timed window. Outcome-
+    # blind: the instrument never sees the efficiency number. Own-CPU
+    # undercount (unreaped grandchildren) only inflates the reading, so
+    # the check errs toward discarding attempts, never keeping bad ones.
+    import resource
+
+    busy0, steal0 = _vm_counters()
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    t0 = time.time()
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=3600, cwd=REPO
     )
+    wall = time.time() - t0
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    busy1, steal1 = _vm_counters()
+    own = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    res["during"] = {
+        "wall_s": round(wall, 1),
+        "own_cpu_s": round(own, 1),
+        "foreign_busy_cores": round(
+            max(0.0, (busy1 - busy0) - own) / wall, 2
+        ),
+        "steal_cores": round((steal1 - steal0) / wall, 2),
+    }
+    return res
 
 
 def main() -> int:
@@ -139,7 +176,24 @@ def main() -> int:
         "host_retention_post": post_retention,
         "host_quality": round(min(pre_retention, post_retention), 3),
         "pinned_cores": {"n": pin_lo, "4n": pin_hi},
+        "during": {"n": lo["during"], "4n": hi["during"]},
     }
+    # hard validity condition on DURING-phase interference: average
+    # foreign-busy + steal above 1 core across either timed phase means
+    # someone else was computing inside the window — the measurement is
+    # of the neighbors, not the plan. Threshold chosen above the
+    # harness's own idle footprint (~0.1 core) and below the ~2+ cores
+    # a real contender burns; recorded either way.
+    interference = max(
+        p["foreign_busy_cores"] + p["steal_cores"]
+        for p in (lo["during"], hi["during"])
+    )
+    attempt["during_interference_cores"] = round(interference, 2)
+    if interference > 1.0:
+        attempt["invalid"] = (
+            f"during-phase interference: {interference:.2f} avg "
+            f"foreign+steal cores across a timed phase (threshold 1.0)"
+        )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     attempts_path = os.path.join(REPO, "BENCH", "attempts.jsonl")
     with open(attempts_path, "a") as f:
@@ -215,7 +269,12 @@ def _finalize() -> int:
     attempts_md = "\n".join(
         f"| {a['ts']} | {a['scaling_efficiency']} | {a['host_retention_pre']}"
         f" / {a['host_retention_post']} | {a['host_quality']}"
-        f"{' — INVALID: ' + a['invalid'] if a.get('invalid') else ''} |"
+        + (
+            f", during fg+steal {a['during_interference_cores']}c"
+            if "during_interference_cores" in a
+            else ""
+        )
+        + f"{' — INVALID: ' + a['invalid'] if a.get('invalid') else ''} |"
         for a in sorted(attempts, key=lambda a: a["ts"])
     )
 
@@ -257,6 +316,18 @@ member. Pool ({pool_mode}): {len(pool)} of {len(attempts)} attempts; efficiencie
 {effs}; min {min_eff}, median {median_eff}, max {max_eff}. (An earlier
 protocol revision selected the single max-quality attempt; it passed 2
 of 11 — the envelope, not the center — and was replaced by this gate.)
+
+The pre/post bracket cannot see contention that arrives MID-phase (one
+logged attempt measured 0.548 inside a 0.905-quality bracket while its
+4N phase ran 1.5× slow). Attempts since then also carry a during-phase
+instrument: VM-wide busy+steal jiffies sampled across each timed phase
+minus the job tree's own CPU — average **foreign+steal cores measured
+inside the timed window** (shown in the quality column). An attempt
+whose reading exceeds 1.0 core in either phase is auto-marked INVALID
+and never enters the pool; the instrument is outcome-blind and its
+own-CPU undercount only ever discards attempts. Earlier attempts keep
+their weaker bracket-only quality — the pool mixes instrument
+generations and says so here.
 
 | attempt (UTC) | efficiency | host retention pre / post | quality |
 |---|---|---|---|
