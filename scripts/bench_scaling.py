@@ -66,13 +66,34 @@ def host_per_core_rate(procs: int, per: int = 2000) -> float:
 
 # ------------------------------------------------------------- spark runs
 
-def _vm_counters() -> tuple[float, float]:
-    """VM-wide (busy_seconds, steal_seconds) from /proc/stat line 1."""
-    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+def _parse_core_set(spec: str) -> set[int]:
+    out: set[int] = set()
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.update(range(int(a), int(b) + 1))
+        else:
+            out.add(int(part))
+    return out
+
+
+def _cpu_counters(cores: set[int]) -> tuple[float, float]:
+    """(busy_seconds summed over `cores`, VM-wide steal_seconds) from
+    /proc/stat per-cpu lines."""
     hz = os.sysconf("SC_CLK_TCK")
-    user, nice, system, _idle, _iowait, irq, softirq = vals[:7]
-    steal = vals[7] if len(vals) > 7 else 0
-    return (user + nice + system + irq + softirq) / hz, steal / hz
+    busy = 0.0
+    steal = 0.0
+    for line in open("/proc/stat"):
+        f = line.split()
+        if f[0] == "cpu":
+            vals = [int(x) for x in f[1:]]
+            steal = (vals[7] if len(vals) > 7 else 0) / hz
+        elif f[0].startswith("cpu") and f[0][3:].isdigit():
+            if int(f[0][3:]) in cores:
+                vals = [int(x) for x in f[1:]]
+                user, nice, system, _idle, _iowait, irq, softirq = vals[:7]
+                busy += (user + nice + system + irq + softirq) / hz
+    return busy, steal
 
 
 def run_at(cpus: int, sf_dir: str, pin_cores: str | None = None) -> dict:
@@ -89,33 +110,33 @@ def run_at(cpus: int, sf_dir: str, pin_cores: str | None = None) -> dict:
     # DURING-phase interference instrument: the pre/post host-quality
     # bracket cannot see contention that arrives mid-phase (observed:
     # a 0.548-efficiency attempt inside a 0.905-quality bracket whose 4N
-    # phase ran 1.5× slow). Sample VM-wide busy+steal jiffies across the
-    # phase and subtract our own process tree's CPU (children rusage):
-    # what remains is neighbors' compute plus hypervisor steal, in
-    # average cores, measured exactly over the timed window. Outcome-
-    # blind: the instrument never sees the efficiency number. Own-CPU
-    # undercount (unreaped grandchildren) only inflates the reading, so
-    # the check errs toward discarding attempts, never keeping bad ones.
-    import resource
-
-    busy0, steal0 = _vm_counters()
-    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    # phase ran 1.5× slow). The job tree is pinned to `pin_cores`, so
+    # busy jiffies on the COMPLEMENT core set during the phase are
+    # foreign compute by construction (no process-tree accounting — a
+    # first revision subtracted children-rusage and miscounted the
+    # unreaped JVM itself as foreign). VM-wide steal jiffies catch
+    # hypervisor-level theft. Outcome-blind: the instrument never sees
+    # the efficiency number. Blind spot: foreign load scheduled ONTO the
+    # pinned set while the complement sits idle — the scheduler prefers
+    # idle cores, so material contenders show up here first.
+    n_cpus = os.cpu_count() or 32
+    pinned = _parse_core_set(pin_cores) if pin_cores else set()
+    complement = set(range(n_cpus)) - pinned
+    busy0, steal0 = _cpu_counters(complement)
     t0 = time.time()
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=3600, cwd=REPO
     )
     wall = time.time() - t0
-    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    busy1, steal1 = _vm_counters()
-    own = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
+    busy1, steal1 = _cpu_counters(complement)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     res["during"] = {
         "wall_s": round(wall, 1),
-        "own_cpu_s": round(own, 1),
-        "foreign_busy_cores": round(
-            max(0.0, (busy1 - busy0) - own) / wall, 2
-        ),
+        "complement_cores": len(complement),
+        "foreign_busy_cores": round((busy1 - busy0) / wall, 2)
+        if pin_cores
+        else None,
         "steal_cores": round((steal1 - steal0) / wall, 2),
     }
     return res
@@ -185,7 +206,7 @@ def main() -> int:
     # harness's own idle footprint (~0.1 core) and below the ~2+ cores
     # a real contender burns; recorded either way.
     interference = max(
-        p["foreign_busy_cores"] + p["steal_cores"]
+        (p["foreign_busy_cores"] or 0.0) + p["steal_cores"]
         for p in (lo["during"], hi["during"])
     )
     attempt["during_interference_cores"] = round(interference, 2)

@@ -52,6 +52,13 @@ PLAN_QUERIES = {
         "Contamination check. Expect: the benchmark shingle set under "
         "`BroadcastExchange` — the corpus side streams through one pass."
     ),
+    "kmv_distinct": (
+        "KMV cardinality sketch. Expect: `MapInPandas` directly on the "
+        "scan-side project (the bounded-state k-minima fold, zero exchange) "
+        "and exactly ONE Exchange carrying ≤ k 8-byte hashes per (group, "
+        "partition) into the `collect_set` merge — an exact COUNT(DISTINCT) "
+        "would shuffle every distinct (group, token) pair instead."
+    ),
 }
 
 
