@@ -72,6 +72,8 @@ CARRYOVER = {
     "split_leakage",
     "pii_spans",
     "lsh_eval",
+    "kmv_distinct",
+    "kmv_overlap",
 }
 
 
