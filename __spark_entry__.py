@@ -2962,6 +2962,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_overlap"] = q_kmv_overlap
 
+    def q_cms_heavy_hitters(spark, sf):
+        """Heavy-hitter tokens via Count-Min sketch candidates + exact
+        verify (operators/sketches.py cms_heavy_hitters): every token
+        with exact corpus frequency >= 200, with the sketch's
+        overestimate beside the truth. The keyspace never shuffles —
+        the counter exchange is bounded at depth x width rows per
+        partition and the verify exchange at candidates x partitions;
+        the deterministic sibling of salting.py's sampled heavy-hitter
+        detection. Integer-exact, bit-for-bit DuckDB oracle."""
+        from pdf_extractors_spark.operators import sketches
+
+        docs = _read(spark, sf, "documents")
+        return _longify(
+            sketches.cms_heavy_hitters(
+                docs, "text", min_count=200, depth=4, width=1024
+            )
+        )
+
+    q["cms_heavy_hitters"] = q_cms_heavy_hitters
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6414,5 +6434,10 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["kmv_overlap"] = kmv_overlap_sql(
         _toked_half.format(p=0), _toked_half.format(p=1), "tok", k=64
+    )
+    from pdf_extractors_spark.operators.sketches import cms_heavy_hitters_sql
+
+    oracles["cms_heavy_hitters"] = cms_heavy_hitters_sql(
+        "documents", "text", min_count=200, depth=4, width=1024
     )
     return oracles

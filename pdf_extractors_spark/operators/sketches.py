@@ -34,7 +34,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import md5_bigint, md5_bigint_sql
+from .hashing import md5_bigint, md5_bigint_sql, seeded, seeded_sql
 
 # md5_bigint is uniform over [0, 2^32); the +1 in the denominator makes
 # hash value 0 well-defined (R_k normalized to (0, 1], never 0)
@@ -320,4 +320,161 @@ def kmv_overlap_sql(
           cast(case when np > 0 then (n_common * 1000000) // np
                else 0 end as bigint) as jaccard_ppm
         from stats
+    """
+
+
+def _cms_bucket(col: Column | str, d: int, width: int) -> Column:
+    """Depth-``d`` Count-Min bucket of a token: seeded portable hash mod
+    width. Operands are non-negative bigints, so ``%`` agrees between
+    Spark and DuckDB."""
+    return (seeded(F.col(col) if isinstance(col, str) else col, d) % width).cast(
+        "int"
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 100,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy-hitter tokens via Count-Min sketch candidate generation +
+    exact verification (Cormode & Muthukrishnan 2005, "An improved data
+    stream summary: the count-min sketch and its applications"): one row
+    ``(token, cnt, cms_est)`` per whitespace token whose EXACT corpus
+    frequency is ≥ ``min_count``, with the sketch's estimate beside the
+    truth (``cms_est ≥ cnt`` always — CMS only overestimates).
+
+    Why this exists next to the exact ``group_count`` / the sampled
+    heavy-hitter detection in ``operators/salting.py``: an exact
+    frequency table shuffles every distinct key, and sampling can miss.
+    This plan never shuffles the keyspace:
+
+    1. **counter build** — each token occurrence expands to ``depth``
+       ``(d, bucket)`` pairs (``posexplode`` of a column array, no UDF);
+       the groupBy's map-side partial aggregation bounds the exchange at
+       ``depth × width`` rows per input partition, regardless of corpus
+       or vocabulary size.
+    2. **local candidates** — a bounded ``mapInPandas`` pass emits, per
+       input partition, only tokens with local count ≥
+       ``ceil(min_count / P)``. Pigeonhole guarantee: a token with
+       global count ≥ min_count exceeds that floor in at least one of
+       the ``P`` partitions, so there are NO false negatives; false
+       positives are pruned next.
+    3. **exact verify** — occurrences of candidate tokens only
+       (broadcast semi-join) are counted exactly; map-side combine
+       bounds this exchange at ``candidates × partitions``.
+    4. **estimate join** — the ``depth × width`` counter table
+       broadcasts; ``cms_est = min`` over depths.
+
+    The output is partition-independent (step 3 filters on exact
+    counts; the estimate is a pure function of the corpus), so the
+    DuckDB oracle replays it bit-for-bit. Tokenization matches
+    ``text_stats.tokens``: lowercase, trim, split on ``\\s+``.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}/{width}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    buckets = F.array(*[_cms_bucket("tok", d, width) for d in range(depth)])
+    counters = (
+        toks.select(F.posexplode(buckets).alias("d", "b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("ccnt"))
+    )
+
+    n_parts = max(1, toks.rdd.getNumPartitions())
+    local_min = max(1, -(-min_count // n_parts))  # ceil division
+
+    def _local_candidates(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        counts: pd.Series | None = None
+        for batch in batches:
+            vc = batch["tok"].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+        if counts is not None:
+            hot = counts[counts >= local_min]
+            if len(hot):
+                yield pd.DataFrame({"tok": hot.index})
+
+    candidates = toks.mapInPandas(
+        _local_candidates, "tok string"
+    ).dropDuplicates(["tok"])
+
+    verified = (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+    probe = verified.select(
+        "tok", "cnt", F.posexplode(buckets).alias("d", "b")
+    )
+    return (
+        probe.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("ccnt").alias("cms_est"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt"),
+            F.col("cms_est"),
+        )
+    )
+
+
+def cms_heavy_hitters_sql(
+    table_expr: str,
+    text_expr: str = "text",
+    min_count: int = 100,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB SQL replaying :func:`cms_heavy_hitters` bit-for-bit: exact
+    frequencies filtered at ``min_count``, plus the identical Count-Min
+    estimate (same seeded md5 hashes, same bucket math)."""
+
+    def h(d: int) -> str:
+        return f"({seeded_sql('tok', d)}) % {width}"
+
+    counter_selects = "\n            union all\n".join(
+        f"            select {d} as d, {h(d)} as b, count(*) as ccnt"
+        f" from toks group by 2"
+        for d in range(depth)
+    )
+    probe_selects = "\n            union all\n".join(
+        f"            select tok, cnt, {d} as d, {h(d)} as b from verified"
+        for d in range(depth)
+    )
+    return f"""
+        with toks as (
+            select t.tok
+            from {table_expr},
+                 unnest(string_split_regex(trim(lower({text_expr})), '\\s+'))
+                   as t(tok)
+            where ({text_expr}) is not null and t.tok <> ''
+        ),
+        counters as (
+{counter_selects}
+        ),
+        verified as (
+            select tok, count(*) as cnt from toks
+            group by tok having count(*) >= {min_count}
+        ),
+        probe as (
+{probe_selects}
+        )
+        select p.tok as token, p.cnt, min(c.ccnt) as cms_est
+        from probe p join counters c using (d, b)
+        group by p.tok, p.cnt
     """

@@ -1019,3 +1019,21 @@ def test_lsh_eval_no_cartesian(spark, tmp_path):
     plan = _plan(dedup.lsh_eval(spark.read.parquet(path)))
     assert "Cartesian" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_cms_heavy_hitters_bounded_exchanges_broadcast_counters(spark):
+    """The token keyspace never shuffles: exactly three hash Exchanges
+    — the depth×width counter build, the candidate dedup, and the exact
+    verify (whose tok partitioning the final min-agg reuses) — and both
+    joins broadcast (candidates into the verify, the counter table into
+    the estimate). No SortMergeJoin, no cartesian."""
+    from pdf_extractors_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+    )
+    plan = _plan(sketches.cms_heavy_hitters(df, "text", min_count=2))
+    assert plan.count("Arguments: hashpartitioning") == 3
+    assert plan.count(") BroadcastExchange") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -74,6 +74,7 @@ CARRYOVER = {
     "lsh_eval",
     "kmv_distinct",
     "kmv_overlap",
+    "cms_heavy_hitters",
 }
 
 

@@ -186,3 +186,79 @@ def test_kmv_overlap_duckdb_bit_parity(spark, tmp_path):
     ).collect()[0]
     duck_row = _dd.sql(kmv_overlap_sql(f"'{pa_}'", f"'{pb_}'", "v", k=32)).fetchone()
     assert tuple(spark_row) == duck_row
+
+
+# ---------------------------------------------------------------- CMS
+
+from pdf_extractors_spark.operators.sketches import (  # noqa: E402
+    cms_heavy_hitters,
+    cms_heavy_hitters_sql,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame([(t,) for t in rows], "text string")
+
+
+def test_cms_exact_counts_and_overestimate(spark):
+    # 'hot' appears 12x, 'warm' 5x, everything else < 3
+    texts = ["hot warm cold"] * 5 + ["hot mild"] * 7 + ["breeze"]
+    out = {
+        r["token"]: (r["cnt"], r["cms_est"])
+        for r in cms_heavy_hitters(
+            _corpus(spark, texts), "text", min_count=5, depth=4, width=64
+        ).collect()
+    }
+    assert set(out) == {"hot", "warm", "cold", "mild"}
+    assert out["hot"][0] == 12 and out["warm"][0] == 5
+    assert out["cold"][0] == 5 and out["mild"][0] == 7
+    # CMS never underestimates
+    assert all(est >= cnt for cnt, est in out.values())
+
+
+def test_cms_partition_invariant(spark):
+    texts = [f"alpha beta w{i % 37}" for i in range(400)]
+    df = _corpus(spark, texts)
+    one = sorted(
+        map(
+            tuple,
+            cms_heavy_hitters(
+                df.coalesce(1), "text", min_count=100, depth=4, width=128
+            ).collect(),
+        )
+    )
+    many = sorted(
+        map(
+            tuple,
+            cms_heavy_hitters(
+                df.repartition(13), "text", min_count=100, depth=4, width=128
+            ).collect(),
+        )
+    )
+    assert one == many and len(one) == 2  # alpha, beta
+
+
+def test_cms_null_and_case(spark):
+    texts = ["HOT hot HoT", None, "  hot  "]
+    out = cms_heavy_hitters(
+        _corpus(spark, texts), "text", min_count=4, depth=2, width=32
+    ).collect()
+    assert len(out) == 1 and out[0]["token"] == "hot" and out[0]["cnt"] == 4
+
+
+def test_cms_duckdb_bit_parity(spark):
+    texts = [f"x{i % 7} common filler{i % 151}" for i in range(900)]
+    df = _corpus(spark, texts)
+    got = sorted(
+        map(
+            tuple,
+            cms_heavy_hitters(
+                df, "text", min_count=100, depth=3, width=256
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"text": texts}))
+    sql = cms_heavy_hitters_sql("docs", "text", min_count=100, depth=3, width=256)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
