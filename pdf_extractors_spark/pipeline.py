@@ -677,3 +677,46 @@ def boilerplate_filter(lines: DataFrame, line_col: str = "line") -> DataFrame:
         )
         & (F.col(line_col) != "")
     )
+
+
+def collapse_repeats(transcripts: DataFrame) -> DataFrame:
+    """Consecutive-duplicate turn collapse: an agent stuck in a retry
+    loop (or a client double-send) emits runs of turns whose (role,
+    text) are identical; each run collapses to its FIRST turn plus an
+    exact repeat count — the transcript-hygiene pass that runs before
+    conv_pairs/sft_pack so fine-tuning examples never teach the loop.
+    Only ADJACENT duplicates collapse: the same text reappearing later
+    in the conversation is legitimate context and survives (that is
+    what distinguishes this from a per-conversation dropDuplicates).
+
+    Gaps-and-islands with null-safe equality (two null-text turns ARE
+    the same turn repeated): run id = cumulative count of
+    run-boundaries over (conv_id, turn_idx) order, then one group per
+    run. Both the window and the groupBy cluster on conv_id — the
+    window's hash partitioning satisfies the (conv_id, run) grouping,
+    so the whole operator is ONE exchange. min() stands in for the
+    run's constant role/text (every member is equal by construction),
+    keeping the aggregate partial-combinable."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    same_as_prev = F.col("role").eqNullSafe(F.lag("role").over(w)) & F.col(
+        "text"
+    ).eqNullSafe(F.lag("text").over(w))
+    runs = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.sum(F.when(same_as_prev, 0).otherwise(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_run"),
+    )
+    return (
+        runs.groupBy("conv_id", "_run")
+        .agg(
+            F.min("turn_idx").alias("turn_idx"),
+            F.min("role").alias("role"),
+            F.min("text").alias("text"),
+            F.count("*").cast("long").alias("n_repeats"),
+        )
+        .select("conv_id", "turn_idx", "role", "text", "n_repeats")
+    )
