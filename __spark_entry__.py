@@ -358,7 +358,8 @@ _GATE_ORDER = [
 #   quality_tiers, blocklist_filter, semdedup, conv_repair,
 #   jsonl_export, neardup_against, ngram_counts, perplexity_buckets,
 #   dedup_clusters_star, dehyphenate, strip_repeated_lines, bag_dedup,
-#   sparse_cosine_pairs, collapse_repeats
+#   sparse_cosine_pairs, collapse_repeats, merge_spans, span_coverage,
+#   lang_segments, minhash_jaccard_est
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -3160,6 +3161,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["collapse_repeats"] = q_collapse_repeats
+
+    def _msp_spans(spark, sf):
+        """Shared synthetic span table: per doc, base offset b = md5
+        bucket in [0,50), spans (b,b+10) ∪ (b+5,b+12) overlap,
+        (b+12,b+20) is end-exclusive-adjacent (merges), (b+40,b+45)
+        stands alone → exactly two merged spans per document."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        b = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("msp:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(50),
+        )
+        offs = [(0, 10), (5, 12), (12, 20), (40, 45)]
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (b + s).cast("long").alias("span_start"),
+                            (b + e).cast("long").alias("span_end"),
+                        )
+                        for s, e in offs
+                    ]
+                )
+            ).alias("_s"),
+        ).select(
+            "doc_id",
+            F.col("_s.span_start").alias("span_start"),
+            F.col("_s.span_end").alias("span_end"),
+        )
+
+    def q_merge_spans(spark, sf):
+        """Interval union per document (text_stats.merge_spans) over a
+        deterministic synthetic span table with one overlap, one
+        end-exclusive adjacency and one isolated span per doc. Same
+        construction in the oracle."""
+        return text_stats.merge_spans(_msp_spans(spark, sf))
+
+    q["merge_spans"] = q_merge_spans
+
+    def q_span_coverage(spark, sf):
+        """Per-document span coverage audit (text_stats.span_coverage):
+        real offsets — the pii_spans plant (emails/phones/ips appended
+        to each doc) — merged and measured against the planted text
+        length, in half-up integer basis points."""
+        docs = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ph +1 555 0199 ip 10.0.0.7"),
+            ).alias("text"),
+        )
+        spans = text_stats.pii_spans(docs)
+        return text_stats.span_coverage(docs, spans)
+
+    q["span_coverage"] = q_span_coverage
+
+    def q_lang_segments(spark, sf):
+        """Line-level language segmentation (text_stats.lang_segments)
+        over planted mixed-language pages: each doc gains an English, a
+        German and a bucket-chosen French/Spanish/English line — the
+        operator must split the page into per-language segments. Same
+        plant in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("lg:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(3),
+        )
+        page = F.concat_ws(
+            "\n",
+            "text",
+            F.lit("the cat and the dog is in the house"),
+            F.lit("der hund und die katze ist nicht das problem"),
+            F.when(
+                bkt == 0,
+                F.lit("le chat et la vache est dans les jardins"),
+            )
+            .when(bkt == 1, F.lit("el perro y la casa es una de los grandes"))
+            .otherwise(F.lit("the end of that story is here for now")),
+        )
+        return text_stats.lang_segments(
+            docs.select("doc_id", page.alias("text"))
+        )
+
+    q["lang_segments"] = q_lang_segments
+
+    def q_minhash_jaccard_est(spark, sf):
+        """MinHash estimator audit (dedup.minhash_jaccard_est): for each
+        LSH candidate pair, signature-agreement estimate vs exact
+        shingle Jaccard vs absolute error, all integer basis points —
+        the per-pair companion of lsh_eval's generator summary."""
+        return dedup.minhash_jaccard_est(
+            _spread(_read(spark, sf, "documents")), n=3, bands=4, rows=2
+        )
+
+    q["minhash_jaccard_est"] = q_minhash_jaccard_est
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -6525,7 +6632,7 @@ def oracle_sql() -> dict[str, str]:
             from planted"""
         for kind, pat in PII_PATTERNS.items()
     )
-    oracles["pii_spans"] = f"""
+    _pii_spans_sql = f"""
         with planted as (
           select doc_id,
                  text || ' Contact: user' || cast(doc_id as varchar)
@@ -6546,6 +6653,177 @@ def oracle_sql() -> dict[str, str]:
                  as bigint) as span_end,
                value
         from u
+    """
+    oracles["pii_spans"] = _pii_spans_sql
+    # span_coverage composes the pii_spans oracle verbatim — the same
+    # span derivation feeds the merge + coverage arithmetic, so the two
+    # oracles can never drift apart
+    oracles["span_coverage"] = f"""
+        with spans as ({_pii_spans_sql}),
+        planted as (
+          select doc_id,
+                 text || ' Contact: user' || cast(doc_id as varchar)
+                      || '@example.com ph +1 555 0199 ip 10.0.0.7' as ptext
+          from documents),
+        w as (
+          select doc_id, span_start, span_end,
+                 case when max(span_end) over (partition by doc_id
+                        order by span_start, span_end
+                        rows between unbounded preceding and 1 preceding)
+                        is null
+                       or span_start > max(span_end) over (
+                        partition by doc_id
+                        order by span_start, span_end
+                        rows between unbounded preceding and 1 preceding)
+                      then 1 else 0 end as nf
+          from spans),
+        i as (
+          select doc_id, span_start, span_end,
+                 sum(nf) over (partition by doc_id
+                   order by span_start, span_end
+                   rows between unbounded preceding and current row) as isl
+          from w),
+        m as (
+          select doc_id, min(span_start) as s, max(span_end) as e
+          from i group by doc_id, isl),
+        per as (
+          select doc_id, sum(e - s) as covered, count(*) as n_spans
+          from m group by doc_id)
+        select p.doc_id,
+               cast(length(p.ptext) as bigint) as n_chars,
+               cast(coalesce(per.covered, 0) as bigint) as covered_chars,
+               cast(coalesce(per.n_spans, 0) as bigint) as n_spans,
+               cast(case when length(p.ptext) > 0 then
+                 (2 * 10000 * coalesce(per.covered, 0) + length(p.ptext))
+                   // (2 * length(p.ptext))
+                 else 0 end as bigint) as coverage_bp
+        from planted p left join per using (doc_id)
+    """
+    oracles["merge_spans"] = """
+        with b as (
+          select doc_id,
+                 cast(concat('0x',
+                      substr(md5('msp:' || cast(doc_id as varchar)), 1, 8))
+                      as bigint) % 50 as b
+          from documents),
+        sp as (
+          select doc_id, b + o[1] as span_start, b + o[2] as span_end
+          from b, unnest([[0, 10], [5, 12], [12, 20], [40, 45]]) as t(o)),
+        w as (
+          select doc_id, span_start, span_end,
+                 case when max(span_end) over (partition by doc_id
+                        order by span_start, span_end
+                        rows between unbounded preceding and 1 preceding)
+                        is null
+                       or span_start > max(span_end) over (
+                        partition by doc_id
+                        order by span_start, span_end
+                        rows between unbounded preceding and 1 preceding)
+                      then 1 else 0 end as nf
+          from sp),
+        i as (
+          select doc_id, span_start, span_end,
+                 sum(nf) over (partition by doc_id
+                   order by span_start, span_end
+                   rows between unbounded preceding and current row) as isl
+          from w)
+        select doc_id,
+               cast(min(span_start) as bigint) as span_start,
+               cast(max(span_end) as bigint) as span_end,
+               cast(count(*) as bigint) as n_merged
+        from i group by doc_id, isl
+    """
+    _lang_hits = ", ".join(
+        f"len(list_filter(t, x -> x in ({_stopword_sql(STOPWORDS[lg])})))"
+        f" as h_{lg}"
+        for lg in ("en", "de", "fr", "es")
+    )
+    oracles["lang_segments"] = f"""
+        with p as (
+          select doc_id,
+                 concat_ws(chr(10), text,
+                   'the cat and the dog is in the house',
+                   'der hund und die katze ist nicht das problem',
+                   case cast(concat('0x',
+                          substr(md5('lg:' || cast(doc_id as varchar)),
+                                 1, 8)) as bigint) % 3
+                     when 0 then 'le chat et la vache est dans les jardins'
+                     when 1 then 'el perro y la casa es una de los grandes'
+                     else 'the end of that story is here for now'
+                   end) as text
+          from documents),
+        ls as (select doc_id, string_split(text, chr(10)) as lns from p),
+        lines as (
+          select doc_id,
+                 unnest(range(0, len(lns))) as line_no,
+                 unnest(lns) as line
+          from ls),
+        tok as (select doc_id, line_no,
+                       string_split_regex(trim(lower(line)), '\\s+') as t
+                from lines),
+        h as (select doc_id, line_no, {_lang_hits} from tok),
+        lg as (
+          select doc_id, line_no,
+                 case when h_en = 0 and h_de = 0 and h_fr = 0 and h_es = 0
+                        then 'und'
+                      when h_en >= h_de and h_en >= h_fr and h_en >= h_es
+                        then 'en'
+                      when h_de >= h_fr and h_de >= h_es then 'de'
+                      when h_fr >= h_es then 'fr'
+                      else 'es' end as lang
+          from h),
+        ch as (
+          select doc_id, line_no, lang,
+                 case when lang is not distinct from
+                        lag(lang) over (partition by doc_id order by line_no)
+                      then 0 else 1 end as nf
+          from lg),
+        i as (
+          select doc_id, line_no, lang,
+                 sum(nf) over (partition by doc_id order by line_no
+                   rows between unbounded preceding and current row) as seg
+          from ch)
+        select doc_id,
+               cast(seg - 1 as bigint) as seg_idx,
+               min(lang) as lang,
+               cast(min(line_no) as bigint) as line_start,
+               cast(max(line_no) as bigint) as line_end,
+               cast(count(*) as bigint) as n_lines
+        from i group by doc_id, seg
+    """
+    _agree8 = " + ".join(f"(sa.h{i} = sb.h{i})::int" for i in range(8))
+    oracles["minhash_jaccard_est"] = f"""
+        with {_lsh_pairs_ctes()},
+        sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+        com as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as common
+          from sh a join sh b using (shingle)
+          where a.doc_id < b.doc_id
+          group by 1, 2),
+        est as (
+          select p.id_a, p.id_b,
+                 ({_agree8}) * 10000 // 8 as est_bp
+          from pairs p
+          join sig sa on sa.doc_id = p.id_a
+          join sig sb on sb.doc_id = p.id_b),
+        ex as (
+          select p.id_a, p.id_b,
+                 case when coalesce(za.n_sh, 0) + coalesce(zb.n_sh, 0)
+                           - coalesce(c.common, 0) > 0
+                      then coalesce(c.common, 0) * 10000
+                           // (coalesce(za.n_sh, 0) + coalesce(zb.n_sh, 0)
+                               - coalesce(c.common, 0))
+                      else 0 end as jacc_bp
+          from pairs p
+          left join com c on c.id_a = p.id_a and c.id_b = p.id_b
+          left join sizes za on za.doc_id = p.id_a
+          left join sizes zb on zb.doc_id = p.id_b)
+        select e.id_a, e.id_b,
+               cast(e.est_bp as bigint) as est_bp,
+               cast(x.jacc_bp as bigint) as jacc_bp,
+               cast(abs(e.est_bp - x.jacc_bp) as bigint) as err_bp
+        from est e
+        join ex x on x.id_a = e.id_a and x.id_b = e.id_b
     """
     # lsh_eval: the candidate side is the SAME banding CTE chain as
     # minhash_lsh_candidates; the truth side the SAME jaccard chain —

@@ -1248,3 +1248,100 @@ def bag_dedup(
         "bag_size",
         (F.col(id_col) == F.col("_keep_id")).alias("keep"),
     )
+
+
+def minhash_jaccard_est(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """Per-candidate-pair estimator audit: for every LSH candidate pair,
+    the MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    components) next to the EXACT shingle-set Jaccard and the absolute
+    error — the companion to ``lsh_eval`` (which scores the candidate
+    GENERATOR); this scores the ESTIMATOR, answering "can the verify
+    join be skipped and the signature agreement trusted instead" with
+    per-pair integer evidence. All three values are exact integer basis
+    points (``agree·10000 div k``; ``common·10000 div union``).
+
+    Scale: signatures and candidates are the existing one-shuffle
+    builds; the exact side restricts the shingle self-join to documents
+    that appear in some candidate pair (left-semi on the id set) before
+    joining, so the verify cost scales with candidate volume, not
+    corpus size. k = bands·rows stays small (8), so the agreement sum
+    is a fixed-width column expression."""
+    k = bands * rows
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    cand = lsh_candidates(sig, id_col, bands, rows)
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    agree_sql = " + ".join(f"cast(_a{i} = _b{i} as int)" for i in range(k))
+    est = cand.join(sig_a, "id_a").join(sig_b, "id_b").select(
+        "id_a",
+        "id_b",
+        F.expr(f"({agree_sql}) * 10000 div {k}").cast("long").alias("est_bp"),
+    )
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select("id_b"))
+        .distinct()
+    )
+    sh = shingles(df.join(ids, id_col, "left_semi"), text_col, id_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    exact = (
+        cand.join(common, ["id_a", "id_b"], "left")
+        .join(
+            sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "size_a"}),
+            "id_a",
+            "left",
+        )
+        .join(
+            sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "size_b"}),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "case when coalesce(size_a, 0) + coalesce(size_b, 0)"
+                " - coalesce(common, 0) > 0 then"
+                " coalesce(common, 0) * 10000 div (coalesce(size_a, 0)"
+                " + coalesce(size_b, 0) - coalesce(common, 0))"
+                " else 0 end"
+            ).cast("long").alias("jacc_bp"),
+        )
+    )
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_bp",
+            "jacc_bp",
+            F.abs(F.col("est_bp") - F.col("jacc_bp"))
+            .cast("long")
+            .alias("err_bp"),
+        )
+    )

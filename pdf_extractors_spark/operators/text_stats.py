@@ -1662,3 +1662,202 @@ def strip_repeated_lines(
             .alias("n_stripped"),
         )
     )
+
+
+# ------------------------------------------------- span interval algebra
+
+
+def merge_spans(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Interval union per document: overlapping or end-exclusive-adjacent
+    ``[start, end)`` spans coalesce into maximal merged spans with an
+    exact constituent count — the post-processing pass every span
+    producer here feeds (extraction field spans per the north rule's
+    span contract, pii_spans, duplicate_spans) before a redactor or
+    highlighter can edit text without double-applying overlapping edits.
+
+    Gaps-and-islands: per document in (start, end) order, a span opens a
+    new island iff it starts strictly after the running max end
+    (``start == prev_max_end`` merges — with end-exclusive spans those
+    touch). One running-max window, one cumulative-sum window and the
+    final groupBy all cluster on the document id, so the operator is ONE
+    exchange; per-document span counts are small by construction, so the
+    key cannot skew."""
+    w = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opened = spans.select(
+        F.col(id_col),
+        F.col(start_col),
+        F.col(end_col),
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), 1
+        ).otherwise(0).alias("_new"),
+    )
+    islands = opened.select(
+        id_col,
+        start_col,
+        end_col,
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_island"),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min(start_col).cast("long").alias("span_start"),
+            F.max(end_col).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .select(id_col, "span_start", "span_end", "n_merged")
+    )
+
+
+def span_coverage(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Per-document span coverage: how much of the text the (merged)
+    spans address — the audit metric for an extraction or PII pass
+    (a page whose spans cover 95% of its characters was swallowed by
+    one field; one at 0 bp produced nothing). Overlaps are merged
+    FIRST, so double-labeled characters count once.
+
+    Emits ``(id, n_chars, covered_chars, n_spans, coverage_bp)`` with
+    half-up integer basis points; documents with no spans are preserved
+    with zeros (left join from the doc side), and empty/null text
+    reports 0 bp. Merged-span counts aggregate per document id — one
+    exchange on each side of a small left join."""
+    merged = merge_spans(spans, id_col, start_col, end_col)
+    per_doc = merged.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("covered_chars"),
+        F.count("*").alias("n_spans"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+                "n_chars"
+            ),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("covered_chars", F.lit(0)).cast("long").alias(
+                "covered_chars"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.when(F.col("n_chars") > 0,
+                F.expr(
+                    "(2 * 10000 * coalesce(covered_chars, 0) + n_chars)"
+                    " div (2 * n_chars)"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("coverage_bp"),
+        )
+    )
+
+
+# ------------------------------------------------ mixed-language pages
+
+
+# deterministic argmax priority when stopword hit counts tie
+LANG_TIE_ORDER = ["en", "de", "fr", "es"]
+
+
+def lang_segments(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Line-level language segmentation for mixed-language documents:
+    every line gets the stopword-hit argmax language (ties resolved in
+    the fixed ``LANG_TIE_ORDER`` priority; zero hits → ``und``), then
+    consecutive same-language lines coalesce into segments — the
+    operator that lets a per-language pipeline (quality tiers,
+    stratified sampling, per-language dedup) route PARTS of a document
+    instead of mislabeling the whole page by its majority language.
+
+    Emits ``(id, seg_idx, lang, line_start, line_end, n_lines)`` with
+    0-based line offsets, ``seg_idx`` dense per document. Blank lines
+    score zero hits and become ``und`` segments — they split language
+    runs rather than gluing them (documented choice: a blank line is a
+    paragraph boundary, the natural segmentation point).
+
+    Plan: one narrow line explode with per-line hit counts in codegen,
+    a lag window and a cumulative sum clustered on the document id, and
+    a groupBy on (id, segment) the same hash partitioning satisfies —
+    ONE exchange end-to-end."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("line_no", "line"),
+    )
+    toks = tokens(F.col("line"))
+
+    # one-arg closure per language: a two-parameter lambda would be
+    # interpreted by F.filter as (element, index)
+    def _hit_pred(words: list[str]):
+        return lambda t: t.isin(words)
+
+    hits = {
+        lang: F.size(F.filter(toks, _hit_pred(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    no_hits = None
+    for h in hits.values():
+        no_hits = (h == 0) if no_hits is None else (no_hits & (h == 0))
+    pick = F.when(no_hits, F.lit("und"))
+    for i, lang in enumerate(LANG_TIE_ORDER):
+        cond = None
+        for other in LANG_TIE_ORDER[i + 1 :]:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        pick = (
+            pick.when(cond, F.lit(lang))
+            if cond is not None
+            else pick.otherwise(F.lit(lang))
+        )
+    scored = lines.select(id_col, "line_no", pick.alias("lang"))
+    w = Window.partitionBy(id_col).orderBy("line_no")
+    changed = scored.select(
+        id_col,
+        "line_no",
+        "lang",
+        F.when(
+            F.col("lang").eqNullSafe(F.lag("lang").over(w)), 0
+        ).otherwise(1).alias("_new"),
+    )
+    segs = changed.select(
+        id_col,
+        "line_no",
+        "lang",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_seg"),
+    )
+    return (
+        segs.groupBy(id_col, "_seg")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.min("line_no").cast("long").alias("line_start"),
+            F.max("line_no").cast("long").alias("line_end"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .select(
+            id_col,
+            (F.col("_seg") - 1).cast("long").alias("seg_idx"),
+            "lang",
+            "line_start",
+            "line_end",
+            "n_lines",
+        )
+    )

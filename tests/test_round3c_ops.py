@@ -245,3 +245,118 @@ def test_sparse_cosine_exact_value(spark):
     assert (r["dot"], r["norm2_a"], r["norm2_b"]) == (3, 5, 2)
     assert r["cos2_bp"] == 9000
     assert r["n_shared_terms"] == 2
+
+
+# ----------------------------------------------------------- merge_spans
+
+
+def test_merge_spans_overlap_adjacency_isolation(spark):
+    from pdf_extractors_spark.operators.text_stats import merge_spans
+
+    rows = [
+        (1, 0, 10), (1, 5, 12), (1, 12, 20),   # overlap + adjacency
+        (1, 40, 45),                           # isolated
+        (2, 3, 4),                             # other doc untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, span_start long, span_end long"
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in merge_spans(df).collect()
+    )
+    assert out == [(1, 0, 20, 3), (1, 40, 45, 1), (2, 3, 4, 1)]
+
+
+def test_merge_spans_single_exchange(spark):
+    from pdf_extractors_spark.operators.text_stats import merge_spans
+
+    df = spark.createDataFrame(
+        [(1, 0, 5)], "doc_id long, span_start long, span_end long"
+    )
+    plan = _plan(merge_spans(df))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_span_coverage_counts_overlaps_once(spark):
+    from pdf_extractors_spark.operators.text_stats import span_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 50), (3, None)],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 0, 30), (1, 20, 50)],  # union covers [0,50): 50 chars, once
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r["doc_id"]: r for r in span_coverage(docs, spans).collect()}
+    assert out[1]["covered_chars"] == 50 and out[1]["coverage_bp"] == 5000
+    assert out[2]["covered_chars"] == 0 and out[2]["n_spans"] == 0
+    assert out[3]["n_chars"] == 0 and out[3]["coverage_bp"] == 0
+
+
+# --------------------------------------------------------- lang_segments
+
+
+def test_lang_segments_splits_mixed_page(spark):
+    from pdf_extractors_spark.operators.text_stats import lang_segments
+
+    page = "\n".join(
+        [
+            "the cat and the dog is in the house",
+            "the end of that for is in the",
+            "der hund und die katze ist nicht das",
+            "",
+            "le chat et la vache est dans les",
+        ]
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    out = sorted(
+        (r["seg_idx"], r["lang"], r["line_start"], r["line_end"], r["n_lines"])
+        for r in lang_segments(df).collect()
+    )
+    assert out == [
+        (0, "en", 0, 1, 2),
+        (1, "de", 2, 2, 1),
+        (2, "und", 3, 3, 1),   # blank line: its own und segment
+        (3, "fr", 4, 4, 1),
+    ]
+
+
+def test_lang_segments_tie_priority_and_null(spark):
+    from pdf_extractors_spark.operators.text_stats import lang_segments
+
+    # 'in' is an en stopword; 'das ist' are de stopwords: de wins 2-1.
+    # A pure tie ('is das' = 1 en hit, 1 de hit) goes to en by priority.
+    df = spark.createDataFrame(
+        [(1, "das ist in"), (2, "is das"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"] for r in lang_segments(df).collect()
+    }
+    assert got[1] == "de" and got[2] == "en" and got[3] == "und"
+
+
+# ------------------------------------------------- minhash_jaccard_est
+
+
+def test_minhash_est_exact_dups_agree_fully(spark):
+    from pdf_extractors_spark.operators.dedup import minhash_jaccard_est
+
+    rows = [
+        (1, "one two three four five six seven eight nine"),
+        (2, "one two three four five six seven eight nine"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_jaccard_est(df).collect()
+    }
+    r = out[(1, 2)]
+    # identical docs: every signature component agrees AND exact
+    # jaccard is 1.0 -> error is exactly zero
+    assert r["est_bp"] == 10000 and r["jacc_bp"] == 10000
+    assert r["err_bp"] == 0
+    assert (1, 3) not in out and (2, 3) not in out
