@@ -359,7 +359,7 @@ _GATE_ORDER = [
 #   jsonl_export, neardup_against, ngram_counts, perplexity_buckets,
 #   dedup_clusters_star, dehyphenate, strip_repeated_lines, bag_dedup,
 #   sparse_cosine_pairs, collapse_repeats, merge_spans, span_coverage,
-#   lang_segments, minhash_jaccard_est
+#   lang_segments, minhash_jaccard_est, bloom_decontaminate
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -3267,6 +3267,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["minhash_jaccard_est"] = q_minhash_jaccard_est
+
+    def q_bloom_decontaminate(spark, sf):
+        """Bloom-prefiltered decontamination (dedup.bloom_decontaminate)
+        over the same stand-in eval set as ``decontaminate`` (doc_id <
+        5): a constant 2048-row bitmap broadcast replaces the raw
+        shingle-set broadcast; exact verify prunes false positives, so
+        ``n_overlapping`` equals the plain path while
+        ``n_candidate_shingles`` exposes the filter's selectivity."""
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter("doc_id < 5")
+        return dedup.bloom_decontaminate(_spread(docs), bench, n=5)
+
+    q["bloom_decontaminate"] = q_bloom_decontaminate
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -7048,6 +7061,46 @@ def oracle_sql() -> dict[str, str]:
               from i group by conv_id, run)
             select conv_id, turn_idx, role, text, n_repeats from runs
         """
+    oracles["bloom_decontaminate"] = f"""
+        with t as (select doc_id, string_split({norm}, ' ') as w
+                   from documents),
+        sh as (select doc_id,
+                      unnest(case when len(w) >= 5 then
+                        list_distinct(list_transform(
+                          range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' ')))
+                        else [] end) as shingle
+               from t),
+        b as (select distinct shingle from sh where doc_id < 5),
+        bp as (
+          select (cast(concat('0x', substr(md5('bl' || cast(s.j as varchar)
+                   || ':' || shingle), 1, 8)) as bigint) % 65536) as pos
+          from b, (values (0), (1), (2)) s(j)),
+        bitmap as (select pos // 32 as w,
+                          bit_or(1::bigint << (pos % 32)) as bits
+                   from bp group by 1),
+        cp as (
+          select sh.doc_id, sh.shingle,
+                 (cast(concat('0x', substr(md5('bl' || cast(s.j as varchar)
+                   || ':' || shingle), 1, 8)) as bigint) % 65536) as pos
+          from sh, (values (0), (1), (2)) s(j)),
+        hits as (
+          select cp.doc_id, cp.shingle,
+                 sum(case when bm.bits is not null
+                           and (bm.bits & (1::bigint << (cp.pos % 32))) <> 0
+                      then 1 else 0 end) as nh
+          from cp left join bitmap bm on bm.w = cp.pos // 32
+          group by cp.doc_id, cp.shingle),
+        cand as (select doc_id, shingle from hits where nh = 3),
+        ver as (select cand.doc_id, count(*) as n_overlapping
+                from cand join b using (shingle) group by cand.doc_id)
+        select c.doc_id,
+               cast(count(*) as bigint) as n_candidate_shingles,
+               cast(coalesce(max(v.n_overlapping), 0) as bigint)
+                 as n_overlapping
+        from cand c left join ver v using (doc_id)
+        group by c.doc_id
+    """
     # kmv_distinct: the sketch module emits its own oracle — the
     # candidate-merge is estimator-invariant, so the ground truth is the
     # window form over ALL distinct hashes (same estimator arithmetic)

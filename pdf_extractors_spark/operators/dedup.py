@@ -1345,3 +1345,100 @@ def minhash_jaccard_est(
             .alias("err_bp"),
         )
     )
+
+
+BLOOM_WORDS = 2048  # 32-bit words → 65,536-bit filter
+BLOOM_K = 3
+
+
+def _bloom_positions(shingle_col, k: int = BLOOM_K):
+    """k salted md5 bit positions in [0, BLOOM_WORDS·32) for a shingle."""
+    return [
+        F.pmod(
+            md5_bigint(F.concat(F.lit(f"bl{j}:"), shingle_col)),
+            F.lit(BLOOM_WORDS * 32),
+        )
+        for j in range(k)
+    ]
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the shape
+    ``decontaminate`` grows into when the benchmark suite is too large
+    to broadcast as a raw shingle set: the benchmark compresses to a
+    fixed ``BLOOM_WORDS``-row bitmap table (k salted md5 positions per
+    shingle, OR-folded into 32-bit words held in int64 columns — no
+    sign-bit hazards), the corpus probes the broadcast bitmap, and only
+    Bloom-positive shingles reach the exact verify join. False
+    positives are pruned by the verify; false negatives are impossible
+    (every inserted shingle's bits are set), so the output EQUALS
+    ``decontaminate``'s exactly — same oracle — while the broadcast
+    payload is a constant 2048 rows regardless of benchmark size.
+
+    Emits ``(id, n_candidate_shingles, n_overlapping)`` for documents
+    with at least one Bloom-positive shingle: the candidate column is
+    the filter's observed selectivity (candidates − verified = false
+    positives), the evidence a pipeline needs before trusting the
+    prefilter at 100 TB. Documents whose candidates all verify to zero
+    still appear (n_overlapping = 0) — they are exactly the
+    false-positive-only docs.
+
+    Plan: benchmark side = explode + one ≤2048-group aggregation; corpus
+    side = explode + k broadcast-hash-join probes + per-(doc, shingle)
+    bit test in codegen; exact verify = broadcast semi-join of ONLY the
+    candidates. The corpus never shuffles."""
+    word = lambda pos: (pos / F.lit(32)).cast("int")
+    # shiftleft() takes a literal bit count, so the 32 possible masks
+    # ride a literal array indexed by (pos % 32) — pure codegen math
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    mask = lambda pos: F.element_at(masks, (pos % 32).cast("int") + 1)
+
+    bench_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    bitmap_rows = []
+    for j in range(BLOOM_K):
+        pos = _bloom_positions(F.col("shingle"))[j]
+        bitmap_rows.append(
+            bench_sh.select(word(pos).alias("w"), mask(pos).alias("m"))
+        )
+    bits = bitmap_rows[0]
+    for b in bitmap_rows[1:]:
+        bits = bits.unionByName(b)
+    bitmap = bits.groupBy("w").agg(F.bit_or("m").alias("bits"))
+
+    corpus = shingles(df, text_col, id_col, n)
+    probed = corpus
+    hit_all = None
+    for j in range(BLOOM_K):
+        pos = _bloom_positions(F.col("shingle"))[j]
+        bm = bitmap.withColumnsRenamed({"w": f"_w{j}", "bits": f"_bits{j}"})
+        probed = probed.join(
+            F.broadcast(bm), word(pos) == F.col(f"_w{j}"), "left"
+        )
+        hj = (
+            F.coalesce(F.col(f"_bits{j}"), F.lit(0)).bitwiseAND(mask(pos))
+            != 0
+        )
+        hit_all = hj if hit_all is None else (hit_all & hj)
+    candidates = probed.filter(hit_all).select(id_col, "shingle")
+
+    verified = candidates.join(
+        F.broadcast(bench_sh), "shingle", "left_semi"
+    ).groupBy(id_col).agg(F.count("*").alias("n_overlapping"))
+    return (
+        candidates.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_candidate_shingles"))
+        .join(verified, id_col, "left")
+        .select(
+            id_col,
+            "n_candidate_shingles",
+            F.coalesce("n_overlapping", F.lit(0))
+            .cast("long")
+            .alias("n_overlapping"),
+        )
+    )

@@ -360,3 +360,45 @@ def test_minhash_est_exact_dups_agree_fully(spark):
     assert r["est_bp"] == 10000 and r["jacc_bp"] == 10000
     assert r["err_bp"] == 0
     assert (1, 3) not in out and (2, 3) not in out
+
+
+# ---------------------------------------------------- bloom_decontaminate
+
+
+def test_bloom_decontaminate_matches_exact_path(spark):
+    from pdf_extractors_spark.operators.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon completely different ending"),
+        (3, "nothing in common with the benchmark at all here folks"),
+        (4, "zeta eta theta iota kappa plus some extra trailing words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 1")
+    exact = {
+        r["doc_id"]: r["n_overlapping"]
+        for r in decontaminate(df, bench, n=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(df, bench, n=5).collect()
+    }
+    # no false negatives: every exact-overlap doc appears with the SAME
+    # verified count; candidates >= verified (Bloom can only over-select)
+    for doc, n in exact.items():
+        assert bloom[doc]["n_overlapping"] == n
+        assert bloom[doc]["n_candidate_shingles"] >= n
+    # docs in bloom but not exact are false-positive-only: verified 0
+    for doc, r in bloom.items():
+        if doc not in exact:
+            assert r["n_overlapping"] == 0
+
+
+def test_bloom_bitmap_is_constant_size(spark):
+    from pdf_extractors_spark.operators.dedup import BLOOM_WORDS
+
+    assert BLOOM_WORDS == 2048  # 65,536 bits — the broadcast is O(1)
