@@ -359,7 +359,8 @@ _GATE_ORDER = [
 #   jsonl_export, neardup_against, ngram_counts, perplexity_buckets,
 #   dedup_clusters_star, dehyphenate, strip_repeated_lines, bag_dedup,
 #   sparse_cosine_pairs, collapse_repeats, merge_spans, span_coverage,
-#   lang_segments, minhash_jaccard_est, bloom_decontaminate
+#   lang_segments, minhash_jaccard_est, bloom_decontaminate,
+#   template_turns, turn_latency_stats, prefix_dedup
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -3280,6 +3281,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.bloom_decontaminate(_spread(docs), bench, n=5)
 
     q["bloom_decontaminate"] = q_bloom_decontaminate
+
+    def q_template_turns(spark, sf):
+        """Cross-conversation canned-response detection
+        (pipeline.template_turns): turns in md5 bucket 0 are replaced by
+        one of three planted template strings, which must surface as
+        templates (≥3 distinct conversations); organic turns stay below
+        the threshold. Same plant in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        b = md5_bigint(
+            F.concat(
+                F.lit("tt:"),
+                F.col("conv_id"),
+                F.lit(":"),
+                F.col("turn_idx").cast("string"),
+            )
+        )
+        canned = F.element_at(
+            F.array(
+                F.lit("Please hold while I look that up."),
+                F.lit("I am sorry, I cannot help with that."),
+                F.lit("Let me check the database for you."),
+            ),
+            F.pmod(b, F.lit(3)).cast("int") + 1,
+        )
+        planted = t.withColumn(
+            "text",
+            F.when(F.pmod(b, F.lit(7)) == 0, canned).otherwise(F.col("text")),
+        )
+        return pipeline.template_turns(planted, min_convs=3)
+
+    q["template_turns"] = q_template_turns
+
+    def q_turn_latency_stats(spark, sf):
+        """Per-conversation user→assistant response-latency rollup
+        (pipeline.turn_latency_stats) over the transcripts fixture's
+        event timestamps — exact integer seconds and half-up mean basis
+        points."""
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "ts"
+        )
+        return pipeline.turn_latency_stats(t)
+
+    q["turn_latency_stats"] = q_turn_latency_stats
+
+    def q_prefix_dedup(spark, sf):
+        """Truncated-duplicate detection (dedup.prefix_dedup): docs in
+        md5 bucket 0 with ≥20 tokens gain a twin at doc_id + 20,000,000
+        holding only their first max(16, 3n/5) tokens — a strict token
+        prefix the operator must pair with its source. Same plant in
+        the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        toks = F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+", -1)
+        n = F.size(toks)
+        cut = F.greatest(F.lit(16), F.floor(n * 3 / 5).cast("int"))
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("pfx:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(5),
+        )
+        twins = docs.filter((bkt == 0) & (n >= 20)).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, cut), " ").alias("text"),
+        )
+        return dedup.prefix_dedup(docs.unionByName(twins), k=16)
+
+    q["prefix_dedup"] = q_prefix_dedup
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -7018,6 +7092,64 @@ def oracle_sql() -> dict[str, str]:
         select * from scored where cos2_bp >= 2500
     """
     if tp is not None:
+        oracles["template_turns"] = f"""
+            with b as (
+              select conv_id, turn_idx, text,
+                     cast(concat('0x', substr(md5('tt:' || conv_id || ':'
+                          || cast(turn_idx as varchar)), 1, 8)) as bigint)
+                       as h
+              from read_parquet('{tp}')),
+            p as (
+              select conv_id,
+                     case when h % 7 = 0 then
+                       (list_value('Please hold while I look that up.',
+                                   'I am sorry, I cannot help with that.',
+                                   'Let me check the database for you.'))
+                         [cast(h % 3 as int) + 1]
+                     else text end as text
+              from b),
+            n as (
+              select conv_id, text,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '\\s+', ' ', 'g')) as nt
+              from p)
+            select md5(nt) as text_hash,
+                   cast(count(distinct conv_id) as bigint) as n_convs,
+                   cast(count(*) as bigint) as n_turns,
+                   min(text) as sample_text
+            from n where nt <> ''
+            group by md5(nt)
+            having count(distinct conv_id) >= 3
+        """
+        oracles["turn_latency_stats"] = f"""
+            with l as (
+              select conv_id, role,
+                     cast(floor(epoch(ts)) as bigint) as ep,
+                     lag(role) over (partition by conv_id
+                                     order by turn_idx) as prev_role,
+                     lag(cast(floor(epoch(ts)) as bigint)) over (
+                       partition by conv_id order by turn_idx) as prev_ep
+              from read_parquet('{tp}')),
+            d as (
+              select conv_id,
+                     case when role = 'assistant' and prev_role = 'user'
+                           and ep is not null and prev_ep is not null
+                          then ep - prev_ep end as delta
+              from l),
+            per as (
+              select conv_id,
+                     cast(count(delta) as bigint) as n_responses,
+                     cast(coalesce(sum(delta), 0) as bigint) as total_secs,
+                     cast(coalesce(min(delta), 0) as bigint) as min_secs,
+                     cast(coalesce(max(delta), 0) as bigint) as max_secs
+              from d group by conv_id)
+            select conv_id, n_responses, total_secs, min_secs, max_secs,
+                   cast(case when n_responses > 0 then
+                     (2 * 10000 * total_secs + n_responses)
+                       // (2 * n_responses)
+                     else 0 end as bigint) as mean_secs_bp
+            from per
+        """
         oracles["collapse_repeats"] = f"""
             with b as (
               select conv_id, turn_idx, role, text,
@@ -7061,6 +7193,45 @@ def oracle_sql() -> dict[str, str]:
               from i group by conv_id, run)
             select conv_id, turn_idx, role, text, n_repeats from runs
         """
+    oracles["prefix_dedup"] = r"""
+        with d as (select doc_id, text from documents),
+        tw as (
+          select doc_id + 20000000 as doc_id,
+                 array_to_string(
+                   (string_split_regex(trim(coalesce(text, '')), '\s+'))
+                   [1:greatest(16, cast(floor(
+                      len(string_split_regex(trim(coalesce(text, '')),
+                          '\s+')) * 3.0 / 5) as int))], ' ') as text
+          from d
+          where cast(concat('0x',
+                 substr(md5('pfx:' || cast(doc_id as varchar)), 1, 8))
+                 as bigint) % 5 = 0
+            and len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                >= 20),
+        u as (select * from d union all select * from tw),
+        nrm as (
+          select doc_id,
+                 trim(regexp_replace(lower(coalesce(text, '')),
+                      '\s+', ' ', 'g')) as nt
+          from u),
+        keyed as (
+          select doc_id, nt,
+                 len(string_split(nt, ' ')) as n_tok,
+                 md5(array_to_string(string_split(nt, ' ')[1:16], ' '))
+                   as pk
+          from nrm
+          where len(string_split(nt, ' ')) >= 16),
+        guarded as (
+          select keyed.* from keyed
+          join (select pk from keyed group by pk having count(*) <= 64)
+            using (pk))
+        select a.doc_id as id_prefix, b.doc_id as id_full,
+               cast(a.n_tok as bigint) as n_tokens_prefix,
+               cast(b.n_tok as bigint) as n_tokens_full
+        from guarded a join guarded b using (pk)
+        where a.n_tok < b.n_tok
+          and starts_with(b.nt, a.nt || ' ')
+    """
     oracles["bloom_decontaminate"] = f"""
         with t as (select doc_id, string_split({norm}, ' ') as w
                    from documents),

@@ -1442,3 +1442,74 @@ def bloom_decontaminate(
             .alias("n_overlapping"),
         )
     )
+
+
+def prefix_dedup(
+    df: DataFrame,
+    k: int = 16,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Truncated-duplicate detection: document A is a strict TOKEN-
+    PREFIX of document B (A = B cut off mid-crawl, a page fetched twice
+    with different truncation, a log shipped before rotation finished).
+    Exact hashing misses these (different lengths → different hash) and
+    Jaccard under-fires when the truncation is early; the prefix
+    relation is directional and exact.
+
+    Candidates: documents with at least ``k`` normalized tokens sharing
+    the hash of their FIRST ``k`` tokens (docs shorter than k are
+    excluded by construction — documented scope; exact/bag dedup covers
+    them). Buckets over ``max_bucket`` docs are dropped (a shared
+    boilerplate opening would emit O(B²) pairs). Verification is exact:
+    ``norm(B)`` must start with ``norm(A) + ' '`` (the trailing space
+    pins the match to a token boundary) and A must be strictly shorter.
+
+    Emits ``(id_prefix, id_full, n_tokens_prefix, n_tokens_full)``.
+    Shuffle: the candidate join is keyed by the 8-byte prefix hash;
+    normalized payloads ride ONLY into guarded buckets (≤ max_bucket
+    rows each) for the startswith verify — the corpus at large never
+    ships text."""
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(norm, " ", -1)
+    keyed = df.select(
+        F.col(id_col),
+        norm.alias("_norm"),
+        F.size(toks).alias("_n_tok"),
+        F.xxhash64(F.array_join(F.slice(toks, 1, k), " ")).alias("_pk"),
+    ).filter(F.col("_n_tok") >= k)
+    guarded = (
+        keyed.withColumn(
+            "_bucket", F.count("*").over(Window.partitionBy("_pk"))
+        )
+        .filter(F.col("_bucket") <= max_bucket)
+        .drop("_bucket")
+    )
+    a = guarded.select(
+        F.col(id_col).alias("id_prefix"),
+        F.col("_norm").alias("_norm_a"),
+        F.col("_n_tok").alias("n_tokens_prefix"),
+        "_pk",
+    )
+    b = guarded.select(
+        F.col(id_col).alias("id_full"),
+        F.col("_norm").alias("_norm_b"),
+        F.col("_n_tok").alias("n_tokens_full"),
+        "_pk",
+    )
+    return (
+        a.join(b, "_pk")
+        .filter(
+            (F.col("n_tokens_prefix") < F.col("n_tokens_full"))
+            & F.col("_norm_b").startswith(
+                F.concat(F.col("_norm_a"), F.lit(" "))
+            )
+        )
+        .select(
+            "id_prefix",
+            "id_full",
+            F.col("n_tokens_prefix").cast("long").alias("n_tokens_prefix"),
+            F.col("n_tokens_full").cast("long").alias("n_tokens_full"),
+        )
+    )

@@ -720,3 +720,95 @@ def collapse_repeats(transcripts: DataFrame) -> DataFrame:
         )
         .select("conv_id", "turn_idx", "role", "text", "n_repeats")
     )
+
+
+def template_turns(transcripts: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Canned-response / template detection across conversations: turns
+    whose normalized text recurs in at least ``min_convs`` DISTINCT
+    conversations are templates (greeting macros, boilerplate refusals,
+    tool-error strings) — the cross-conversation complement of
+    collapse_repeats (which only sees adjacency within one
+    conversation). Template text is exactly what an SFT pipeline must
+    downweight: it dominates gradient counts while carrying no
+    information.
+
+    Emits one row per template: ``text_hash`` (md5 of the normalized
+    form), ``n_convs`` (distinct conversations), ``n_turns`` (total
+    occurrences) and ``sample_text`` (the lexicographically smallest
+    raw text in the group — deterministic at any parallelism).
+    Null/whitespace-only turns are excluded: emptiness is not a
+    template.
+
+    Scale: ONE map-side-combined aggregation keyed by the 16-byte hash;
+    the count-distinct on conv_id partial-aggregates, and sample_text's
+    min() carries at most one payload per group per map partition."""
+    from pyspark.sql import functions as F
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    )
+    hashed = transcripts.select(
+        F.md5(norm).alias("text_hash"),
+        "conv_id",
+        "text",
+    ).filter(norm != "")
+    return (
+        hashed.groupBy("text_hash")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("*").cast("long").alias("n_turns"),
+            F.min("text").alias("sample_text"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def turn_latency_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation response-latency rollup: for every
+    user → assistant adjacency (in turn order), the delta between the
+    two turns' event timestamps — the agent-responsiveness signal
+    behind SLA dashboards and stuck-loop triage (a conversation whose
+    max latency is hours is a hung tool call). Deltas are exact integer
+    seconds (epoch difference), so the aggregate replays bit-for-bit.
+
+    Emits ``(conv_id, n_responses, total_secs, min_secs, max_secs,
+    mean_secs_bp)`` — mean in half-up basis points of a second.
+    Conversations with no user→assistant adjacency (tool-only, or
+    single-turn) are preserved with zeros. Null timestamps contribute
+    no delta (a null epoch difference is skipped, not zeroed).
+
+    One exchange: the lag window and the per-conversation aggregate
+    share hashpartitioning(conv_id)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = transcripts.select(
+        "conv_id",
+        "role",
+        F.col("ts").cast("long").alias("_epoch"),
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag(F.col("ts").cast("long")).over(w).alias("_prev_epoch"),
+    )
+    delta = F.when(
+        (F.col("role") == "assistant")
+        & (F.col("_prev_role") == "user")
+        & F.col("_epoch").isNotNull()
+        & F.col("_prev_epoch").isNotNull(),
+        F.col("_epoch") - F.col("_prev_epoch"),
+    )
+    per = lagged.groupBy("conv_id").agg(
+        F.count(delta).cast("long").alias("n_responses"),
+        F.coalesce(F.sum(delta), F.lit(0)).cast("long").alias("total_secs"),
+        F.coalesce(F.min(delta), F.lit(0)).cast("long").alias("min_secs"),
+        F.coalesce(F.max(delta), F.lit(0)).cast("long").alias("max_secs"),
+    )
+    return per.withColumn(
+        "mean_secs_bp",
+        F.when(
+            F.col("n_responses") > 0,
+            F.expr(
+                "(2 * 10000 * total_secs + n_responses)"
+                " div (2 * n_responses)"
+            ),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

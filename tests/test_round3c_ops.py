@@ -402,3 +402,95 @@ def test_bloom_bitmap_is_constant_size(spark):
     from pdf_extractors_spark.operators.dedup import BLOOM_WORDS
 
     assert BLOOM_WORDS == 2048  # 65,536 bits — the broadcast is O(1)
+
+
+# -------------------------------------------------------- template_turns
+
+
+def test_template_turns_cross_conv_threshold(spark):
+    rows = []
+    for c in range(4):
+        rows.append((f"c{c}", 0, "assistant", "Please   hold."))  # template
+        rows.append((f"c{c}", 1, "user", f"unique question {c}"))
+    rows.append(("c0", 2, "assistant", "Please hold."))  # extra occurrence
+    rows.append(("c9", 0, "user", ""))                   # empty: excluded
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = pipeline.template_turns(df, min_convs=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # whitespace-normalized: 'Please   hold.' and 'Please hold.' collide
+    assert r["n_convs"] == 4 and r["n_turns"] == 5
+    assert r["sample_text"] == "Please   hold."  # lexicographic min
+
+
+# ---------------------------------------------------- turn_latency_stats
+
+
+def test_turn_latency_user_assistant_only(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("c", 0, "user", ts(0)),
+        ("c", 1, "assistant", ts(7)),    # +7
+        ("c", 2, "tool", ts(9)),         # not a user->assistant edge
+        ("c", 3, "assistant", ts(12)),   # prev is tool: ignored
+        ("c", 4, "user", ts(20)),
+        ("c", 5, "assistant", ts(23)),   # +3
+        ("d", 0, "user", ts(0)),         # no response at all
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out = {r["conv_id"]: r for r in pipeline.turn_latency_stats(df).collect()}
+    c = out["c"]
+    assert (c["n_responses"], c["total_secs"], c["min_secs"], c["max_secs"]) \
+        == (2, 10, 3, 7)
+    assert c["mean_secs_bp"] == 50000  # mean 5.0 s
+    d = out["d"]
+    assert (d["n_responses"], d["mean_secs_bp"]) == (0, 0)
+
+
+# ----------------------------------------------------------- prefix_dedup
+
+
+def test_prefix_dedup_finds_truncation(spark):
+    from pdf_extractors_spark.operators.dedup import prefix_dedup
+
+    words = [f"w{i}" for i in range(30)]
+    full = " ".join(words)
+    trunc = " ".join(words[:20])
+    near_miss = " ".join(words[:19] + ["DIFFERENT"])  # same first-16 key
+    df = spark.createDataFrame(
+        [(1, full), (2, trunc), (3, near_miss), (4, "short doc")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_prefix"], r["id_full"]): r
+        for r in prefix_dedup(df, k=16).collect()
+    }
+    assert (2, 1) in out
+    r = out[(2, 1)]
+    assert (r["n_tokens_prefix"], r["n_tokens_full"]) == (20, 30)
+    # near_miss shares the 16-token key but fails the exact verify
+    assert (3, 1) not in out and (1, 3) not in out
+    # doc 4 is below k tokens: out of scope entirely
+    assert not any(3 in p or 4 in p for p in out if p != (2, 1) and 3 in p)
+
+
+def test_prefix_dedup_token_boundary(spark):
+    from pdf_extractors_spark.operators.dedup import prefix_dedup
+
+    base = " ".join(f"t{i}" for i in range(16))
+    a = base + " abc"
+    b = base + " abcdef more words here"   # 'abc' is a CHAR prefix of
+    df = spark.createDataFrame(            # 'abcdef' but not a TOKEN one
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    assert prefix_dedup(df, k=16).count() == 0
