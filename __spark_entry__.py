@@ -360,7 +360,8 @@ _GATE_ORDER = [
 #   dedup_clusters_star, dehyphenate, strip_repeated_lines, bag_dedup,
 #   sparse_cosine_pairs, collapse_repeats, merge_spans, span_coverage,
 #   lang_segments, minhash_jaccard_est, bloom_decontaminate,
-#   template_turns, turn_latency_stats, prefix_dedup
+#   template_turns, turn_latency_stats, prefix_dedup, corpus_diff,
+#   ngram_novelty
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -3354,6 +3355,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.prefix_dedup(docs.unionByName(twins), k=16)
 
     q["prefix_dedup"] = q_prefix_dedup
+
+    def q_corpus_diff(spark, sf):
+        """Two-snapshot delta audit (joins.corpus_diff): the new snapshot
+        plants every status class — bucket 0 docs get ' revised'
+        appended (changed), bucket 1 docs vanish (removed), bucket 2
+        docs reappear at doc_id + 30,000,000 (added), the rest are
+        unchanged. Same plant in the oracle."""
+        from pdf_extractors_spark.operators import joins
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("cd:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(6),
+        )
+        changed = docs.filter(bkt == 0).select(
+            "doc_id", F.concat_ws(" ", "text", F.lit("revised")).alias("text")
+        )
+        kept = docs.filter((bkt != 0) & (bkt != 1))
+        added = docs.filter(bkt == 2).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+        )
+        new = changed.unionByName(kept).unionByName(added)
+        return joins.corpus_diff(docs, new)
+
+    q["corpus_diff"] = q_corpus_diff
+
+    def q_ngram_novelty(spark, sf):
+        """Cross-corpus n-gram novelty (dedup.ngram_novelty): fraction of
+        each document's distinct 3-gram shingles with corpus df = 1, in
+        integer basis points — planted exact duplicates in the fixture
+        score 0."""
+        return dedup.ngram_novelty(_spread(_read(spark, sf, "documents")), n=3)
+
+    q["ngram_novelty"] = q_ngram_novelty
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -7193,6 +7231,55 @@ def oracle_sql() -> dict[str, str]:
               from i group by conv_id, run)
             select conv_id, turn_idx, role, text, n_repeats from runs
         """
+    oracles["corpus_diff"] = f"""
+        with b as (
+          select doc_id, text,
+                 cast(concat('0x',
+                      substr(md5('cd:' || cast(doc_id as varchar)), 1, 8))
+                      as bigint) % 6 as bkt
+          from documents),
+        newsnap as (
+          select doc_id, concat_ws(' ', text, 'revised') as text
+          from b where bkt = 0
+          union all
+          select doc_id, text from b where bkt not in (0, 1)
+          union all
+          select doc_id + 30000000 as doc_id, text from b where bkt = 2),
+        oh as (select doc_id,
+                      md5(trim(regexp_replace(lower(coalesce(text, '')),
+                          '\\s+', ' ', 'g'))) as old_hash
+               from documents),
+        nh as (select doc_id,
+                      md5(trim(regexp_replace(lower(coalesce(text, '')),
+                          '\\s+', ' ', 'g'))) as new_hash
+               from newsnap)
+        select coalesce(oh.doc_id, nh.doc_id) as doc_id,
+               case when oh.doc_id is null then 'added'
+                    when nh.doc_id is null then 'removed'
+                    when oh.old_hash = nh.new_hash then 'unchanged'
+                    else 'changed' end as status,
+               oh.old_hash, nh.new_hash
+        from oh full outer join nh on oh.doc_id = nh.doc_id
+    """
+    oracles["ngram_novelty"] = f"""
+        with t as (select doc_id, string_split({norm}, ' ') as w
+                   from documents),
+        sh as (select doc_id, unnest({shingle3}) as shingle from t),
+        dfreq as (select shingle, count(*) as dfc from sh group by shingle),
+        per as (
+          select sh.doc_id,
+                 count(*) as n_shingles,
+                 sum(case when dfc = 1 then 1 else 0 end) as n_unique
+          from sh join dfreq using (shingle)
+          group by sh.doc_id)
+        select d.doc_id,
+               cast(coalesce(per.n_shingles, 0) as bigint) as n_shingles,
+               cast(coalesce(per.n_unique, 0) as bigint) as n_unique,
+               cast(case when coalesce(per.n_shingles, 0) > 0
+                    then per.n_unique * 10000 // per.n_shingles
+                    else 0 end as bigint) as novelty_bp
+        from documents d left join per on per.doc_id = d.doc_id
+    """
     oracles["prefix_dedup"] = r"""
         with d as (select doc_id, text from documents),
         tw as (

@@ -1513,3 +1513,54 @@ def prefix_dedup(
             F.col("n_tokens_full").cast("long").alias("n_tokens_full"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus novelty score: the fraction of a document's distinct
+    n-gram shingles that appear in NO other document (corpus df = 1) —
+    the mirror image of contamination/duplication metrics. Low novelty
+    flags documents assembled from corpus commonplaces (spun content,
+    template farms); high novelty flags unique material worth keeping
+    through aggressive dedup. Distinct from ``dup_ngram_frac``, which
+    measures repetition WITHIN a document.
+
+    Integer basis points: ``novelty_bp = unique·10000 div n_shingles``
+    (half-up is unnecessary — callers threshold, and floor keeps the
+    SQL replay one operator). Documents with fewer than ``n`` tokens
+    have zero shingles and are PRESERVED with ``n_shingles = 0``,
+    ``novelty_bp = 0``.
+
+    Plan: the shingle explode feeds one groupBy(shingle-hash) document-
+    frequency count (8-byte keys, map-side combined) joined straight
+    back to the same exploded rows, then a per-document aggregate —
+    two exchanges total, payloads never move."""
+    sh = shingles(df, text_col, id_col, n).select(
+        id_col, F.xxhash64("shingle").alias("sh")
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_count"))
+    per = (
+        sh.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df_count") == 1).cast("int")).alias("n_unique"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.expr("n_unique * 10000 div n_shingles"),
+            ).otherwise(F.lit(0)).cast("long").alias("novelty_bp"),
+        )
+    )

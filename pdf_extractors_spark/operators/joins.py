@@ -348,3 +348,47 @@ def interpolate_gaps(
         .when(p_val.isNull() | n_val.isNull(), F.lit(None).cast("double"))
         .otherwise(F.round(interp, 6)),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-snapshot corpus delta: per document id, whether the document
+    was ``added``, ``removed``, ``changed`` (same id, different
+    normalized-text hash) or ``unchanged`` between snapshots — the
+    audit table a recurring ingest publishes next to each snapshot so
+    downstream consumers (dedup state, index refresh, training-mix
+    accounting) know exactly what moved without diffing payloads.
+
+    One full-outer join on the id key; BOTH sides reduce to
+    (id, 16-byte hash) projections before the join, so snapshot
+    payloads never shuffle — the same economics as merge_upsert's
+    audit, but keyed by content hash instead of carrying columns.
+
+    Null text hashes as the empty class (explicit, never a null join
+    key). Output: ``(id, status, old_hash, new_hash)`` — hashes kept so
+    a consumer can route ``changed`` rows to re-processing keyed by
+    content, not id."""
+    def hashed(df):
+        from ..operators.dedup import normalize_text
+
+        return df.select(
+            F.col(id_col),
+            F.md5(
+                normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("h"),
+        )
+
+    o = hashed(old).withColumnRenamed("h", "old_hash")
+    n = hashed(new).withColumnRenamed("h", "new_hash")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(id_col, status.alias("status"), "old_hash", "new_hash")

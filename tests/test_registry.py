@@ -31,6 +31,21 @@ CARRYOVER = {
     "ngram_counts",
     "blocklist_filter",
     # added after this round's window was pinned; rotate in next round
+    "dehyphenate",
+    "strip_repeated_lines",
+    "bag_dedup",
+    "sparse_cosine_pairs",
+    "collapse_repeats",
+    "merge_spans",
+    "span_coverage",
+    "lang_segments",
+    "minhash_jaccard_est",
+    "bloom_decontaminate",
+    "template_turns",
+    "turn_latency_stats",
+    "prefix_dedup",
+    "corpus_diff",
+    "ngram_novelty",
     "domain_cap",
     "skew_report",
     "bpe_pairs",
