@@ -361,7 +361,7 @@ _GATE_ORDER = [
 #   sparse_cosine_pairs, collapse_repeats, merge_spans, span_coverage,
 #   lang_segments, minhash_jaccard_est, bloom_decontaminate,
 #   template_turns, turn_latency_stats, prefix_dedup, corpus_diff,
-#   ngram_novelty
+#   ngram_novelty, stream_neardup, quality_ensemble
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -3393,6 +3393,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_novelty"] = q_ngram_novelty
 
+    def q_stream_neardup(spark, sf):
+        """Streaming SimHash near-dup parity, value-checked: the
+        surviving fingerprint KEY SET from neardup_stream (stateful
+        dropDuplicates on the 16-bit SimHash,
+        streaming/extract_stream.py) over the pinned transcript file
+        stream must equal the batch DISTINCT of the same fingerprint —
+        oracled by the shared fingerprint SQL. Which row survives is
+        first-seen and scheduler-dependent; the set is not."""
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        _transcripts(spark, "sf0.01")
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_neardup_{_STREAM_COUNTER[0]}"
+        deduped = es.neardup_stream(
+            es.read_transcript_stream(spark, _transcripts_path("sf0.01")),
+            text_col="text",
+            id_col="conv_id",
+        )
+        query = (
+            deduped.select("simhash")
+            .writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(qn).select("simhash")
+
+    q["stream_neardup"] = q_stream_neardup
+
+    def q_quality_ensemble(spark, sf):
+        """Per-language rank-sum ensemble of three integer quality
+        signals (text_stats.quality_ensemble): quality_bp desc +
+        novelty_bp desc + repetition asc, row_number ranks with doc_id
+        tie-break, ntile(4) tiers — fully deterministic."""
+        return text_stats.quality_ensemble(_read(spark, sf, "documents"))
+
+    q["quality_ensemble"] = q_quality_ensemble
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3556,6 +3595,24 @@ def _simhash_sql() -> str:
         for j in range(16)
     )
     return f"select doc_id, cast({bits} as bigint) as simhash from documents"
+
+
+def _simhash_fp_sql(source: str) -> str:
+    """The fingerprint expression of ``_simhash_sql`` over an arbitrary
+    source relation exposing a ``text`` column — shared by the streaming
+    near-dup parity oracle so batch and stream can never drift."""
+    tok = f"string_split({_NORM_SQL}, ' ')"
+    hashes = (
+        f"list_transform({tok}, t -> "
+        "cast(concat('0x', substr(md5(t),1,8)) as bigint))"
+    )
+    bits = " + ".join(
+        f"(case when list_sum(list_transform({hashes}, h -> "
+        f"case when (h >> {j}) & 1 = 1 then 1 else -1 end)) > 0 "
+        f"then {1 << j} else 0 end)"
+        for j in range(16)
+    )
+    return f"select cast({bits} as bigint) as simhash from {source}"
 
 
 def _fixedwidth_sql(tp: str) -> str:
@@ -7130,6 +7187,12 @@ def oracle_sql() -> dict[str, str]:
         select * from scored where cos2_bp >= 2500
     """
     if tp is not None:
+        oracles["stream_neardup"] = f"""
+            with src as (select coalesce(text, '') as text
+                         from read_parquet('{tp}')),
+            fp as ({_simhash_fp_sql('src')})
+            select distinct simhash from fp
+        """
         oracles["template_turns"] = f"""
             with b as (
               select conv_id, turn_idx, text,
@@ -7231,6 +7294,78 @@ def oracle_sql() -> dict[str, str]:
               from i group by conv_id, run)
             select conv_id, turn_idx, role, text, n_repeats from runs
         """
+    oracles["quality_ensemble"] = rf"""
+        with qt as (
+          select doc_id,
+                 cast(length(text) as bigint) as n_chars,
+                 cast(len(string_split_regex(trim(lower(text)), '\s+'))
+                      as bigint) as n_tokens,
+                 cast(len(list_filter(string_split_regex(trim(lower(text)),
+                      '\s+'), t -> t in ({sw_en}))) as bigint)
+                   as stopword_hits,
+                 cast(length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '',
+                      'g')) as bigint) as punct_chars
+          from documents),
+        q as (
+          select doc_id,
+                 8 * least(n_chars, 500)
+                 + (case when n_tokens > 0
+                         then (2 * 4000 * stopword_hits + n_tokens)
+                              // (2 * n_tokens) else 0 end)
+                 + (case when n_chars > 0
+                         then 2000 - least((2 * 10000 * punct_chars
+                              + n_chars) // (2 * n_chars), 2000)
+                         else 0 end) as quality_bp
+          from qt),
+        t3 as (select doc_id, string_split({norm}, ' ') as w
+               from documents),
+        shv as (select doc_id, unnest({shingle3}) as shingle from t3),
+        dfreq as (select shingle, count(*) as dfc from shv group by shingle),
+        nv as (
+          select d.doc_id,
+                 cast(case when coalesce(p.n_shingles, 0) > 0
+                      then p.n_unique * 10000 // p.n_shingles
+                      else 0 end as bigint) as novelty_bp
+          from documents d
+          left join (
+            select shv.doc_id, count(*) as n_shingles,
+                   sum(case when dfc = 1 then 1 else 0 end) as n_unique
+            from shv join dfreq using (shingle) group by shv.doc_id) p
+            on p.doc_id = d.doc_id),
+        gr as (
+          select doc_id, lang,
+                 case when len(toks) >= 3 then
+                   list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 else [] end as g
+          from (select doc_id, lang,
+                       string_split_regex(trim(lower(text)), '\s+') as toks
+                from documents)),
+        rp as (
+          select doc_id, lang,
+                 cast(case when len(g) > 0 then
+                   ((len(g) - len(list_distinct(g))) * 10000) // len(g)
+                   else 0 end as bigint) as rep_bp
+          from gr),
+        jj as (
+          select rp.doc_id, rp.lang, q.quality_bp, nv.novelty_bp, rp.rep_bp
+          from rp join q using (doc_id) join nv using (doc_id)),
+        rk as (
+          select doc_id, lang,
+                 cast(row_number() over (partition by lang
+                        order by quality_bp desc, doc_id asc)
+                    + row_number() over (partition by lang
+                        order by novelty_bp desc, doc_id asc)
+                    + row_number() over (partition by lang
+                        order by rep_bp asc, doc_id asc)
+                   as bigint) as rank_sum
+          from jj)
+        select doc_id, lang, rank_sum,
+               cast(ntile(4) over (partition by lang
+                    order by rank_sum asc, doc_id asc) as bigint)
+                 as ens_tier
+        from rk
+    """
     oracles["corpus_diff"] = f"""
         with b as (
           select doc_id, text,

@@ -534,6 +534,7 @@ def neardup_against(
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """16-bit SimHash fingerprint: per bit, sign-vote over token hashes.
     Pure column math over the token array — no explode, no UDF.
@@ -572,7 +573,10 @@ def simhash(
         F.lit(0).cast("long"),
         lambda acc, b: acc + b,
     )
-    return df.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(
+        F.col(id_col), fingerprint.cast("bigint").alias("simhash"), *extra
+    )
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1861,3 +1861,78 @@ def lang_segments(
             "n_lines",
         )
     )
+
+
+def quality_ensemble(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    lang_col: str = "lang", tiers: int = 4,
+) -> DataFrame:
+    """Rank-average quality ensemble: three independent integer signals
+    — composite quality (``quality_score``), cross-corpus n-gram
+    novelty (``ngram_novelty``) and intra-document repetition — are
+    combined by PER-LANGUAGE rank sum, then cut into ``tiers`` ntile
+    tiers. Rank aggregation is the standard way to blend signals with
+    incomparable scales without inventing weights; ranking per language
+    keeps one language's length/stopword distribution from swamping
+    another's (same reasoning as ``quality_tiers``).
+
+    Every rank is a ``row_number`` with the document id as the final
+    tie-break, so the output is a pure function of the corpus at any
+    parallelism. Better = rank 1: quality DESC, novelty DESC,
+    repetition ASC.
+
+    Scale: three one-exchange signal passes join on the id, then
+    per-language windows. Like ``quality_tiers``, the per-language sort
+    is the documented scale ceiling — beyond what one partition per
+    language can sort, replace the window with range-partitioned
+    ranking (the ``global_index`` construction) per language."""
+    from .dedup import ngram_novelty
+
+    q = quality_score(df, text_col, id_col).select(id_col, "quality_bp")
+    nv = ngram_novelty(df, 3, text_col, id_col).select(id_col, "novelty_bp")
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # the gram array is materialized as a column first so the two
+    # size() calls don't rebuild it (interpreted HOFs do not CSE)
+    rep = (
+        df.select(F.col(id_col), F.col(lang_col), grams.alias("_g"))
+        .select(
+            id_col,
+            lang_col,
+            F.when(
+                F.size("_g") > 0,
+                F.expr(
+                    "((size(_g) - size(array_distinct(_g))) * 10000)"
+                    " div size(_g)"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("rep_bp"),
+        )
+    )
+    joined = rep.join(q, id_col).join(nv, id_col)
+    byl = Window.partitionBy(lang_col)
+    r_q = F.row_number().over(
+        byl.orderBy(F.col("quality_bp").desc(), F.col(id_col).asc())
+    )
+    r_n = F.row_number().over(
+        byl.orderBy(F.col("novelty_bp").desc(), F.col(id_col).asc())
+    )
+    r_r = F.row_number().over(
+        byl.orderBy(F.col("rep_bp").asc(), F.col(id_col).asc())
+    )
+    ranked = joined.select(
+        id_col,
+        lang_col,
+        (r_q + r_n + r_r).cast("long").alias("rank_sum"),
+    )
+    tier = F.ntile(tiers).over(
+        byl.orderBy(F.col("rank_sum").asc(), F.col(id_col).asc())
+    )
+    return ranked.select(
+        id_col, lang_col, "rank_sum", tier.cast("long").alias("ens_tier")
+    )

@@ -170,3 +170,47 @@ def dedup_stream(
             watermark_col, watermark
         ).dropDuplicatesWithinWatermark(["text_hash"])
     return hashed.dropDuplicates(["text_hash"])
+
+
+def neardup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-dup suppression: stateful dropDuplicates keyed on
+    the 16-bit SimHash fingerprint instead of the exact text hash — the
+    live-ingest sibling of simhash_dup_groups, catching re-crawls whose
+    tracking parameters or timestamps perturbed a few tokens. The
+    fingerprint is pure column math (operators/dedup.simhash), so the
+    expression is stream-safe unchanged; state is one entry per distinct
+    fingerprint (≤ 2^16 for 16 bits — bounded by construction, though
+    ``watermark_col`` still bounds RETENTION for wider configurations).
+
+    Deliberately aggressive: 16-bit collisions conflate genuinely
+    different documents at corpus scale; this operator is for
+    per-stream-partition hygiene (a crawl frontier's own output), not
+    corpus-wide dedup — the docstring contract mirrors the batch
+    operator's bucket semantics. The surviving KEY SET equals the batch
+    ``select distinct simhash`` (which row survives is first-seen and
+    scheduler-dependent; the set is not)."""
+    from ..operators.dedup import simhash as _batch_simhash
+
+    # reuse the batch fingerprint expression by applying the operator to
+    # the stream frame: a select() of pure column math is stream-safe
+    # (never a stream-stream join — the fingerprint rides the same row)
+    cols = docs.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
+    fp = _batch_simhash(
+        cols,
+        text_col,
+        id_col,
+        keep_cols=[watermark_col] if watermark_col is not None else None,
+    )
+    if watermark_col is not None:
+        return fp.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["simhash"])
+    return fp.dropDuplicates(["simhash"])

@@ -46,6 +46,8 @@ CARRYOVER = {
     "prefix_dedup",
     "corpus_diff",
     "ngram_novelty",
+    "stream_neardup",
+    "quality_ensemble",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -494,3 +494,72 @@ def test_prefix_dedup_token_boundary(spark):
         [(1, a), (2, b)], "doc_id long, text string"
     )
     assert prefix_dedup(df, k=16).count() == 0
+
+
+# -------------------------------------------------------- quality_ensemble
+
+
+def test_quality_ensemble_deterministic_and_tiered(spark):
+    rows = [
+        (1, "en", "the cat and the dog is in the house for that reason"),
+        (2, "en", "loop loop loop loop loop loop loop loop loop loop"),
+        (3, "en", "a unique sentence about astrophysics and marmalade"),
+        (4, "en", "the cat and the dog is in the house for that reason"),
+        (5, "de", "der hund und die katze ist nicht das problem heute"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in text_stats.quality_ensemble(df).collect()}
+    assert len(out) == 5
+    # per-language ntile: the single de doc is tier 1 of its own group
+    assert out[5]["ens_tier"] == 1
+    # the degenerate loop doc must not beat a clean unique doc
+    assert out[2]["rank_sum"] > out[3]["rank_sum"]
+    # determinism: same input, same output
+    again = {r["doc_id"]: r for r in text_stats.quality_ensemble(df).collect()}
+    assert {k: (v["rank_sum"], v["ens_tier"]) for k, v in out.items()} == {
+        k: (v["rank_sum"], v["ens_tier"]) for k, v in again.items()
+    }
+
+
+# --------------------------------------------------------- neardup_stream
+
+
+def test_neardup_stream_matches_batch_distinct(spark, tmp_path):
+    from pdf_extractors_spark.operators.dedup import simhash
+    from pdf_extractors_spark.streaming import extract_stream as es
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # dup
+        (3, "completely different content about spark and shuffles"),
+        (4, None),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expected = {
+        r["simhash"]
+        for r in simhash(
+            batch.withColumn("text", F.coalesce("text", F.lit("")))
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        es.neardup_stream(stream)
+        .select("simhash")
+        .writeStream.format("memory")
+        .queryName("t_neardup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["simhash"] for r in spark.table("t_neardup_stream").collect()
+    }
+    assert got == expected
