@@ -361,7 +361,8 @@ _GATE_ORDER = [
 #   sparse_cosine_pairs, collapse_repeats, merge_spans, span_coverage,
 #   lang_segments, minhash_jaccard_est, bloom_decontaminate,
 #   template_turns, turn_latency_stats, prefix_dedup, corpus_diff,
-#   ngram_novelty, stream_neardup, quality_ensemble
+#   ngram_novelty, stream_neardup, quality_ensemble, conv_truncate,
+#   length_buckets
 
 
 # fixed BM25 probe queries (same literals in query and oracle)
@@ -3431,6 +3432,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_stats.quality_ensemble(_read(spark, sf, "documents"))
 
     q["quality_ensemble"] = q_quality_ensemble
+
+    def q_conv_truncate(spark, sf):
+        """Context-budget transcript truncation (pipeline.conv_truncate,
+        budget 200): every turn returns with its suffix-token total and
+        the keep verdict — whole-turn suffix packing with the final turn
+        always kept."""
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        out = pipeline.conv_truncate(t, budget_tokens=200)
+        return out.select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "role",
+            "n_tokens",
+            "suffix_tokens",
+            "kept",
+        )
+
+    q["conv_truncate"] = q_conv_truncate
+
+    def q_length_buckets(spark, sf):
+        """Per-source log2 length histogram (text_stats.length_buckets):
+        exact integer buckets via binary digit count, one map-side-
+        combined aggregation."""
+        return text_stats.length_buckets(_read(spark, sf, "documents"))
+
+    q["length_buckets"] = q_length_buckets
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -7187,6 +7216,30 @@ def oracle_sql() -> dict[str, str]:
         select * from scored where cos2_bp >= 2500
     """
     if tp is not None:
+        oracles["conv_truncate"] = f"""
+            with tok as (
+              select conv_id, turn_idx, role,
+                     case when text is not null then
+                       len(list_filter(string_split_regex(trim(text),
+                           '\\s+'), t -> t <> ''))
+                     else 0 end as n_tokens
+              from read_parquet('{tp}')),
+            w as (
+              select conv_id,
+                     cast(turn_idx as bigint) as turn_idx,
+                     role,
+                     cast(n_tokens as bigint) as n_tokens,
+                     cast(sum(n_tokens) over (partition by conv_id
+                       order by turn_idx desc
+                       rows between unbounded preceding and current row)
+                       as bigint) as suffix_tokens,
+                     row_number() over (partition by conv_id
+                       order by turn_idx desc) as pos
+              from tok)
+            select conv_id, turn_idx, role, n_tokens, suffix_tokens,
+                   (suffix_tokens <= 200 or pos = 1) as kept
+            from w
+        """
         oracles["stream_neardup"] = f"""
             with src as (select coalesce(text, '') as text
                          from read_parquet('{tp}')),
@@ -7294,6 +7347,20 @@ def oracle_sql() -> dict[str, str]:
               from i group by conv_id, run)
             select conv_id, turn_idx, role, text, n_repeats from runs
         """
+    oracles["length_buckets"] = """
+        with t as (select source,
+                          length(coalesce(text, '')) as n
+                   from documents)
+        select source,
+               cast(case when n = 0 then -1
+                    else length(bin(n)) - 1 end as bigint) as len_bucket,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(n) as bigint) as total_chars,
+               cast(min(n) as bigint) as min_chars,
+               cast(max(n) as bigint) as max_chars
+        from t
+        group by source, len_bucket
+    """
     oracles["quality_ensemble"] = rf"""
         with qt as (
           select doc_id,

@@ -1936,3 +1936,37 @@ def quality_ensemble(
     return ranked.select(
         id_col, lang_col, "rank_sum", tier.cast("long").alias("ens_tier")
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Log2 length histogram per source: documents bucketed by
+    ``floor(log2(n_chars))`` — the one-pass corpus-shape report that
+    catches ingest regressions (a new crawler emitting 100× shorter
+    pages moves a spike two buckets left) without the cost of exact
+    percentiles. Bucket −1 is the explicit empty/null-text class.
+
+    Exact integer math: the bucket is one-less-than-the-binary-digit-
+    count (the ``lm_score`` trick — no float log), counts and char
+    sums are plain longs. One map-side-combined aggregation; shuffle
+    rows ∝ sources × ~40 buckets."""
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    bucket = F.when(n == 0, F.lit(-1)).otherwise(
+        F.length(F.conv(n.cast("string"), 10, 2)) - 1
+    )
+    key_names = ([group_col] if group_col else []) + ["len_bucket"]
+    sel = df.select(
+        *([F.col(group_col)] if group_col else []),
+        bucket.cast("long").alias("len_bucket"),
+        n.alias("_n"),
+    )
+    return sel.groupBy(*key_names).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("total_chars"),
+        F.min("_n").cast("long").alias("min_chars"),
+        F.max("_n").cast("long").alias("max_chars"),
+    )

@@ -812,3 +812,65 @@ def turn_latency_stats(transcripts: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def conv_truncate(
+    transcripts: DataFrame, budget_tokens: int = 512
+) -> DataFrame:
+    """Context-window truncation, most-recent-first: per conversation,
+    keep the longest SUFFIX of whole turns whose whitespace-token total
+    fits ``budget_tokens`` — the standard chat-history packing rule
+    (never split a turn, never drop the final turn even if it alone
+    exceeds the budget, because the final turn is the one being
+    answered). The turn-boundary guarantee is what separates this from
+    character slicing: a truncated transcript must still parse as a
+    transcript.
+
+    Emits EVERY turn with its ``n_tokens``, the running suffix total
+    ``suffix_tokens`` (this turn + everything after it) and the
+    ``kept`` verdict — callers filter ``kept`` for the packed history
+    and audit the rest; returning the verdict column instead of
+    pre-filtering keeps the operator's output a total function of its
+    input (drop decisions stay reviewable).
+
+    One exchange: the reverse cumulative window and everything after it
+    cluster on conv_id. Null text counts 0 tokens and is kept by the
+    same rule."""
+    toks = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.filter(
+            F.split(F.trim(F.col("text")), r"\s+", -1),
+            lambda t: t != F.lit(""),
+        )),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        toks.cast("long").alias("n_tokens"),
+    )
+    scored = base.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("suffix_tokens"),
+        F.row_number().over(w).alias("_pos_from_end"),
+    )
+    return scored.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "n_tokens",
+        F.col("suffix_tokens").cast("long").alias("suffix_tokens"),
+        (
+            (F.col("suffix_tokens") <= budget_tokens)
+            | (F.col("_pos_from_end") == 1)
+        ).alias("kept"),
+    )

@@ -48,6 +48,8 @@ CARRYOVER = {
     "ngram_novelty",
     "stream_neardup",
     "quality_ensemble",
+    "conv_truncate",
+    "length_buckets",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

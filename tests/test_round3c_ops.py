@@ -563,3 +563,61 @@ def test_neardup_stream_matches_batch_distinct(spark, tmp_path):
         r["simhash"] for r in spark.table("t_neardup_stream").collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------- conv_truncate
+
+
+def test_conv_truncate_suffix_packing(spark):
+    rows = [
+        ("c", 0, "system", "one two three four five"),          # 5 tokens
+        ("c", 1, "user", "six seven eight"),                    # 3
+        ("c", 2, "assistant", "nine ten"),                      # 2
+        ("c", 3, "user", "eleven"),                             # 1
+    ]
+    df = _turns(spark, rows)
+    out = {
+        r["turn_idx"]: r
+        for r in pipeline.conv_truncate(df, budget_tokens=6).collect()
+    }
+    # suffix totals from the end: t3=1, t2=3, t1=6, t0=11
+    assert [out[i]["suffix_tokens"] for i in (3, 2, 1, 0)] == [1, 3, 6, 11]
+    assert [out[i]["kept"] for i in (3, 2, 1, 0)] == [True, True, True, False]
+
+
+def test_conv_truncate_final_turn_always_kept(spark):
+    rows = [("c", 0, "user", " ".join(["w"] * 50))]  # alone over budget
+    out = pipeline.conv_truncate(_turns(spark, rows), budget_tokens=6).collect()
+    assert out[0]["kept"] and out[0]["n_tokens"] == 50
+
+
+def test_conv_truncate_null_text_zero_tokens(spark):
+    rows = [("c", 0, "user", "a b c"), ("c", 1, "tool", None)]
+    out = {
+        r["turn_idx"]: r
+        for r in pipeline.conv_truncate(_turns(spark, rows), budget_tokens=3).collect()
+    }
+    assert out[1]["n_tokens"] == 0 and out[1]["kept"]
+    assert out[0]["suffix_tokens"] == 3 and out[0]["kept"]
+
+
+# --------------------------------------------------------- length_buckets
+
+
+def test_length_buckets_log2_and_empty_class(spark):
+    rows = [
+        (1, "web", "x"),          # 1 char  -> bucket 0
+        (2, "web", "xxxx"),       # 4 chars -> bucket 2
+        (3, "web", "xxxxx"),      # 5 chars -> bucket 2
+        (4, "web", None),         # empty   -> bucket -1
+        (5, "pdf", "x" * 1024),   # bucket 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["source"], r["len_bucket"]): r
+        for r in text_stats.length_buckets(df).collect()
+    }
+    assert out[("web", 2)]["n_docs"] == 2
+    assert out[("web", 2)]["total_chars"] == 9
+    assert out[("web", -1)]["n_docs"] == 1
+    assert out[("pdf", 10)]["max_chars"] == 1024
