@@ -3461,6 +3461,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_buckets"] = q_length_buckets
 
+    def q_token_diversity(spark, sf):
+        """Per-document Gini–Simpson token diversity in exact basis
+        points (text_stats.token_diversity): the rational-arithmetic
+        entropy stand-in for low-diversity spam detection."""
+        return text_stats.token_diversity(_read(spark, sf, "documents"))
+
+    q["token_diversity"] = q_token_diversity
+
+    def q_corpus_tvd(spark, sf):
+        """Per-source-pair unigram total-variation distance
+        (text_stats.corpus_tvd): the corpus drift report in exact basis
+        points — shared vocabulary handled by an inner join plus the
+        algebraic one-sided correction, never a full-outer join."""
+        return text_stats.corpus_tvd(_read(spark, sf, "documents"))
+
+    q["corpus_tvd"] = q_corpus_tvd
+
+    def q_bigram_coverage(spark, sf):
+        """Corpus-bigram coverage per document (text_stats.
+        bigram_coverage, min_count=2): the KenLM-shaped fluency filter
+        reduced to exact integer basis points."""
+        return text_stats.bigram_coverage(_read(spark, sf, "documents"))
+
+    q["bigram_coverage"] = q_bigram_coverage
+
+    def q_group_sample(spark, sf):
+        """Deterministic per-language k-sample (sampling.group_sample,
+        k=7): hash-ordered reservoir-equivalent, two-level top-k prune —
+        value-identical to the single-window form the oracle replays."""
+        from pdf_extractors_spark.operators import sampling
+
+        return sampling.group_sample(_read(spark, sf, "documents"), k=7)
+
+    q["group_sample"] = q_group_sample
+
+    def q_stream_conv_state(spark, sf):
+        """Custom stateful streaming operator, value-checked: per-
+        conversation turn/char accumulation via applyInPandasWithState
+        (streaming/extract_stream.conversation_state_stream) over the
+        pinned transcripts replayed as ONE micro-batch (availableNow +
+        maxFilesPerTrigger over-provisioned), so the update-mode memory
+        sink holds exactly one ``closed=false`` snapshot row per
+        conversation — the deterministic slice of the running-state
+        contract. Registered processing-time timeouts keep an
+        availableNow query alive past its data batches (it idles waiting
+        for them to fire), so this POLLS the sink for the expected
+        snapshot count and stops the query — awaitTermination() would
+        hang for the full idle timeout. The ``closed=false`` filter makes
+        the result invariant to whether a timeout sweep snuck in a
+        ``closed=true`` row before the stop. The oracle is a plain
+        GROUP BY on the same parquet."""
+        import time as _time
+
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        _transcripts(spark, "sf0.01")
+        n_convs = _transcripts_spec("sf0.01")[1]
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_convstate_{_STREAM_COUNTER[0]}"
+        sdf = es.read_transcript_stream(
+            spark, _transcripts_path("sf0.01"), max_files_per_trigger=1_000_000
+        )
+        snaps = es.conversation_state_stream(sdf, idle_timeout_ms=3_600_000)
+        query = (
+            snaps.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = _time.time() + 300
+            while _time.time() < deadline:
+                done = (
+                    spark.sql(f"select count(*) from {qn} where not closed")
+                    .first()[0]
+                )
+                if done >= n_convs:
+                    break
+                _time.sleep(1)
+        finally:
+            query.stop()
+        return _longify(spark.table(qn).filter(~F.col("closed")))
+
+    q["stream_conv_state"] = q_stream_conv_state
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -7587,4 +7673,87 @@ def oracle_sql() -> dict[str, str]:
     oracles["cms_heavy_hitters"] = cms_heavy_hitters_sql(
         "documents", "text", min_count=200, depth=4, width=1024
     )
+    oracles["token_diversity"] = r"""
+        with toks as (select doc_id, tok
+                      from (select doc_id,
+                                   unnest(string_split_regex(trim(lower(text)),
+                                          '\s+')) as tok
+                            from documents)
+                      where tok <> ''),
+        c as (select doc_id, tok, count(*) as c from toks group by doc_id, tok),
+        s as (select doc_id, cast(sum(c) as bigint) as n_tokens,
+                     cast(sum(c*c) as bigint) as s2
+              from c group by doc_id)
+        select d.doc_id, coalesce(s.n_tokens, 0) as n_tokens,
+               coalesce(cast(10000 * (s.n_tokens*s.n_tokens - s.s2)
+                             // (s.n_tokens*s.n_tokens) as bigint), 0)
+                 as diversity_bp
+        from (select doc_id from documents) d left join s using (doc_id)
+    """
+    oracles["corpus_tvd"] = r"""
+        with toks as (select source as g, tok
+                      from (select source,
+                                   unnest(string_split_regex(trim(lower(text)),
+                                          '\s+')) as tok
+                            from documents)
+                      where tok <> ''),
+        cnt as (select g, tok, cast(count(*) as bigint) as c
+                from toks group by g, tok),
+        tot as (select g, cast(sum(c) as bigint) as n from cnt group by g),
+        shared as (
+          select a.g as ga, b.g as gb, ta.n as na, tb.n as nb,
+                 cast(sum(abs(a.c*tb.n - b.c*ta.n)) as bigint) as snum,
+                 cast(sum(a.c) as bigint) as cas,
+                 cast(sum(b.c) as bigint) as cbs
+          from cnt a join cnt b on a.tok = b.tok and a.g < b.g
+          join tot ta on ta.g = a.g join tot tb on tb.g = b.g
+          group by a.g, b.g, ta.n, tb.n),
+        pairs as (select a.g as ga, a.n as na, b.g as gb, b.n as nb
+                  from tot a join tot b on a.g < b.g)
+        select p.ga as source_a, p.gb as source_b,
+               p.na as n_tokens_a, p.nb as n_tokens_b,
+               cast(10000 * (coalesce(s.snum, 0)
+                             + (p.na - coalesce(s.cas, 0)) * p.nb
+                             + (p.nb - coalesce(s.cbs, 0)) * p.na)
+                    // (2 * p.na * p.nb) as bigint) as tvd_bp
+        from pairs p left join shared s on s.ga = p.ga and s.gb = p.gb
+    """
+    oracles["bigram_coverage"] = r"""
+        with t as (select doc_id,
+                          string_split_regex(trim(lower(text)), '\s+') as w
+                   from documents),
+        g as (select doc_id,
+                     unnest(case when len(w) >= 2
+                            then list_transform(range(1, len(w)),
+                                                i -> w[i] || ' ' || w[i+1])
+                            else [] end) as ngram
+              from t),
+        common as (select ngram from g group by ngram having count(*) >= 2),
+        pd as (select g.doc_id, cast(count(*) as bigint) as n_bigrams,
+                      cast(sum(case when c.ngram is not null then 1 else 0 end)
+                           as bigint) as n_common
+               from g left join common c using (ngram) group by g.doc_id)
+        select d.doc_id,
+               coalesce(pd.n_bigrams, 0) as n_bigrams,
+               coalesce(pd.n_common, 0) as n_common,
+               coalesce(cast((2*10000*pd.n_common + pd.n_bigrams)
+                             // (2*pd.n_bigrams) as bigint), 0) as coverage_bp
+        from (select doc_id from documents) d left join pd using (doc_id)
+    """
+    oracles["group_sample"] = """
+        select lang, doc_id, cast(rn as bigint) as sample_rank from (
+          select lang, doc_id,
+                 row_number() over (partition by lang
+                   order by md5('gs:' || cast(doc_id as varchar)), doc_id) as rn
+          from documents) where rn <= 7
+    """
+    if tp is not None:
+        oracles["stream_conv_state"] = f"""
+            select conv_id,
+                   cast(count(*) as bigint) as turns,
+                   cast(sum(length(coalesce(text, ''))) as bigint) as chars,
+                   false as closed
+            from read_parquet('{tp}')
+            group by conv_id
+        """
     return oracles

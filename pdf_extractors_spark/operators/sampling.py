@@ -406,3 +406,48 @@ def winsorize_per_group(
             clipped.alias(f"{value_col}_clipped"),
         )
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic fixed-``k`` sample per group — the distributed,
+    re-runnable equivalent of per-group reservoir sampling. The "random"
+    order is ``md5('gs:' || id)`` (id as tiebreak), so the same corpus
+    always yields the same sample, any engine can replay it, and adding
+    rows to OTHER groups never disturbs a group's picks.
+
+    Scale shape: a naive ``row_number() over (partition by group)``
+    sorts every group inside one task — a 10⁹-row group is one straggler
+    spilling alone. This runs the standard two-level top-k prune
+    instead: per (group, salt) partial top-k first (≤ salt_buckets·k
+    survivors per group, exchange hashes on the salted key so heavy
+    groups spread over ``salt_buckets`` tasks), then the exact top-k of
+    the survivors. Value-identical to the single-level form — a by-rank
+    prefix is prunable through any partition of the rows — and the
+    second window sorts ≤ salt_buckets·k rows per group.
+
+    Emits (group, id, sample_rank 1..k); k and the hash prefix pin the
+    output completely."""
+    rkey = F.md5(F.concat(F.lit("gs:"), F.col(id_col).cast("string")))
+    salted = df.select(
+        F.col(group_col), F.col(id_col), rkey.alias("_rkey"),
+        (md5_bigint(F.concat(F.lit("gss:"), F.col(id_col).cast("string")))
+         % F.lit(salt_buckets)).alias("_salt"),
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_rkey", id_col)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_rkey", id_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, F.col("sample_rank").cast("long"))
+    )

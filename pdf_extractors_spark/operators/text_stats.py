@@ -1970,3 +1970,193 @@ def length_buckets(
         F.min("_n").cast("long").alias("min_chars"),
         F.max("_n").cast("long").alias("max_chars"),
     )
+
+
+def token_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gini–Simpson token diversity in exact integer basis
+    points: ``10000 · (1 − Σ c_t² / N²)`` over whitespace-token counts.
+    0 = one token repeated (or empty); → 10000 as every token becomes
+    unique. The entropy-style low-diversity-spam signal (keyword floods,
+    SEO stuffing) without floats — unlike Shannon entropy the index is
+    rational in the counts, so Spark and the DuckDB oracle agree
+    bit-for-bit.
+
+    Shape: wordcount — explode → groupBy(doc, token) with map-side
+    combine → per-doc sum/sum-of-squares → left join back to the id set
+    so null/empty documents survive with ``n_tokens 0, diversity_bp 0``.
+    Both aggregations hash on doc-prefixed keys; shuffle rows ∝ distinct
+    (doc, token), never occurrences."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+    )
+    n2 = F.col("n_tokens") * F.col("n_tokens")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.expr("10000 * (n_tokens * n_tokens - _s2)") / n2, F.lit(0)
+            )
+            .cast("long")
+            .alias("diversity_bp"),
+        )
+    )
+
+
+def corpus_tvd(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-distribution total-variation distance between every ordered
+    pair of corpus slices (``group_col`` values): the drift report that
+    says HOW differently two crawls/sources/snapshots are worded, in
+    exact integer basis points (0 = identical unigram distribution,
+    10000 = disjoint vocabularies).
+
+    TVD = ½ Σ_t |p_a(t) − p_b(t)| is rational in the counts:
+    ``10000 · Σ|c_a·N_b − c_b·N_a| // (2·N_a·N_b)``. Tokens present in
+    only one slice are folded in WITHOUT a full-outer join: their summed
+    contribution is ``(N_a − C_a∩)·N_b`` (and symmetrically), where
+    C_a∩ is slice a's mass on the shared vocabulary — so the plan is a
+    wordcount, one vocab-sized self-join on token (inner), one
+    group-pair aggregation, and a broadcast of the per-slice totals.
+    Nothing corpus-sized ever shuffles twice; the join carries one row
+    per (token, slice-pair both present).
+
+    Bigint envelope: |c·N| ≤ N_a·N_b — exact up to ~3·10⁹ tokens per
+    slice; beyond that pre-scale counts (divide both sides by a common
+    factor) before calling."""
+    toks = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("g", "tok").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    a, b = [cnt.alias(s) for s in ("a", "b")]
+    ta, tb = [
+        F.broadcast(tot.select(F.col("g").alias(f"g{s}"), F.col("n").alias(f"n{s}")))
+        for s in ("a", "b")
+    ]
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.g") < F.col("b.g")))
+        .select(
+            F.col("a.g").alias("ga"),
+            F.col("b.g").alias("gb"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+        .join(ta, "ga")
+        .join(tb, "gb")
+        .groupBy("ga", "gb", "na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("long")
+            .alias("_shared_num"),
+            F.sum("ca").cast("long").alias("_ca_shared"),
+            F.sum("cb").cast("long").alias("_cb_shared"),
+        )
+    )
+    # pairs with NO shared vocabulary never appear in the inner join:
+    # rebuild the full pair list from the (tiny) totals table so they
+    # surface with tvd_bp = 10000 instead of silently vanishing
+    pairs = (
+        tot.select(F.col("g").alias("ga"), F.col("n").alias("na"))
+        .join(tot.select(F.col("g").alias("gb"), F.col("n").alias("nb")), F.col("ga") < F.col("gb"))
+    )
+    num = (
+        F.coalesce("_shared_num", F.lit(0))
+        + (F.col("na") - F.coalesce("_ca_shared", F.lit(0))) * F.col("nb")
+        + (F.col("nb") - F.coalesce("_cb_shared", F.lit(0))) * F.col("na")
+    )
+    return (
+        pairs.join(shared, ["ga", "gb", "na", "nb"], "left")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            num.alias("_num"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_tokens_a",
+            "n_tokens_b",
+            F.expr("10000 * _num div (2 * n_tokens_a * n_tokens_b)")
+            .cast("long")
+            .alias("tvd_bp"),
+        )
+    )
+
+
+def bigram_coverage(
+    df: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fluency proxy without a neural LM: the fraction (in
+    exact basis points) of a document's adjacent word pairs that the
+    corpus itself has seen ``min_count``+ times. Natural prose re-uses
+    collocations, so well-formed documents score high; word-salad,
+    shuffled-token spam, and OCR shred score low even when every
+    individual token is common — the signal unigram quality scores miss.
+    The KenLM-shaped filter (score under corpus n-gram statistics)
+    reduced to rational arithmetic so the DuckDB oracle replays it
+    bit-for-bit.
+
+    Shape: two wordcount exchanges — corpus bigram counts (map-side
+    combined, singleton tail pruned by ``min_count`` BEFORE the join),
+    then doc-bigrams ⋈ surviving counts. The join's build side is the
+    pruned bigram table (vocab-sized); marking it broadcast-eligible is
+    left to AQE since "vocab" can still be large at 100 TB. Documents
+    with < 2 tokens (incl. null/empty) survive via left join with
+    ``n_bigrams 0, coverage_bp 0``."""
+    words = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+    common = (
+        doc_grams.groupBy("ngram")
+        .agg(F.count("*").alias("_tc"))
+        .filter(F.col("_tc") >= min_count)
+        .select("ngram")
+    )
+    per_doc = (
+        doc_grams.join(common.withColumn("_hit", F.lit(1)), "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_common"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce(
+                F.expr("(2 * 10000 * n_common + n_bigrams) div (2 * n_bigrams)"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+    )

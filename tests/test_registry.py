@@ -50,6 +50,11 @@ CARRYOVER = {
     "quality_ensemble",
     "conv_truncate",
     "length_buckets",
+    "token_diversity",
+    "corpus_tvd",
+    "bigram_coverage",
+    "group_sample",
+    "stream_conv_state",
     "domain_cap",
     "skew_report",
     "bpe_pairs",
