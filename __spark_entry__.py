@@ -3547,6 +3547,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_conv_state"] = q_stream_conv_state
 
+    def q_simhash_hamming_pairs(spark, sf):
+        """Manku-style multi-probe SimHash near-dup pairs (dedup.
+        simhash_hamming_pairs): 48-bit fingerprint, 4×12-bit chunk
+        equi-join, exact popcount verify at Hamming ≤ 3. Planted-data
+        pattern: every 17th document gains a twin (id + 10^6) whose text
+        appends four tokens — long twins land within the Hamming budget,
+        short ones drift out, and both engines decide identically."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        twins = docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" nearly identical twin marker"))
+            .alias("text"),
+        )
+        base = docs.unionByName(twins)
+        return dedup.simhash_hamming_pairs(_spread(base))
+
+    q["simhash_hamming_pairs"] = q_simhash_hamming_pairs
+
+    def q_k_anonymity(spark, sf):
+        """Rare-stratum k-anonymity audit (sampling.k_anonymity, k=5)
+        over (lang, source, log2 length bucket) — the violation worklist
+        a release pipeline feeds to suppression/generalization."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        n = F.length(F.coalesce(F.col("text"), F.lit("")))
+        bucket = (
+            F.when(n == 0, F.lit(-1))
+            .otherwise(F.length(F.conv(n.cast("string"), 10, 2)) - 1)
+            .cast("long")
+        )
+        staged = docs.select("doc_id", "lang", "source", bucket.alias("len_bucket"))
+        return sampling.k_anonymity(
+            staged, quasi_cols=["lang", "source", "len_bucket"], k=5
+        )
+
+    q["k_anonymity"] = q_k_anonymity
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -3710,6 +3748,32 @@ def _simhash_sql() -> str:
         for j in range(16)
     )
     return f"select doc_id, cast({bits} as bigint) as simhash from documents"
+
+
+def _simhash48_sql(source: str) -> str:
+    """48-bit wide-SimHash fingerprint SQL (dedup.simhash_wide): bits
+    0-31 vote on the base 32-bit token md5, bits 32-47 on the 'sh2:'
+    salted variant — duplicates kept (unnest of the split list, never
+    filtered), exactly like the Spark aggregate traversal."""
+    votes = ", ".join(
+        (
+            f"sum(case when (lo >> {j}) & 1 = 1 then 1 else -1 end) as v{j}"
+            if j < 32
+            else f"sum(case when (hi >> {j - 32}) & 1 = 1 then 1 else -1 end) as v{j}"
+        )
+        for j in range(48)
+    )
+    fp = " + ".join(f"(case when v{j} > 0 then {1 << j} else 0 end)" for j in range(48))
+    return f"""
+        t48 as (select doc_id, unnest(string_split({_NORM_SQL}, ' ')) as tok
+                from {source}),
+        h48 as (select doc_id,
+                       cast(concat('0x', substr(md5(tok),1,8)) as bigint) as lo,
+                       cast(concat('0x', substr(md5('sh2:' || tok),1,8)) as bigint) as hi
+                from t48),
+        v48 as (select doc_id, {votes} from h48 group by doc_id),
+        fp48 as (select doc_id, cast({fp} as bigint) as simhash from v48)
+    """
 
 
 def _simhash_fp_sql(source: str) -> str:
@@ -7746,6 +7810,49 @@ def oracle_sql() -> dict[str, str]:
                  row_number() over (partition by lang
                    order by md5('gs:' || cast(doc_id as varchar)), doc_id) as rn
           from documents) where rn <= 7
+    """
+    _twin_base = """
+        base as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 1000000 as doc_id,
+                 text || ' nearly identical twin marker' as text
+          from documents where doc_id % 17 = 0)
+    """
+    oracles["simhash_hamming_pairs"] = f"""
+        with {_twin_base},
+        {_simhash48_sql("base")},
+        ch as (select doc_id, simhash, ci,
+                      (simhash >> (12 * ci)) & 4095 as cv
+               from fp48 cross join (select unnest(range(0, 4)) as ci)),
+        ok as (select ci, cv from ch group by ci, cv
+               having count(*) <= 10000),
+        g as (select ch.* from ch join ok using (ci, cv)),
+        cand as (select distinct a.doc_id as id_a, b.doc_id as id_b,
+                        a.simhash as sa, b.simhash as sb
+                 from g a join g b
+                   on a.ci = b.ci and a.cv = b.cv and a.doc_id < b.doc_id)
+        select cast(id_a as bigint) as id_a,
+               cast(id_b as bigint) as id_b,
+               cast(bit_count(xor(sa, sb)) as bigint) as hamming
+        from cand where bit_count(xor(sa, sb)) <= 3
+    """
+    oracles["k_anonymity"] = """
+        with staged as (
+          select doc_id, lang, source,
+                 cast(case when length(coalesce(text, '')) = 0 then -1
+                      else length(bin(length(coalesce(text, '')))) - 1
+                      end as bigint) as len_bucket
+          from documents),
+        sizes as (select lang, source, len_bucket,
+                         cast(count(*) as bigint) as stratum_n
+                  from staged group by lang, source, len_bucket)
+        select s.doc_id, s.lang, s.source, s.len_bucket, z.stratum_n
+        from staged s join sizes z
+          on s.lang is not distinct from z.lang
+         and s.source is not distinct from z.source
+         and s.len_bucket is not distinct from z.len_bucket
+        where z.stratum_n < 5
     """
     if tp is not None:
         oracles["stream_conv_state"] = f"""

@@ -1568,3 +1568,152 @@ def ngram_novelty(
             ).otherwise(F.lit(0)).cast("long").alias("novelty_bp"),
         )
     )
+
+
+def simhash_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wide SimHash fingerprint (default 48-bit) — the input to
+    Hamming-distance near-dup search, where 16 bits is far too coarse
+    (at corpus scale a 16-bit space conflates everything). Two
+    independent 32-bit token hashes (the base md5 plus an ``'sh2:'``
+    salt) supply the bit pool; the sign-vote is the same single
+    ``aggregate`` traversal as :func:`simhash` — each token hashed
+    exactly twice, all ``bits`` counters carried in one array
+    accumulator, no explode, no UDF.
+
+    48 keeps every power of two exact in double math (the shift trick
+    needs 2^j ≤ 2^52) and the fingerprint comfortably inside a signed
+    bigint; for Manku-faithful 64-bit fingerprints at 100 TB, store the
+    two 32-bit halves as separate columns instead of packing."""
+    if not 1 <= bits <= 48:
+        raise ValueError(f"bits must be in [1, 48], got {bits}")
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    hashes = F.transform(
+        tokens,
+        lambda t: F.struct(
+            md5_bigint(t).alias("lo"),
+            md5_bigint(F.concat(F.lit("sh2:"), t)).alias("hi"),
+        ),
+    )
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, j: a
+            + F.when(
+                F.floor(
+                    F.when(j < 32, h["lo"]).otherwise(h["hi"])
+                    / F.pow(F.lit(2.0), F.when(j < 32, j).otherwise(j - 32))
+                )
+                .cast("long")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(
+        F.col(id_col), fingerprint.cast("bigint").alias("simhash"), *extra
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 48,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """All document pairs within SimHash Hamming distance ``max_hamming``
+    — Manku/Jain/Sarma's multi-probe construction (WWW'07), the
+    web-crawl near-dup algorithm, as a pure DataFrame plan. Pigeonhole:
+    split the ``bits``-bit fingerprint into ``max_hamming + 1`` chunks;
+    any pair within distance d agrees exactly on ≥ 1 chunk, so an
+    equi-join per chunk finds every candidate and ``bit_count(xor)``
+    verifies exactly. Never an all-pairs comparison: candidate volume is
+    Σ_buckets |bucket|², concentrated by the chunk width (12 bits here —
+    expected bucket n/4096; widen ``bits``/chunks at 100 TB).
+
+    Shape: fingerprint (no shuffle) → 4-way chunk explode → one
+    self-equi-join on (chunk_idx, chunk_value) → distinct pair →
+    integer popcount verify. The ``max_bucket`` guard drops chunk
+    buckets bigger than the bound (degenerate mass — e.g. empty
+    documents sharing one fingerprint) the same way the Jaccard path
+    guards hot shingles: loudly in the contract, deterministically in
+    the plan, and replayed identically by the oracle. Route exact-equal
+    fingerprints through :func:`simhash_dup_groups` first — identical
+    fingerprints are an exact-dup class, not a near-dup search problem.
+
+    Emits (id_a, id_b, hamming), id_a < id_b."""
+    n_chunks = max_hamming + 1
+    if bits % n_chunks:
+        raise ValueError(f"bits={bits} not divisible by {n_chunks} chunks")
+    w = bits // n_chunks
+    fp = simhash_wide(df, text_col, id_col, bits)
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("ci"),
+                    F.shiftright(F.col("simhash"), w * i)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("cv"),
+                )
+                for i in range(n_chunks)
+            ]
+        )
+    )
+    keyed = fp.select(F.col(id_col), "simhash", chunk.alias("ch")).select(
+        id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv")
+    )
+    ok_buckets = (
+        keyed.groupBy("ci", "cv")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("ci", "cv")
+    )
+    guarded = keyed.join(ok_buckets, ["ci", "cv"])
+    a = guarded.select(
+        F.col("ci"), F.col("cv"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"),
+    )
+    b = guarded.select(
+        F.col("ci"), F.col("cv"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"),
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

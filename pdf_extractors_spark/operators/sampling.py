@@ -451,3 +451,44 @@ def group_sample(
         .filter(F.col("sample_rank") <= k)
         .select(group_col, id_col, F.col("sample_rank").cast("long"))
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Rare-stratum privacy audit: every row whose quasi-identifier
+    combination (``quasi_cols``) is shared by fewer than ``k`` rows —
+    the k-anonymity violation report a release pipeline runs AFTER
+    regex-level PII scrubbing, because re-identification risk lives in
+    attribute combinations, not in any single redactable token.
+
+    Shape: one map-side-combined groupBy over the quasi columns, then
+    the stratum-size table joins back onto the rows (equi-join on the
+    same key the aggregation hashed — one exchange each side, AQE free
+    to broadcast the stratum table when rare strata make it small).
+    Only violating rows are emitted, with their stratum size, so the
+    output is the worklist for suppression/generalization.
+
+    Null quasi-values form their own stratum (groupBy semantics) —
+    deliberately: "lang unknown" is itself an identifying combination —
+    so the join back is NULL-SAFE (``<=>``); a plain equi-join would
+    silently drop exactly the null strata, which are usually the rare
+    ones the audit exists to catch."""
+    quasi = quasi_cols or ["lang", "source"]
+    sizes = df.groupBy(*quasi).agg(F.count("*").cast("long").alias("stratum_n"))
+    sized = sizes.select(
+        *[F.col(c).alias(f"_q_{c}") for c in quasi], F.col("stratum_n")
+    )
+    cond = None
+    for c in quasi:
+        piece = F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+        cond = piece if cond is None else cond & piece
+    return (
+        df.select(id_col, *quasi)
+        .join(sized, cond)
+        .filter(F.col("stratum_n") < k)
+        .select(F.col(id_col), *[F.col(c) for c in quasi], F.col("stratum_n"))
+    )

@@ -55,6 +55,8 @@ CARRYOVER = {
     "bigram_coverage",
     "group_sample",
     "stream_conv_state",
+    "simhash_hamming_pairs",
+    "k_anonymity",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -186,3 +186,111 @@ def test_group_sample_other_group_growth_is_isolated(spark):
         if r["lang"] == "g0"
     )
     assert pick(df1) == pick(df2)
+
+
+# ----------------------------------------------- simhash_hamming_pairs
+
+
+def test_simhash_wide_bits_bound(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash_wide(df, bits=64)
+
+
+def test_simhash_hamming_pairs_finds_planted_twin(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the long meadow toward the river bank every morning "
+    ) * 4
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tiny suffix"),        # near-dup of 1
+            (3, "completely different words about spark physics and "
+                "astronomy nothing shared with the fox sentences at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(df).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)] <= 3
+    assert all(p == (1, 2) for p in got)
+
+
+def test_simhash_hamming_pairs_verify_is_exact(spark):
+    """Chunk agreement alone is NOT membership: a pair agreeing on one
+    chunk but differing by > max_hamming bits overall must be rejected
+    by the popcount verify."""
+    from pdf_extractors_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_wide(df).collect()}
+    ham = bin(fps[1] ^ fps[2]).count("1")
+    pairs = dedup.simhash_hamming_pairs(df).collect()
+    if ham <= 3:
+        assert len(pairs) == 1
+    else:
+        assert pairs == []
+
+
+def test_simhash_hamming_pairs_identical_text_distance_zero(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here")],
+        "doc_id long, text string",
+    )
+    r = dedup.simhash_hamming_pairs(df).collect()
+    assert len(r) == 1 and r[0]["hamming"] == 0
+
+
+def test_simhash_hamming_pairs_bucket_guard(spark):
+    """A degenerate bucket larger than max_bucket is dropped whole."""
+    from pdf_extractors_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, "identical degenerate mass") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # every doc has the same fingerprint: all 4 chunk buckets have 6 > 5
+    assert dedup.simhash_hamming_pairs(df, max_bucket=5).collect() == []
+    # with the guard open, all 15 pairs at distance 0 surface
+    assert len(dedup.simhash_hamming_pairs(df, max_bucket=100).collect()) == 15
+
+
+# ---------------------------------------------------------- k_anonymity
+
+
+def test_k_anonymity_reports_only_rare_strata(spark):
+    from pdf_extractors_spark.operators import sampling
+
+    rows = [(i, "en", "web") for i in range(10)] + [
+        (100, "de", "web"),
+        (101, "de", "web"),
+        (102, "fr", None),  # null quasi-value is its own stratum
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    got = {r["doc_id"]: r["stratum_n"] for r in sampling.k_anonymity(df, k=5).collect()}
+    assert set(got) == {100, 101, 102}
+    assert got[100] == 2 and got[102] == 1
+
+
+def test_k_anonymity_threshold_boundary(spark):
+    from pdf_extractors_spark.operators import sampling
+
+    rows = [(i, "en", "web") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    # exactly k rows: NOT a violation
+    assert sampling.k_anonymity(df, k=5).collect() == []
