@@ -1037,3 +1037,50 @@ def test_cms_heavy_hitters_bounded_exchanges_broadcast_counters(spark):
     assert plan.count(") BroadcastExchange") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_group_sample_sort_is_rank_limited(spark):
+    """The two-level top-k prune must materialize as WindowGroupLimit
+    (rank-limit pushdown): each sort keeps only the per-partition top-k
+    instead of sorting whole groups — the property that makes the
+    deterministic sample safe on 10⁹-row groups."""
+    from pdf_extractors_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "doc_id long, lang string"
+    )
+    plan = _plan(sampling.group_sample(df, k=5))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_hamming_pairs_equijoin_only(spark, tmp_path):
+    """Multi-probe candidate generation is an equi-join on the chunk
+    key — never a cartesian / nested-loop pass, and no Python stage:
+    the fingerprint, chunk explode, and popcount verify are all column
+    math."""
+    from pdf_extractors_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    ).write.parquet(path)
+    plan = _plan(dedup.simhash_hamming_pairs(spark.read.parquet(path)))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_corpus_tvd_no_fullouter_and_totals_broadcast(spark):
+    """The one-sided correction is algebraic: the token join is INNER
+    (shared vocabulary only) and the per-slice totals ride broadcast —
+    a full-outer join over the union vocabulary never appears."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    plan = _plan(text_stats.corpus_tvd(df))
+    assert "FullOuter" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
