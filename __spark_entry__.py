@@ -3585,6 +3585,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["k_anonymity"] = q_k_anonymity
 
+    def q_session_rollup(spark, sf):
+        """Native session_window rollup over events (pipeline.
+        session_rollup, 30-minute gap): Spark's merging-window
+        aggregation, stream-liftable unchanged — value-checked against a
+        gaps-and-islands SQL re-derivation of the same boundaries."""
+        return pipeline.session_rollup(_read(spark, sf, "events"))
+
+    q["session_rollup"] = q_session_rollup
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -7853,6 +7862,28 @@ def oracle_sql() -> dict[str, str]:
          and s.source is not distinct from z.source
          and s.len_bucket is not distinct from z.len_bucket
         where z.stratum_n < 5
+    """
+    oracles["session_rollup"] = """
+        with o as (
+          select user_id, ts,
+                 lag(ts) over (partition by user_id order by ts) as prev_ts
+          from events where ts is not null),
+        m as (
+          select user_id, ts,
+                 case when prev_ts is null
+                           or ts > prev_ts + interval 30 minute
+                      then 1 else 0 end as is_new
+          from o),
+        s as (
+          select user_id, ts,
+                 sum(is_new) over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as sid
+          from m)
+        select user_id,
+               min(ts) as s_start,
+               max(ts) + interval 30 minute as s_end,
+               cast(count(*) as bigint) as n_events
+        from s group by user_id, sid
     """
     if tp is not None:
         oracles["stream_conv_state"] = f"""

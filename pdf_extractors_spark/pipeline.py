@@ -874,3 +874,38 @@ def conv_truncate(
             | (F.col("_pos_from_end") == 1)
         ).alias("kept"),
     )
+
+
+def session_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-key session rollup via the NATIVE ``session_window``: Spark's
+    merging-window aggregation (each event opens ``[ts, ts+gap)``;
+    overlapping windows merge), the same operator that powers streaming
+    sessionization — so this rollup lifts to ``readStream`` + watermark
+    unchanged, unlike the two-window gaps-and-islands of
+    :func:`time_sessionize` which needs bounded input. One exchange on
+    the grouping key; the merge happens inside the aggregation, no lag
+    window, no second sort.
+
+    Boundary contract (session_window semantics, replayed by the
+    oracle and pinned by test): an event exactly ``gap`` after its
+    predecessor MERGES into the session — only a strictly larger gap
+    starts a new one, identical to :func:`time_sessionize`'s ``>``
+    predicate. Emits (key, s_start, s_end,
+    n_events) with ``s_end = last_ts + gap``. Null timestamps are
+    dropped by the window expression — count them upstream if they must
+    be audited (conv_validate does)."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+        )
+    )

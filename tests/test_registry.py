@@ -57,6 +57,7 @@ CARRYOVER = {
     "stream_conv_state",
     "simhash_hamming_pairs",
     "k_anonymity",
+    "session_rollup",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

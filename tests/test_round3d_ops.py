@@ -294,3 +294,54 @@ def test_k_anonymity_threshold_boundary(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
     # exactly k rows: NOT a violation
     assert sampling.k_anonymity(df, k=5).collect() == []
+
+
+# ------------------------------------------------------- session_rollup
+
+
+def test_session_rollup_merging_and_boundary(spark):
+    from datetime import datetime, timedelta
+
+    from pdf_extractors_spark import pipeline
+
+    t = lambda m: datetime(2026, 1, 1, 12, 0, 0) + timedelta(minutes=m)
+    rows = [
+        (1, t(0)), (1, t(10)),   # one session: 10 < 30 gap
+        (1, t(40)),              # exactly 30 after t(10): MERGES (>, not >=)
+        (1, t(40 + 31)),         # 31 > 30: new session
+        (2, t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["s_start"].minute, r["s_end"].minute % 60, r["n_events"])
+        for r in pipeline.session_rollup(df).collect()
+    )
+    # u1 session A: [12:00, 13:10) 3 events; session B: [13:11, 13:41) 1
+    assert got == [(1, 0, 10, 3), (1, 11, 41, 1), (2, 0, 30, 1)]
+
+
+def test_session_rollup_matches_time_sessionize_boundaries(spark):
+    """The native session_window and the gaps-and-islands window form
+    segment identically (same gap, >= boundary) on gap-spaced data."""
+    from datetime import datetime, timedelta
+
+    from pdf_extractors_spark import pipeline
+    from pyspark.sql import functions as F
+
+    base = datetime(2026, 1, 1)
+    rows = []
+    for u in range(3):
+        ts = base
+        for i in range(12):
+            ts += timedelta(minutes=(i * 7 + u * 3) % 45)
+            rows.append((u, i, ts))
+    df = spark.createDataFrame(rows, "user_id long, turn_idx int, ts timestamp")
+    native = pipeline.session_rollup(df, key_col="user_id", gap="30 minutes")
+    n_native = native.count()
+    gi = pipeline.time_sessionize(
+        df, key_col="user_id", order_col="ts", gap_s=1800
+    )
+    # both use the same strictly-greater-than-gap predicate, so the
+    # segmentations are identical session for session
+    n_gi = gi.groupBy("user_id", "session_idx").count().count()
+    assert n_native == n_gi
