@@ -1397,6 +1397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_stitch"] = q_conv_stitch
 
+    def q_conv_stitch_arrow(spark, sf):
+        """Cross-turn assembly via grouped-map applyInArrow (the
+        Arrow-native stage the north star names): identical contract to
+        conv_stitch — same oracle SQL, pyarrow compute kernels in the
+        worker, no pandas materialization."""
+        return pipeline.conv_stitch_arrow(_transcripts(spark, "sf0.01"))
+
+    q["conv_stitch_arrow"] = q_conv_stitch_arrow
+
     def q_time_rollup(spark, sf):
         """Hypertable-style time rollup: hourly buckets × event_type with
         ROLLUP subtotals (hour totals + grand total). The reference has
@@ -6268,6 +6277,8 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{tp}')
             group by conv_id
         """
+        # the Arrow-native stitch is contract-identical: same oracle
+        oracles["conv_stitch_arrow"] = oracles["conv_stitch"]
         oracles.update(
             {
                 "fixedwidth_items_flat": _fixedwidth_sql(tp),

@@ -909,3 +909,42 @@ def session_rollup(
             "n_events",
         )
     )
+
+
+def conv_stitch_arrow(transcripts: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Cross-turn assembly via grouped-map ``applyInArrow`` — the
+    Arrow-NATIVE sibling of :func:`conv_stitch`: the group arrives as a
+    ``pyarrow.Table`` and is assembled with pyarrow compute kernels, no
+    pandas materialization in the worker at all (``applyInPandas`` still
+    builds a pandas DataFrame per group from the Arrow batch; for
+    string-heavy conversation groups that copy is the dominant worker
+    cost). Identical output contract to conv_stitch — pinned by test —
+    and the same single conv_id exchange; this is the shape the north
+    star names for per-conversation stages at 10^12 turns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stitch(table: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(table["turn_idx"])
+        texts = pc.fill_null(table.column("text").take(idx), "").combine_chunks()
+        # one list<string> cell wrapping the whole group → binary_join
+        # concatenates inside Arrow (no per-turn Python string hops)
+        wrapped = pa.ListArray.from_arrays(
+            pa.array([0, len(texts)], pa.int32()), texts
+        )
+        joined = pc.binary_join(wrapped, sep)
+        return pa.table(
+            {
+                "conv_id": pa.array([table["conv_id"][0].as_py()], pa.string()),
+                "n_turns": pa.array([table.num_rows], pa.int64()),
+                "stitched_text": joined.cast(pa.string()),
+            }
+        )
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInArrow(
+            stitch, schema="conv_id string, n_turns long, stitched_text string"
+        )
+    )

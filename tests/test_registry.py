@@ -58,6 +58,7 @@ CARRYOVER = {
     "simhash_hamming_pairs",
     "k_anonymity",
     "session_rollup",
+    "conv_stitch_arrow",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

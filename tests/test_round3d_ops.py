@@ -345,3 +345,29 @@ def test_session_rollup_matches_time_sessionize_boundaries(spark):
     # segmentations are identical session for session
     n_gi = gi.groupBy("user_id", "session_idx").count().count()
     assert n_native == n_gi
+
+
+# ---------------------------------------------------- conv_stitch_arrow
+
+
+def test_conv_stitch_arrow_matches_pandas_form(spark):
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        ("A", 1, "middle"),
+        ("A", 0, "first"),
+        ("A", 2, None),       # null text → '' in the join
+        ("B", 0, "only"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    arrow = {
+        r["conv_id"]: (r["n_turns"], r["stitched_text"])
+        for r in pipeline.conv_stitch_arrow(df).collect()
+    }
+    pandas = {
+        r["conv_id"]: (r["n_turns"], r["stitched_text"])
+        for r in pipeline.conv_stitch(df).collect()
+    }
+    assert arrow == pandas
+    assert arrow["A"] == (3, "first\n\nmiddle\n\n")
+    assert arrow["B"] == (1, "only")
