@@ -3603,6 +3603,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_rollup"] = q_session_rollup
 
+    def q_watermark_lateness(spark, sf):
+        """Watermark-choice audit (pipeline.watermark_lateness, 60s
+        delay) over the transcripts fixture with planted event-time
+        disorder: turns in md5 bucket 0 (of 7) arrive with their event
+        time shifted 600s into the past, so a 60s watermark drops them;
+        everything else is in order. Same plant in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select("conv_id", "turn_idx", "ts")
+        b = md5_bigint(
+            F.concat(
+                F.lit("wl:"),
+                F.col("conv_id"),
+                F.lit(":"),
+                F.col("turn_idx").cast("string"),
+            )
+        )
+        planted = t.withColumn(
+            "ts",
+            F.when(
+                F.pmod(b, F.lit(7)) == 0,
+                F.col("ts") - F.expr("interval 600 seconds"),
+            ).otherwise(F.col("ts")),
+        )
+        return pipeline.watermark_lateness(planted, delay_s=60)
+
+    q["watermark_lateness"] = q_watermark_lateness
+
+    def q_retry_runs(spark, sf):
+        """Degenerate-retry run lengths (pipeline.retry_runs, min_run=3)
+        over the transcripts fixture with the tool column re-planted in
+        9-turn blocks (hash-chosen from 3 names), so consecutive
+        tool-role turns inside one block repeat the same tool and form
+        runs up to length 3. Same plant in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "tool"
+        )
+        b = md5_bigint(
+            F.concat(
+                F.lit("rr:"),
+                F.col("conv_id"),
+                F.lit(":"),
+                F.floor(F.col("turn_idx") / 9).cast("string"),
+            )
+        )
+        planted = t.withColumn(
+            "tool",
+            F.element_at(
+                F.array(F.lit("srch"), F.lit("calc"), F.lit("write")),
+                F.pmod(b, F.lit(3)).cast("int") + 1,
+            ),
+        )
+        return pipeline.retry_runs(planted, min_run=3)
+
+    q["retry_runs"] = q_retry_runs
+
+    def q_tool_args_keys(spark, sf):
+        """Tool-envelope key-frequency audit (pipeline.tool_args_keys)
+        over the transcripts fixture with tool-turn payloads re-planted
+        as one of three envelope shapes (two valid flat JSON objects
+        with different key sets, one non-JSON string), hash-chosen — the
+        pct_bp split is exact and the invalid rows exercise the
+        permissive-parse path. Same plant in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "tool", "text"
+        )
+        b = md5_bigint(
+            F.concat(
+                F.lit("tk:"),
+                F.col("conv_id"),
+                F.lit(":"),
+                F.col("turn_idx").cast("string"),
+            )
+        )
+        planted = t.withColumn(
+            "text",
+            F.element_at(
+                F.array(
+                    F.lit('{"status":"ok","latency_ms":"12"}'),
+                    F.lit('{"status":"err","error":"boom"}'),
+                    F.lit("raw tool output, not an envelope"),
+                ),
+                F.pmod(b, F.lit(3)).cast("int") + 1,
+            ),
+        )
+        return pipeline.tool_args_keys(planted)
+
+    q["tool_args_keys"] = q_tool_args_keys
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -7904,5 +7997,115 @@ def oracle_sql() -> dict[str, str]:
                    false as closed
             from read_parquet('{tp}')
             group by conv_id
+        """
+        # watermark_lateness: the 600s plant is applied on the integer
+        # epoch (Spark's (ts - 600s).cast(long) == ts.cast(long) - 600
+        # exactly), so no interval arithmetic can diverge between engines
+        oracles["watermark_lateness"] = f"""
+            with e as (
+              select conv_id, turn_idx,
+                     cast(floor(epoch(ts)) as bigint)
+                       - case when cast(concat('0x', substr(md5(
+                               'wl:' || conv_id || ':'
+                               || cast(turn_idx as varchar)), 1, 8))
+                             as bigint) % 7 = 0
+                         then 600 else 0 end as ep
+              from read_parquet('{tp}')),
+            r as (
+              select conv_id, ep,
+                     max(ep) over (partition by conv_id order by turn_idx
+                       rows between unbounded preceding and 1 preceding)
+                       as run_max
+              from e),
+            d as (
+              select conv_id, ep,
+                     case when ep is not null and run_max is not null
+                          then greatest(run_max - ep, 0) end as disorder
+              from r)
+            select conv_id,
+                   cast(count(ep) as bigint) as n_rows,
+                   cast(coalesce(sum(case when disorder > 60
+                                          then 1 else 0 end), 0)
+                     as bigint) as n_late,
+                   cast(coalesce(max(disorder), 0) as bigint)
+                     as max_disorder_secs,
+                   cast(sum(case when ep is null then 1 else 0 end)
+                     as bigint) as n_null_ts
+            from d group by conv_id
+        """
+        oracles["retry_runs"] = f"""
+            with p as (
+              select conv_id, turn_idx, role,
+                     (['srch', 'calc', 'write'])[
+                       cast(cast(concat('0x', substr(md5(
+                           'rr:' || conv_id || ':'
+                           || cast(cast(floor(turn_idx / 9) as bigint)
+                                   as varchar)), 1, 8))
+                         as bigint) % 3 as int) + 1] as tool
+              from read_parquet('{tp}')),
+            t as (
+              select conv_id, turn_idx, tool from p
+              where role = 'tool'),
+            i as (
+              select conv_id, tool,
+                     row_number() over (partition by conv_id
+                                        order by turn_idx)
+                   - row_number() over (partition by conv_id, tool
+                                        order by turn_idx) as island
+              from t),
+            runs as (
+              select conv_id, tool, island,
+                     cast(count(*) as bigint) as run_len
+              from i group by conv_id, tool, island),
+            per as (
+              select conv_id,
+                     cast(sum(run_len) as bigint) as n_tool_calls,
+                     cast(count(*) as bigint) as n_runs,
+                     cast(max(run_len) as bigint) as max_run,
+                     cast(sum(case when run_len >= 3 then 1 else 0 end)
+                       as bigint) as n_runs_ge_min
+              from runs group by conv_id),
+            allc as (select distinct conv_id from p)
+            select a.conv_id,
+                   cast(coalesce(per.n_tool_calls, 0) as bigint)
+                     as n_tool_calls,
+                   cast(coalesce(per.n_runs, 0) as bigint) as n_runs,
+                   cast(coalesce(per.max_run, 0) as bigint) as max_run,
+                   cast(coalesce(per.n_runs_ge_min, 0) as bigint)
+                     as n_runs_ge_min
+            from allc a left join per on a.conv_id = per.conv_id
+        """
+        oracles["tool_args_keys"] = f"""
+            with p as (
+              select tool,
+                     (['{{"status":"ok","latency_ms":"12"}}',
+                       '{{"status":"err","error":"boom"}}',
+                       'raw tool output, not an envelope'])[
+                       cast(cast(concat('0x', substr(md5(
+                           'tk:' || conv_id || ':'
+                           || cast(turn_idx as varchar)), 1, 8))
+                         as bigint) % 3 as int) + 1] as text
+              from read_parquet('{tp}') where role = 'tool'),
+            v as (
+              select tool, text,
+                     case when json_valid(text)
+                               and json_type(json(text)) = 'OBJECT'
+                          then 1 else 0 end as is_obj
+              from p),
+            tot as (
+              select tool, cast(count(*) as bigint) as n_calls,
+                     cast(sum(is_obj) as bigint) as n_json
+              from v group by tool),
+            k as (
+              select tool, unnest(json_keys(text)) as key
+              from v where is_obj = 1),
+            kc as (
+              select tool, key, cast(count(*) as bigint) as n_with_key
+              from k group by tool, key)
+            select kc.tool, kc.key, tot.n_calls, tot.n_json,
+                   kc.n_with_key,
+                   cast((2 * 10000 * kc.n_with_key + tot.n_json)
+                        // (2 * tot.n_json) as bigint) as pct_bp
+            from kc join tot on kc.tool = tot.tool
         """
     return oracles

@@ -948,3 +948,181 @@ def conv_stitch_arrow(transcripts: DataFrame, sep: str = "\n\n") -> DataFrame:
             stitch, schema="conv_id string, n_turns long, stitched_text string"
         )
     )
+
+
+def watermark_lateness(
+    events: DataFrame,
+    delay_s: int = 60,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermark-choice audit: replay the stream in arrival order
+    (``order_col``) and count, per key, the rows a watermarked streaming
+    aggregation with ``withWatermark(ts, delay_s)`` would DROP — rows
+    whose event time trails the running max event time of earlier
+    arrivals by more than ``delay_s`` seconds. The one number a team
+    needs before picking a watermark delay for the streaming rollups
+    (``streaming/extract_stream.py``): too tight drops data, too loose
+    holds state.
+
+    Per key emits::
+
+        n_rows             arrival rows (null event times excluded)
+        n_late             rows a delay_s watermark would drop
+        max_disorder_secs  worst observed disorder (running-max − event
+                           time, 0 when in order) — the MINIMUM delay
+                           that would have dropped nothing
+        n_null_ts          rows with no event time (audited, not dropped
+                           silently)
+
+    Exact integer seconds (epoch difference), so the audit replays
+    bit-for-bit in the SQL oracle. One exchange: the running-max window
+    and the per-key aggregate share hashpartitioning(key)."""
+    ep = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # running max over STRICTLY EARLIER arrivals: a row is judged against
+    # the watermark the engine held when it arrived, not one it advances
+    run_max = F.max(ep).over(w)
+    disorder = F.when(
+        ep.isNotNull() & run_max.isNotNull(),
+        F.greatest(run_max - ep, F.lit(0)),
+    )
+    rows = events.select(
+        F.col(key_col),
+        ep.alias("_ep"),
+        disorder.alias("_disorder"),
+    )
+    return rows.groupBy(key_col).agg(
+        F.count("_ep").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum((F.col("_disorder") > delay_s).cast("long")), F.lit(0)
+        ).cast("long").alias("n_late"),
+        F.coalesce(F.max("_disorder"), F.lit(0))
+        .cast("long")
+        .alias("max_disorder_secs"),
+        F.sum(F.col("_ep").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null_ts"),
+    )
+
+
+def retry_runs(
+    transcripts: DataFrame, min_run: int = 3
+) -> DataFrame:
+    """Degenerate-retry detection: per conversation, run lengths of
+    CONSECUTIVE identical tool calls (``role='tool'`` turns in turn
+    order, islands of equal ``tool``). An agent stuck in a loop retries
+    the same tool back-to-back; the per-edge Markov table
+    (``tool_transitions``) sees the self-edge but not the run length —
+    this is the conversation-level signal a training-data filter
+    actually thresholds on.
+
+    Per conversation (conversations with no tool turns are preserved
+    with zeros) emits::
+
+        n_tool_calls   tool-role turns
+        n_runs         islands of consecutive identical tool values
+        max_run        longest island (0 when no tool turns)
+        n_runs_ge_min  islands with length >= min_run — the loop count
+
+    Null tool names form their own island value (null-safe equality),
+    counted like any other. Gaps-and-islands with both windows on
+    conv_id, then a per-conversation rollup: every cluster key is a
+    superset of conv_id, one exchange total. Left-joined back onto the
+    distinct conv_id set so tool-less conversations keep their zeros."""
+    tools = transcripts.filter(F.col("role") == "tool").select(
+        "conv_id", F.col("turn_idx").alias("_idx"), "tool"
+    )
+    w_all = Window.partitionBy("conv_id").orderBy("_idx")
+    # island id = arrival seq minus per-tool seq (classic gaps-and-islands)
+    seq = F.row_number().over(w_all)
+    seq_tool = F.row_number().over(
+        Window.partitionBy("conv_id", "tool").orderBy("_idx")
+    )
+    islands = tools.select(
+        "conv_id",
+        "tool",
+        (seq - seq_tool).alias("_island"),
+    )
+    runs = islands.groupBy("conv_id", "tool", "_island").agg(
+        F.count("*").cast("long").alias("_run_len")
+    )
+    per_conv = runs.groupBy("conv_id").agg(
+        F.sum("_run_len").cast("long").alias("n_tool_calls"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("_run_len").cast("long").alias("max_run"),
+        F.sum((F.col("_run_len") >= min_run).cast("long"))
+        .cast("long")
+        .alias("n_runs_ge_min"),
+    )
+    all_convs = transcripts.select("conv_id").distinct()
+    return all_convs.join(per_conv, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_tool_calls", F.lit(0)).cast("long").alias("n_tool_calls"),
+        F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+        F.coalesce("max_run", F.lit(0)).cast("long").alias("max_run"),
+        F.coalesce("n_runs_ge_min", F.lit(0))
+        .cast("long")
+        .alias("n_runs_ge_min"),
+    )
+
+
+def tool_args_keys(
+    transcripts: DataFrame, payload_col: str = "text"
+) -> DataFrame:
+    """Tool-envelope schema audit: for every tool, which JSON keys its
+    result payloads actually carry and how often — the drift report that
+    catches a tool fleet changing its envelope mid-corpus (a key present
+    in 40% of rows IS the migration boundary). Complements
+    :func:`tool_call_stats`, which assumes the envelope; this measures
+    it.
+
+    ``role='tool'`` payloads parse permissively as a flat JSON object
+    (``from_json`` to ``map<string,string>``); non-object payloads count
+    toward the tool's ``n_json``-vs-``n_calls`` gap instead of erroring.
+    Per ``(tool, key)`` emits::
+
+        n_calls   tool-role turns for this tool (same on every key row)
+        n_json    turns that parsed as a JSON object
+        n_with_key  parsed turns carrying this key
+        pct_bp      n_with_key / n_json in half-up basis points
+
+    Two map-side-combined aggregates — key counts on (tool, key), totals
+    on tool — joined on tool; the totals table is one row per tool, so
+    AQE broadcasts it. JSON parsing is JVM-side codegen (Jackson), no
+    Python anywhere; at 10^12 turns the shuffle carries (tool, key)
+    pairs and counts, never payloads."""
+    parsed = transcripts.filter(F.col("role") == "tool").select(
+        "tool",
+        F.from_json(F.col(payload_col), "map<string,string>").alias("_m"),
+    )
+    totals = parsed.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.sum(F.col("_m").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_json"),
+    )
+    keys = (
+        parsed.filter(F.col("_m").isNotNull())
+        .select("tool", F.explode(F.map_keys("_m")).alias("key"))
+        .groupBy("tool", "key")
+        .agg(F.count("*").cast("long").alias("n_with_key"))
+    )
+    return keys.join(totals, "tool").select(
+        "tool",
+        "key",
+        "n_calls",
+        "n_json",
+        "n_with_key",
+        F.floor(
+            (F.lit(2) * 10000 * F.col("n_with_key") + F.col("n_json"))
+            / (F.lit(2) * F.col("n_json"))
+        )
+        .cast("long")
+        .alias("pct_bp"),
+    )

@@ -59,6 +59,9 @@ CARRYOVER = {
     "k_anonymity",
     "session_rollup",
     "conv_stitch_arrow",
+    "watermark_lateness",
+    "retry_runs",
+    "tool_args_keys",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

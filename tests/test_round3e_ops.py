@@ -1,0 +1,141 @@
+"""Round-3 batch-8 operators: watermark_lateness, retry_runs,
+tool_args_keys."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pdf_extractors_spark import pipeline
+
+# ---------------------------------------------------- watermark_lateness
+
+
+def _ts(s: int) -> datetime:
+    return datetime(2026, 1, 1) + timedelta(seconds=s)
+
+
+def test_watermark_lateness_counts_and_disorder(spark):
+    rows = [
+        # conv a: arrival order 0..4, event times with one late row
+        ("a", 0, _ts(100)),
+        ("a", 1, _ts(200)),
+        ("a", 2, _ts(50)),   # 150s behind the running max (200): late at 60
+        ("a", 3, _ts(190)),  # 10s behind: within a 60s watermark
+        ("a", 4, _ts(300)),
+        # conv b: perfectly ordered
+        ("b", 0, _ts(0)),
+        ("b", 1, _ts(10)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {r["conv_id"]: r.asDict() for r in pipeline.watermark_lateness(df, delay_s=60).collect()}
+    assert got["a"]["n_rows"] == 5
+    assert got["a"]["n_late"] == 1
+    assert got["a"]["max_disorder_secs"] == 150
+    assert got["a"]["n_null_ts"] == 0
+    assert got["b"]["n_late"] == 0
+    assert got["b"]["max_disorder_secs"] == 0
+
+
+def test_watermark_lateness_null_ts_audited_not_dropped(spark):
+    rows = [
+        ("a", 0, _ts(100)),
+        ("a", 1, None),
+        ("a", 2, _ts(90)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    r = pipeline.watermark_lateness(df, delay_s=5).collect()[0]
+    # null ts row is counted separately; the 10s-disorder row IS late at 5s
+    assert (r["n_rows"], r["n_null_ts"], r["n_late"], r["max_disorder_secs"]) == (2, 1, 1, 10)
+
+
+def test_watermark_lateness_min_delay_property(spark):
+    """max_disorder_secs is exactly the smallest delay that drops nothing:
+    re-running with delay = max_disorder yields n_late == 0, and with
+    delay = max_disorder - 1 yields n_late >= 1."""
+    rows = [("a", i, _ts((i * 37) % 100)) for i in range(20)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    d = pipeline.watermark_lateness(df, delay_s=0).collect()[0]["max_disorder_secs"]
+    assert d > 0
+    at_d = pipeline.watermark_lateness(df, delay_s=d).collect()[0]
+    below = pipeline.watermark_lateness(df, delay_s=d - 1).collect()[0]
+    assert at_d["n_late"] == 0
+    assert below["n_late"] >= 1
+
+
+# ------------------------------------------------------------ retry_runs
+
+
+def test_retry_runs_islands_and_zeros(spark):
+    rows = [
+        # conv a tool sequence: x x x y x  -> runs [3,1,1], max 3, one >=3
+        ("a", 0, "user", None),
+        ("a", 1, "tool", "x"),
+        ("a", 2, "tool", "x"),
+        ("a", 3, "tool", "x"),
+        ("a", 4, "tool", "y"),
+        ("a", 5, "tool", "x"),
+        # conv b: no tool turns at all -> preserved with zeros
+        ("b", 0, "user", None),
+        ("b", 1, "assistant", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    got = {r["conv_id"]: r.asDict() for r in pipeline.retry_runs(df, min_run=3).collect()}
+    assert got["a"] == {
+        "conv_id": "a", "n_tool_calls": 5, "n_runs": 3,
+        "max_run": 3, "n_runs_ge_min": 1,
+    }
+    assert got["b"] == {
+        "conv_id": "b", "n_tool_calls": 0, "n_runs": 0,
+        "max_run": 0, "n_runs_ge_min": 0,
+    }
+
+
+def test_retry_runs_null_tool_is_an_island_value(spark):
+    rows = [
+        ("a", 0, "tool", None),
+        ("a", 1, "tool", None),
+        ("a", 2, "tool", "x"),
+        ("a", 3, "tool", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    r = pipeline.retry_runs(df, min_run=2).collect()[0]
+    # runs: [null,null] [x] [null] -> 3 runs, max 2, one >= 2
+    assert (r["n_runs"], r["max_run"], r["n_runs_ge_min"]) == (3, 2, 1)
+
+
+# -------------------------------------------------------- tool_args_keys
+
+
+def test_tool_args_keys_counts_and_pct(spark):
+    rows = [
+        ("a", 0, "tool", "srch", '{"status":"ok","latency_ms":"12"}'),
+        ("a", 1, "tool", "srch", '{"status":"err"}'),
+        ("a", 2, "tool", "srch", "not json at all"),
+        ("a", 3, "tool", "calc", "{}"),
+        ("a", 4, "user", None, '{"status":"ok"}'),  # non-tool role: ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, text string"
+    )
+    got = {(r["tool"], r["key"]): r.asDict() for r in pipeline.tool_args_keys(df).collect()}
+    assert got[("srch", "status")]["n_calls"] == 3
+    assert got[("srch", "status")]["n_json"] == 2
+    assert got[("srch", "status")]["n_with_key"] == 2
+    assert got[("srch", "status")]["pct_bp"] == 10000
+    assert got[("srch", "latency_ms")]["n_with_key"] == 1
+    assert got[("srch", "latency_ms")]["pct_bp"] == 5000
+    # calc parsed one empty object: no key rows, so no (calc, *) entry
+    assert not any(t == "calc" for t, _ in got)
+
+
+def test_tool_args_keys_half_up_rounding(spark):
+    # 1 of 3 json rows carry the key -> 3333.33..bp, half-up floor -> 3333
+    rows = [
+        ("a", i, "tool", "t", p)
+        for i, p in enumerate(['{"k":"1"}', '{"j":"1"}', '{"j":"2"}'])
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, text string"
+    )
+    got = {r["key"]: r["pct_bp"] for r in pipeline.tool_args_keys(df).collect()}
+    assert got == {"k": 3333, "j": 6667}
