@@ -3696,6 +3696,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tool_args_keys"] = q_tool_args_keys
 
+    def q_lsh_degree_hist(spark, sf):
+        """Candidate-graph degree histogram (dedup.lsh_degree_hist) over
+        the documents corpus' MinHash signatures — the banding health
+        report; zero-degree documents counted against the signature
+        basis. Oracle replays the shared banding CTE chain."""
+        from pdf_extractors_spark.operators import dedup
+
+        sigs = dedup.minhash_signatures(_read(spark, sf, "documents"))
+        return dedup.lsh_degree_hist(sigs)
+
+    q["lsh_degree_hist"] = q_lsh_degree_hist
+
+    def q_cdc_savings(spark, sf):
+        """Chunk-dedup storage-savings estimate (text_stats.cdc_savings)
+        over the documents corpus: content-defined chunk identities
+        counted once, duplicate characters and the half-up basis-point
+        savings share. Oracle extends the cdc_chunks SQL re-derivation
+        with the same 32-bit md5 chunk hash."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.cdc_savings(_read(spark, sf, "documents"))
+
+    q["cdc_savings"] = q_cdc_savings
+
+    def q_rank_agreement(spark, sf):
+        """Quality-signal rank calibration (text_stats.rank_agreement):
+        per language, the Spearman footrule between ranking documents by
+        character length vs by whitespace token count — two real,
+        cheaply-replayable signals; ties broken by doc_id so the ranking
+        is total in both engines."""
+        from pdf_extractors_spark.operators import text_stats
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("sa"),
+            F.size(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("sb"),
+        )
+        return text_stats.rank_agreement(d, "sa", "sb", "lang")
+
+    q["rank_agreement"] = q_rank_agreement
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -7988,6 +8032,98 @@ def oracle_sql() -> dict[str, str]:
                max(ts) + interval 30 minute as s_end,
                cast(count(*) as bigint) as n_events
         from s group by user_id, sid
+    """
+    oracles["lsh_degree_hist"] = f"""
+        with {_lsh_pairs_ctes()},
+        endpoints as (
+          select id_a as doc_id from pairs
+          union all
+          select id_b as doc_id from pairs),
+        deg as (
+          select doc_id, cast(count(*) as bigint) as degree
+          from endpoints group by doc_id),
+        based as (
+          select coalesce(deg.degree, 0) as degree
+          from sig left join deg on sig.doc_id = deg.doc_id)
+        select cast(degree as bigint) as degree,
+               cast(count(*) as bigint) as n_docs
+        from based group by degree
+    """
+    oracles["cdc_savings"] = f"""
+        with base as (
+          select doc_id, text, length(text) as n
+          from documents where text is not null and length(text) > 0),
+        hashed as (
+          select doc_id, text, n,
+            list_transform(range(1, n+1),
+              i -> cast(unicode(substr(text, i, 1)) as bigint)) as codes
+          from base),
+        cuts_t as (
+          select doc_id, text, n,
+            list_filter(range(8, n+1), i ->
+              (cast(list_sum(list_transform(range(0, 8),
+                 t -> codes[i - t] *
+                      ([1,31,961,29791,923521,28629151,887503681,
+                        27512614111])[t+1]
+               )) as bigint) % 1000000007) % 64 = 0) as cuts
+          from hashed),
+        spanned as (
+          select doc_id, text,
+            case when len(cuts) > 0 and cuts[-1] = n then cuts
+                 else list_append(cuts, n) end as ends
+          from cuts_t),
+        ex as (
+          select doc_id, text, unnest(ends) as e,
+                 generate_subscripts(ends, 1) as k, ends
+          from spanned),
+        ch as (
+          select {_chunk_hash_sql} as chunk_hash,
+                 cast(e - ({_chunk_start_sql}) + 1 as bigint) as chunk_len
+          from ex),
+        per as (
+          select chunk_hash, chunk_len,
+                 cast(count(*) as bigint) as copies
+          from ch group by chunk_hash, chunk_len),
+        rep as (
+          select cast(coalesce(sum(copies), 0) as bigint) as total_chunks,
+                 cast(count(*) as bigint) as unique_chunks,
+                 cast(coalesce(sum(copies * chunk_len), 0) as bigint)
+                   as total_chars,
+                 cast(coalesce(sum((copies - 1) * chunk_len), 0) as bigint)
+                   as dup_chars
+          from per)
+        select total_chunks, unique_chunks, total_chars, dup_chars,
+               cast(case when total_chars > 0
+                    then (2 * 10000 * dup_chars + total_chars)
+                         // (2 * total_chars)
+                    else 0 end as bigint) as savings_bp
+        from rep
+    """
+    oracles["rank_agreement"] = r"""
+        with s as (
+          select doc_id, lang,
+                 length(text) as sa,
+                 len(string_split_regex(trim(lower(text)), '\s+')) as sb
+          from documents),
+        ranked as (
+          select lang,
+                 row_number() over (partition by lang
+                   order by sa desc nulls last, doc_id) as ra,
+                 row_number() over (partition by lang
+                   order by sb desc nulls last, doc_id) as rb
+          from s),
+        per as (
+          select lang,
+                 cast(count(*) as bigint) as n_docs,
+                 cast(sum(abs(ra - rb)) as bigint) as footrule
+          from ranked group by lang)
+        select lang, n_docs, footrule,
+               cast(case when n_docs < 2 then 10000
+                    else 10000 - (2 * 10000 * footrule
+                                  + (n_docs * n_docs) // 2)
+                         // (2 * ((n_docs * n_docs) // 2))
+                    end as bigint) as agreement_bp
+        from per
     """
     if tp is not None:
         oracles["stream_conv_state"] = f"""

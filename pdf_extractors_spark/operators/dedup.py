@@ -1717,3 +1717,44 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def lsh_degree_hist(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """Candidate-graph health report for the banded-MinHash path: the
+    degree distribution of :func:`lsh_candidates` — per degree (number
+    of candidate partners a document has, 0 included), how many
+    documents. THE pre-flight check before running the exact-verify
+    stage at scale: a banding whose histogram grows a heavy tail of
+    high-degree hubs is about to quadratically explode the verify join
+    (candidates ∝ Σ degree), and the fix — more rows per band, a
+    hot-key guard — is chosen from this table, not discovered from a
+    straggler stage at 100 TB.
+
+    Emits ``(degree, n_docs)``. The degree-0 basis is the signature id
+    set (a document too short to produce a shingle has no signature and
+    no row — it cannot be a candidate by construction). Both endpoints
+    of every pair count (the graph is undirected).
+
+    Cost on top of the candidate join itself: one map-side-combined
+    count per endpoint id, one left join back onto the (id)-projected
+    signature set, one count on the (tiny) degree key."""
+    pairs = lsh_candidates(signatures, id_col, bands, rows)
+    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionAll(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    deg = endpoints.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_degree")
+    )
+    based = (
+        signatures.select(id_col)
+        .join(deg, id_col, "left")
+        .select(F.coalesce("_degree", F.lit(0)).cast("long").alias("degree"))
+    )
+    return based.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

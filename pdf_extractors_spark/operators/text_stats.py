@@ -2160,3 +2160,123 @@ def bigram_coverage(
             .alias("coverage_bp"),
         )
     )
+
+
+def cdc_savings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level dedupable-bytes estimate over content-defined
+    chunks — the number a storage/dedup team computes BEFORE deciding
+    whether chunk-level dedup pays for itself (the FastCDC/venti use
+    case): every chunk whose (hash, length) repeats stores once and
+    saves ``(copies - 1) · length`` characters.
+
+    One row::
+
+        total_chunks   chunks across the corpus
+        unique_chunks  distinct (hash, length) chunk identities
+        total_chars    characters across all chunks (= corpus non-empty
+                       text volume, since chunks tile each document)
+        dup_chars      characters saved by storing each identity once
+        savings_bp     dup_chars / total_chars in half-up basis points
+
+    Composition: :func:`cdc_chunks` with ``with_hash=True`` (zero
+    exchanges, hash computed while the payload is in hand) → one
+    map-side-combined groupBy on the 8-byte (hash, len) identity —
+    payloads never shuffle — → a 1-row final aggregate. Same shape at
+    100 TB: the chunk-identity exchange carries ~16 bytes + a count per
+    distinct chunk."""
+    ch = cdc_chunks(df, text_col, id_col, with_hash=True)
+    per = ch.groupBy("chunk_hash", "chunk_len").agg(
+        F.count("*").cast("long").alias("_copies")
+    )
+    rep = per.agg(
+        F.sum("_copies").cast("long").alias("total_chunks"),
+        F.count("*").cast("long").alias("unique_chunks"),
+        F.sum(F.col("_copies") * F.col("chunk_len"))
+        .cast("long")
+        .alias("total_chars"),
+        F.sum((F.col("_copies") - 1) * F.col("chunk_len"))
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    return rep.select(
+        "total_chunks",
+        "unique_chunks",
+        "total_chars",
+        "dup_chars",
+        F.when(
+            F.col("total_chars") > 0,
+            F.floor(
+                (F.lit(2) * 10000 * F.col("dup_chars") + F.col("total_chars"))
+                / (F.lit(2) * F.col("total_chars"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("savings_bp"),
+    )
+
+
+def rank_agreement(
+    df: DataFrame,
+    score_a: str,
+    score_b: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Do two quality signals agree on the ORDER of documents? Per
+    group, Spearman's footrule distance between the two rankings
+    (descending score, ties broken by id so the ranking — and therefore
+    the oracle — is total and deterministic), normalized against the
+    maximum possible footrule ``floor(n²/2)`` into an exact-integer
+    agreement score. The calibration check run before swapping one
+    quality filter for a cheaper one: agreement_bp near 10000 means the
+    cheap signal keeps the same documents.
+
+    Per group emits::
+
+        n_docs        ranked documents (null scores rank last, ties
+                      by id — every row participates)
+        footrule      Σ |rank_a - rank_b|
+        agreement_bp  10000 - half-up(footrule / floor(n²/2)); 10000
+                      when n < 2 (a single document cannot disagree)
+
+    Two per-group sorts (the two rank windows) + one per-group
+    aggregate, all clustering on the group key — one exchange. At 100 TB
+    per-group global ranks are the documented ceiling (same as
+    quality_tiers); beyond it, range-partitioned ranks via the
+    global_index construction."""
+    wa = Window.partitionBy(group_col).orderBy(
+        F.col(score_a).desc_nulls_last(), F.col(id_col)
+    )
+    wb = Window.partitionBy(group_col).orderBy(
+        F.col(score_b).desc_nulls_last(), F.col(id_col)
+    )
+    ranked = df.select(
+        group_col,
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wb).alias("_rb"),
+    )
+    per = ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.abs(F.col("_ra") - F.col("_rb")))
+        .cast("long")
+        .alias("footrule"),
+    )
+    max_fr = F.floor(F.col("n_docs") * F.col("n_docs") / 2)
+    return per.select(
+        group_col,
+        "n_docs",
+        "footrule",
+        F.when(F.col("n_docs") < 2, F.lit(10000))
+        .otherwise(
+            F.lit(10000)
+            - F.floor(
+                (F.lit(2) * 10000 * F.col("footrule") + max_fr)
+                / (F.lit(2) * max_fr)
+            )
+        )
+        .cast("long")
+        .alias("agreement_bp"),
+    )

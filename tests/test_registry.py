@@ -62,6 +62,9 @@ CARRYOVER = {
     "watermark_lateness",
     "retry_runs",
     "tool_args_keys",
+    "lsh_degree_hist",
+    "cdc_savings",
+    "rank_agreement",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -139,3 +139,97 @@ def test_tool_args_keys_half_up_rounding(spark):
     )
     got = {r["key"]: r["pct_bp"] for r in pipeline.tool_args_keys(df).collect()}
     assert got == {"k": 3333, "j": 6667}
+
+
+# --------------------------------------------------------- lsh_degree_hist
+
+
+def test_lsh_degree_hist_counts_zero_degree(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        (3, "completely different text with many unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df)
+    hist = {r["degree"]: r["n_docs"] for r in dedup.lsh_degree_hist(sigs).collect()}
+    # docs 1 and 2 are candidates of each other (degree 1); doc 3 alone
+    assert hist[1] == 2
+    assert hist[0] == 1
+    # histogram mass equals the signature basis
+    assert sum(hist.values()) == sigs.count()
+
+
+def test_lsh_degree_hist_mass_conserves_pairs(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    rows = [(i, f"shared common prefix words here tail {i % 2}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df)
+    pairs = dedup.lsh_candidates(sigs).count()
+    hist = dedup.lsh_degree_hist(sigs).collect()
+    # sum(degree * n_docs) == 2 * |pairs|  (each pair contributes 2 endpoints)
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * pairs
+
+
+# ------------------------------------------------------------ cdc_savings
+
+
+def test_cdc_savings_duplicate_docs_save_chars(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    body = "abcdefgh" * 30
+    rows = [(1, body), (2, body), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = text_stats.cdc_savings(df).collect()[0]
+    # two identical docs: every chunk identity repeats exactly twice
+    assert r["total_chunks"] == 2 * r["unique_chunks"]
+    assert r["total_chars"] == 2 * len(body)
+    assert r["dup_chars"] == len(body)
+    assert r["savings_bp"] == 5000
+
+
+def test_cdc_savings_unique_corpus_saves_nothing(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    rows = [(1, "first body with words"), (2, "second unrelated body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = text_stats.cdc_savings(df).collect()[0]
+    assert r["dup_chars"] == 0
+    assert r["savings_bp"] == 0
+    assert r["total_chars"] == sum(len(t) for _, t in rows)
+
+
+# --------------------------------------------------------- rank_agreement
+
+
+def test_rank_agreement_identical_and_reversed(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    # lang a: scores agree perfectly; lang b: perfectly reversed (n=4,
+    # max footrule = floor(16/2) = 8, reversal achieves it)
+    rows = [("a", i, i, i) for i in range(4)] + [
+        ("b", i, i, 10 - i) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, sa long, sb long")
+    got = {r["lang"]: r.asDict() for r in
+           text_stats.rank_agreement(df, "sa", "sb", "lang").collect()}
+    assert got["a"]["footrule"] == 0
+    assert got["a"]["agreement_bp"] == 10000
+    assert got["b"]["footrule"] == 8
+    assert got["b"]["agreement_bp"] == 0
+
+
+def test_rank_agreement_singleton_and_ties(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    rows = [("a", 1, 5, 7), ("b", 1, 3, 3), ("b", 2, 3, 3)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, sa long, sb long")
+    got = {r["lang"]: r.asDict() for r in
+           text_stats.rank_agreement(df, "sa", "sb", "lang").collect()}
+    # n=1: defined as full agreement
+    assert got["a"]["agreement_bp"] == 10000
+    # all-tied scores: id tie-break makes both rankings identical
+    assert got["b"]["footrule"] == 0 and got["b"]["agreement_bp"] == 10000
