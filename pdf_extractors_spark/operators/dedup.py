@@ -1742,10 +1742,18 @@ def lsh_degree_hist(
 
     Cost on top of the candidate join itself: one map-side-combined
     count per endpoint id, one left join back onto the (id)-projected
-    signature set, one count on the (tiny) degree key."""
+    signature set, one count on the (tiny) degree key. The signatures
+    frame feeds BOTH the candidate join and the zero-degree basis; pass
+    a cached/checkpointed frame (materialization is caller-owned, same
+    contract as ngram_jaccard_pairs) to avoid rebuilding the signature
+    aggregation on each branch."""
     pairs = lsh_candidates(signatures, id_col, bands, rows)
-    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionAll(
-        pairs.select(F.col("id_b").alias(id_col))
+    # explode each pair into its two endpoints in ONE pass — a unionAll
+    # of two projections would duplicate the whole candidate-join
+    # subtree in the plan (Spark does not share common subexpressions
+    # across union branches), doubling the join cost
+    endpoints = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     )
     deg = endpoints.groupBy(id_col).agg(
         F.count("*").cast("long").alias("_degree")

@@ -1084,3 +1084,100 @@ def test_corpus_tvd_no_fullouter_and_totals_broadcast(spark):
     plan = _plan(text_stats.corpus_tvd(df))
     assert "FullOuter" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_watermark_lateness_single_exchange(spark):
+    """Running-max window and per-key aggregate share one
+    hashpartitioning(conv_id) — exactly one exchange, no funnel."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c", 0, None)], "conv_id string, turn_idx int, ts timestamp"
+    )
+    plan = _plan(pipeline.watermark_lateness(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_lines and all("conv_id" in l for l in hash_lines)
+
+
+def test_retry_runs_two_conv_exchanges(spark):
+    """Both gaps-and-islands windows and both aggregates cluster on
+    conv_id supersets; only the distinct conv-id basis adds a second
+    exchange. Every hashpartitioning is on conv_id."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c", 0, "tool", "x")],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    plan = _plan(pipeline.retry_runs(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_lines and all("conv_id" in l for l in hash_lines)
+
+
+def test_tool_args_keys_bounded_exchanges_jvm_json(spark):
+    """Key counts + per-tool totals + the tool join: three exchanges on
+    (tool)/(tool, key) only — payloads never shuffle — and the JSON
+    parse is JVM-side (no Python worker in the plan)."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c", 0, "tool", "t", "{}")],
+        "conv_id string, turn_idx int, role string, tool string, text string",
+    )
+    plan = _plan(pipeline.tool_args_keys(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert "from_json" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_rank_agreement_single_group_exchange(spark):
+    """Both rank windows and the footrule aggregate share ONE
+    hashpartitioning(lang) — the whole calibration is one exchange."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [("en", 1, 2, 3)], "lang string, doc_id long, sa long, sb long"
+    )
+    plan = _plan(text_stats.rank_agreement(df, "sa", "sb", "lang"))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    hash_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_lines and all("lang" in l for l in hash_lines)
+
+
+def test_cdc_savings_identity_exchange_only(spark):
+    """One hashpartitioning exchange on the (chunk_hash, chunk_len)
+    identity; the only SinglePartition is the final 1-row report over
+    per-partition partials. Chunking itself stays exchange-free and
+    UDF-free (cdc_chunks contract)."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = _plan(text_stats.cdc_savings(df))
+    hashes = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert hashes and all("chunk_hash" in h for h in hashes)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2  # identity + 1-row
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_lsh_degree_hist_no_duplicated_candidate_join(spark):
+    """The endpoint explode keeps the candidate join a SINGLE subtree:
+    exactly two (band, key) exchanges (one per join side). A unionAll
+    of id_a/id_b projections would show four."""
+    from pdf_extractors_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(dedup.lsh_degree_hist(dedup.minhash_signatures(docs)))
+    assert "SinglePartition" not in plan
+    band_hashes = [
+        h for h in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "band" in h and "key" in h
+    ]
+    assert len(band_hashes) == 2
