@@ -128,3 +128,48 @@ def test_dedup_stream_across_micro_batches(spark, tmp_path):
     texts = sorted(r["text_hash"] for r in got)
     assert len(got) == 3                    # 4 rows in, 1 cross-batch dup out
     assert len(set(texts)) == 3             # one survivor per distinct text
+
+
+def test_session_rollup_lifts_to_streaming(spark, tmp_path):
+    """The documented claim on session_rollup: the SAME session_window
+    aggregation runs under readStream + watermark and, in one
+    availableNow pass in complete mode, emits exactly the batch rollup."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2026, 1, 1)
+    rows = []
+    for u in range(3):
+        ts = base
+        for i in range(10):
+            ts += timedelta(minutes=(i * 13 + u * 5) % 50)
+            rows.append((u, ts))
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+
+    batch = pipeline.session_rollup(spark.read.parquet(src))
+
+    stream_in = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    # the identical operator call — this IS the lift
+    q = (
+        pipeline.session_rollup(stream_in)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    key = lambda df: sorted(
+        (r["user_id"], r["s_start"], r["s_end"], r["n_events"])
+        for r in df.collect()
+    )
+    assert key(spark.table("sess_stream")) == key(batch)
