@@ -3740,6 +3740,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_agreement"] = q_rank_agreement
 
+    def q_parrot_rate(spark, sf):
+        """Per-conversation assistant↔user distinct-token overlap
+        (pipeline.parrot_rate) over the transcripts fixture's real
+        payload text — exact integer counts and half-up basis points."""
+        return pipeline.parrot_rate(
+            _transcripts(spark, "sf0.01").select(
+                "conv_id", "turn_idx", "role", "text"
+            )
+        )
+
+    q["parrot_rate"] = q_parrot_rate
+
+    def q_prompt_dedup(spark, sf):
+        """Canned-prompt campaign table (pipeline.prompt_dedup,
+        min_convs=2) with opening prompts re-planted for conversations
+        in md5 bucket 0 (of 5): each gets one of two templates, so the
+        groups are exact and cross-conversation. Same plant in the
+        oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        b = md5_bigint(F.concat(F.lit("pd:"), F.col("conv_id")))
+        canned = F.element_at(
+            F.array(
+                F.lit("Please summarize our conversation so far."),
+                F.lit("Reset my password for the admin portal."),
+            ),
+            F.pmod(b, F.lit(2)).cast("int") + 1,
+        )
+        planted = t.withColumn(
+            "text",
+            F.when(
+                (F.col("role") == "user")
+                & (F.col("turn_idx") == 0)
+                & (F.pmod(b, F.lit(5)) == 0),
+                canned,
+            ).otherwise(F.col("text")),
+        )
+        return pipeline.prompt_dedup(planted, min_convs=2)
+
+    q["prompt_dedup"] = q_prompt_dedup
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8210,6 +8254,71 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(per.n_runs_ge_min, 0) as bigint)
                      as n_runs_ge_min
             from allc a left join per on a.conv_id = per.conv_id
+        """
+        oracles["parrot_rate"] = rf"""
+            with tk as (
+              select distinct conv_id, role, tok from (
+                select conv_id, role,
+                       unnest(string_split_regex(trim(lower(text)),
+                              '\s+')) as tok
+                from read_parquet('{tp}')
+                where role in ('user', 'assistant'))
+              where tok <> ''),
+            a as (select conv_id, tok from tk where role = 'assistant'),
+            u as (select conv_id, tok from tk where role = 'user'),
+            sh as (
+              select distinct a.conv_id, a.tok
+              from a join u on a.conv_id = u.conv_id and a.tok = u.tok),
+            na as (
+              select conv_id, cast(count(*) as bigint) as n_asst
+              from a group by conv_id),
+            ns as (
+              select conv_id, cast(count(*) as bigint) as n_sh
+              from sh group by conv_id),
+            base as (
+              select distinct conv_id from read_parquet('{tp}'))
+            select b.conv_id,
+                   cast(coalesce(na.n_asst, 0) as bigint) as n_asst_types,
+                   cast(coalesce(ns.n_sh, 0) as bigint) as n_shared,
+                   cast(case when coalesce(na.n_asst, 0) > 0
+                        then (2 * 10000 * coalesce(ns.n_sh, 0)
+                              + na.n_asst) // (2 * na.n_asst)
+                        else 0 end as bigint) as parrot_bp
+            from base b
+            left join na on b.conv_id = na.conv_id
+            left join ns on b.conv_id = ns.conv_id
+        """
+        oracles["prompt_dedup"] = rf"""
+            with p as (
+              select conv_id, turn_idx, role,
+                     case when role = 'user' and turn_idx = 0
+                               and cast(concat('0x', substr(md5(
+                                   'pd:' || conv_id), 1, 8)) as bigint)
+                                   % 5 = 0
+                          then (['Please summarize our conversation so far.',
+                                 'Reset my password for the admin portal.'])[
+                            cast(cast(concat('0x', substr(md5(
+                                'pd:' || conv_id), 1, 8)) as bigint)
+                              % 2 as int) + 1]
+                          else text end as text
+              from read_parquet('{tp}')),
+            f as (
+              select conv_id, text,
+                     row_number() over (partition by conv_id
+                       order by turn_idx, coalesce(text, '')) as rn
+              from p where role = 'user'),
+            g as (
+              select conv_id,
+                     md5(coalesce(trim(regexp_replace(lower(text),
+                         '\s+', ' ', 'g')), '')) as prompt_hash,
+                     coalesce(text, '') as raw
+              from f where rn = 1)
+            select prompt_hash,
+                   cast(count(*) as bigint) as n_convs,
+                   min(conv_id) as sample_conv,
+                   min(raw) as sample_prompt
+            from g group by prompt_hash
+            having count(*) >= 2
         """
         oracles["tool_args_keys"] = f"""
             with p as (

@@ -1126,3 +1126,117 @@ def tool_args_keys(
         .cast("long")
         .alias("pct_bp"),
     )
+
+
+def parrot_rate(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation parroting signal: what share of the assistant's
+    DISTINCT vocabulary already appears in the conversation's user
+    turns. An assistant that mostly echoes the user back contributes
+    low-value SFT targets; the rank-order of this score is the
+    downweighting input. Distinct tokens (type overlap, not token
+    counts) so a single echoed word cannot be laundered into a high
+    score by repetition.
+
+    Per conversation (conversations with no assistant tokens are
+    preserved with zeros and ``parrot_bp = 0``) emits::
+
+        n_asst_types   distinct whitespace tokens across assistant turns
+        n_shared       of those, tokens also present in ANY user turn
+        parrot_bp      n_shared / n_asst_types in half-up basis points
+
+    Shape: one wordcount-style exchange on (conv_id, token) builds both
+    role token sets (distinct collapses repeats map-side), the
+    user∩assistant overlap is an equi-join on the SAME key, and every
+    aggregate clusters on conv_id — payload text never shuffles, only
+    (conv_id, token) pairs."""
+    toks = (
+        transcripts.filter(F.col("role").isin("user", "assistant"))
+        .select(
+            "conv_id",
+            "role",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    asst = toks.filter(F.col("role") == "assistant").select("conv_id", "tok")
+    user = toks.filter(F.col("role") == "user").select("conv_id", "tok")
+    shared = asst.join(user, ["conv_id", "tok"], "left_semi")
+    n_asst = asst.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_asst_types")
+    )
+    n_shared = shared.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    base = transcripts.select("conv_id").distinct()
+    joined = base.join(n_asst, "conv_id", "left").join(
+        n_shared, "conv_id", "left"
+    )
+    a = F.coalesce("n_asst_types", F.lit(0))
+    s = F.coalesce("n_shared", F.lit(0))
+    return joined.select(
+        "conv_id",
+        a.cast("long").alias("n_asst_types"),
+        s.cast("long").alias("n_shared"),
+        F.when(
+            a > 0,
+            F.floor((F.lit(2) * 10000 * s + a) / (F.lit(2) * a)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("parrot_bp"),
+    )
+
+
+def prompt_dedup(
+    transcripts: DataFrame, min_convs: int = 2
+) -> DataFrame:
+    """Canned-prompt campaign detection: conversations grouped by the
+    normalized text of their FIRST user turn. Scraped/synthetic corpora
+    carry floods of conversations opened from one template; training on
+    all of them overweights the template — this is the table a mixture
+    builder caps against (template_turns' sibling, keyed on the opening
+    prompt instead of any turn).
+
+    Emits, per normalized first-prompt identity seen in ``min_convs``
+    or more conversations::
+
+        prompt_hash    md5 of the normalized prompt (empty/null first
+                       prompts form their own explicit class)
+        n_convs        conversations opening with it
+        sample_conv    min conv_id (the auditable exemplar)
+        sample_prompt  min raw prompt text of the group
+
+    First turn = lowest ``turn_idx`` among the conversation's user
+    turns, tie-broken by text so the choice is total. One conv_id
+    window (first-turn pick) + one map-side-combined groupBy on the
+    16-byte hash; prompts shuffle once, full transcripts never."""
+    from .operators.dedup import normalize_text
+
+    w = Window.partitionBy("conv_id").orderBy(
+        "turn_idx", F.coalesce("text", F.lit(""))
+    )
+    firsts = (
+        transcripts.filter(F.col("role") == "user")
+        .select("conv_id", "turn_idx", "text")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        firsts.select(
+            "conv_id",
+            F.md5(
+                F.coalesce(normalize_text(F.col("text")), F.lit(""))
+            ).alias("prompt_hash"),
+            F.coalesce("text", F.lit("")).alias("_raw"),
+        )
+        .groupBy("prompt_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.min("conv_id").alias("sample_conv"),
+            F.min("_raw").alias("sample_prompt"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )

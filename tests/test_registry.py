@@ -65,6 +65,8 @@ CARRYOVER = {
     "lsh_degree_hist",
     "cdc_savings",
     "rank_agreement",
+    "parrot_rate",
+    "prompt_dedup",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

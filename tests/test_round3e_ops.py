@@ -233,3 +233,66 @@ def test_rank_agreement_singleton_and_ties(spark):
     assert got["a"]["agreement_bp"] == 10000
     # all-tied scores: id tie-break makes both rankings identical
     assert got["b"]["footrule"] == 0 and got["b"]["agreement_bp"] == 10000
+
+
+# ------------------------------------------------------------ parrot_rate
+
+
+def test_parrot_rate_overlap_and_zeros(spark):
+    rows = [
+        ("a", 0, "user", "alpha beta gamma"),
+        ("a", 1, "assistant", "alpha beta delta delta"),  # 3 types, 2 shared
+        ("b", 0, "user", "only user words"),              # no assistant turn
+        ("c", 0, "tool", "ignored entirely"),             # tool-only conv
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["conv_id"]: r.asDict() for r in pipeline.parrot_rate(df).collect()}
+    assert got["a"]["n_asst_types"] == 3
+    assert got["a"]["n_shared"] == 2
+    assert got["a"]["parrot_bp"] == 6667  # 2/3 half-up
+    assert got["b"] == {"conv_id": "b", "n_asst_types": 0, "n_shared": 0, "parrot_bp": 0}
+    assert got["c"]["parrot_bp"] == 0
+
+
+def test_parrot_rate_distinct_types_not_occurrences(spark):
+    # echoing one shared word many times cannot inflate the score
+    rows = [
+        ("a", 0, "user", "hello"),
+        ("a", 1, "assistant", "hello hello hello hello novel"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    r = pipeline.parrot_rate(df).collect()[0]
+    assert (r["n_asst_types"], r["n_shared"], r["parrot_bp"]) == (2, 1, 5000)
+
+
+# ----------------------------------------------------------- prompt_dedup
+
+
+def test_prompt_dedup_groups_normalized_first_prompts(spark):
+    rows = [
+        ("a", 0, "user", "Reset my   password"),
+        ("a", 2, "user", "different later turn"),   # not the first
+        ("b", 0, "user", "reset my password"),      # same after normalize
+        ("c", 0, "user", "unrelated opener"),
+        ("d", 1, "user", "RESET MY PASSWORD"),      # first user turn at idx 1
+        ("d", 0, "assistant", "greeting first"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = pipeline.prompt_dedup(df, min_convs=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_convs"] == 3
+    assert r["sample_conv"] == "a"
+    # min raw text of the group (capital R sorts before lowercase r)
+    assert r["sample_prompt"] == "RESET MY PASSWORD"
+
+
+def test_prompt_dedup_null_and_empty_form_one_class(spark):
+    rows = [
+        ("a", 0, "user", None),
+        ("b", 0, "user", "   "),
+        ("c", 0, "user", ""),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = pipeline.prompt_dedup(df, min_convs=3).collect()
+    assert len(got) == 1 and got[0]["n_convs"] == 3
