@@ -1144,36 +1144,36 @@ def parrot_rate(transcripts: DataFrame) -> DataFrame:
         n_shared       of those, tokens also present in ANY user turn
         parrot_bp      n_shared / n_asst_types in half-up basis points
 
-    Shape: one wordcount-style exchange on (conv_id, token) builds both
-    role token sets (distinct collapses repeats map-side), the
-    user∩assistant overlap is an equi-join on the SAME key, and every
-    aggregate clusters on conv_id — payload text never shuffles, only
-    (conv_id, token) pairs."""
-    toks = (
-        transcripts.filter(F.col("role").isin("user", "assistant"))
+    Shape: ONE pass over the exploded tokens — a per-(conv_id, token)
+    flag aggregation (seen-in-user / seen-in-assistant bools, map-side
+    combined) replaces separate role token sets, so the overlap is
+    column math on the flags instead of a self-join, and the exploded
+    subtree is never duplicated in the plan. Two keyed exchanges total
+    ((conv_id, token) → conv_id) plus the conv_id basis; payload text
+    never shuffles, only (conv_id, token) pairs."""
+    role = F.col("role")
+    flags = (
+        transcripts.filter(role.isin("user", "assistant"))
         .select(
             "conv_id",
-            "role",
+            (role == F.lit("assistant")).alias("_is_a"),
             F.explode(
                 F.split(F.trim(F.lower(F.col("text"))), r"\s+")
             ).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .distinct()
+        .groupBy("conv_id", "tok")
+        .agg(
+            F.max(F.col("_is_a").cast("int")).alias("_in_a"),
+            F.max((~F.col("_is_a")).cast("int")).alias("_in_u"),
+        )
     )
-    asst = toks.filter(F.col("role") == "assistant").select("conv_id", "tok")
-    user = toks.filter(F.col("role") == "user").select("conv_id", "tok")
-    shared = asst.join(user, ["conv_id", "tok"], "left_semi")
-    n_asst = asst.groupBy("conv_id").agg(
-        F.count("*").cast("long").alias("n_asst_types")
-    )
-    n_shared = shared.groupBy("conv_id").agg(
-        F.count("*").cast("long").alias("n_shared")
+    per = flags.groupBy("conv_id").agg(
+        F.sum("_in_a").cast("long").alias("n_asst_types"),
+        F.sum(F.col("_in_a") * F.col("_in_u")).cast("long").alias("n_shared"),
     )
     base = transcripts.select("conv_id").distinct()
-    joined = base.join(n_asst, "conv_id", "left").join(
-        n_shared, "conv_id", "left"
-    )
+    joined = base.join(per, "conv_id", "left")
     a = F.coalesce("n_asst_types", F.lit(0))
     s = F.coalesce("n_shared", F.lit(0))
     return joined.select(

@@ -1181,3 +1181,39 @@ def test_lsh_degree_hist_no_duplicated_candidate_join(spark):
         if "band" in h and "key" in h
     ]
     assert len(band_hashes) == 2
+
+
+def test_parrot_rate_single_token_pass(spark):
+    """The flag aggregation keeps the exploded token subtree a SINGLE
+    plan branch: exactly one (conv_id, tok) exchange (separate role
+    token sets + a semi-join showed three), plus the two conv_id
+    exchanges for the rollup and the basis."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(pipeline.parrot_rate(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    tok_hashes = [
+        h for h in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "tok" in h
+    ]
+    assert len(tok_hashes) == 1
+
+
+def test_prompt_dedup_two_exchanges_prompts_only(spark):
+    """First-turn pick + hash groupBy: one conv_id exchange, one
+    prompt_hash exchange — the user-turn filter prunes before the
+    window, full transcripts never shuffle."""
+    from pdf_extractors_spark import pipeline
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(pipeline.prompt_dedup(df))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
