@@ -3784,6 +3784,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["prompt_dedup"] = q_prompt_dedup
 
+    def q_code_detect(spark, sf):
+        """Code-vs-prose routing (text_stats.code_detect) over documents
+        with a deterministic code snippet planted into md5 bucket 0 (of
+        6) so both verdict branches are exercised; all counts exact."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        d = _read(spark, sf, "documents")
+        b = md5_bigint(F.concat(F.lit("cd:"), F.col("doc_id").cast("string")))
+        snippet = (
+            "def handler(req):\n"
+            "    if (req == None):\n"
+            "        return [];\n"
+            "    return req;\n"
+        )
+        planted = d.withColumn(
+            "text",
+            F.when(F.pmod(b, F.lit(6)) == 0, F.lit(snippet)).otherwise(
+                F.col("text")
+            ),
+        )
+        return text_stats.code_detect(planted)
+
+    q["code_detect"] = q_code_detect
+
+    def q_markdown_strip(spark, sf):
+        """Markdown normalization (text_stats.markdown_strip) with a
+        fixed markdown tail appended to every document (the dehyphenate
+        pattern) so every rewrite rule fires; the oracle replays the
+        identical regexp_replace chain."""
+        from pdf_extractors_spark.operators import text_stats
+
+        tail = (
+            "\n## Heading\nSome **bold** *em* `code` text.\n"
+            "- item\n1. numbered\n> quote\n"
+            "[label](http://example.com) ![alt](http://img)\n"
+            "```\nfenced line\n```\n---\n"
+        )
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(tail)).alias(
+                "text"
+            ),
+        )
+        return text_stats.markdown_strip(d)
+
+    q["markdown_strip"] = q_markdown_strip
+
+    def q_special_token_leaks(spark, sf):
+        """Chat-template leakage audit (text_stats.special_token_leaks)
+        with control tokens planted into documents in md5 bucket 0 (of
+        7): two <|im_end|> and one [INST] appended — counts exact, clean
+        documents emit nothing."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        d = _read(spark, sf, "documents")
+        b = md5_bigint(F.concat(F.lit("stl:"), F.col("doc_id").cast("string")))
+        planted = d.withColumn(
+            "text",
+            F.when(
+                F.pmod(b, F.lit(7)) == 0,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" <|im_end|> tail <|im_end|>[INST] end"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return text_stats.special_token_leaks(planted)
+
+    q["special_token_leaks"] = q_special_token_leaks
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8142,6 +8214,108 @@ def oracle_sql() -> dict[str, str]:
                          // (2 * total_chars)
                     else 0 end as bigint) as savings_bp
         from rep
+    """
+    oracles["code_detect"] = r"""
+        with p as (
+          select doc_id,
+                 coalesce(case when cast(concat('0x', substr(md5(
+                        'cd:' || cast(doc_id as varchar)), 1, 8))
+                      as bigint) % 6 = 0
+                 then 'def handler(req):' || chr(10)
+                      || '    if (req == None):' || chr(10)
+                      || '        return [];' || chr(10)
+                      || '    return req;' || chr(10)
+                 else text end, '') as text
+          from documents),
+        l as (
+          select doc_id, text,
+                 list_filter(string_split(text, chr(10)),
+                             x -> trim(x) <> '') as lines
+          from p),
+        c as (
+          select doc_id,
+                 cast(len(lines) as bigint) as n_lines,
+                 cast(len(list_filter(lines, x -> regexp_matches(x,
+                   '^(    |\t)|[;{}]\s*$|^\s*(def |class |import |from |return |if\s*\(|for\s*\(|while\s*\(|function |var |let |const |#include|public |private )'
+                 ))) as bigint) as n_code,
+                 cast(length(text) as bigint) as n_chars,
+                 cast(length(text) - length(regexp_replace(text,
+                   '[{}()\[\]=<>;]', '', 'g')) as bigint) as n_sym
+          from l)
+        select doc_id, n_lines,
+               n_code as n_code_lines,
+               n_sym as n_sym_chars,
+               cast(case when n_lines > 0 and n_chars > 0
+                    then (2 * 10000 * (n_code * n_chars + n_sym * n_lines)
+                          + 2 * n_lines * n_chars)
+                         // (2 * 2 * n_lines * n_chars)
+                    else 0 end as bigint) as code_bp,
+               (case when n_lines > 0 and n_chars > 0
+                    then (2 * 10000 * (n_code * n_chars + n_sym * n_lines)
+                          + 2 * n_lines * n_chars)
+                         // (2 * 2 * n_lines * n_chars)
+                    else 0 end) >= 1500 as is_code
+        from c
+    """
+    _md_tail = (
+        "chr(10) || '## Heading' || chr(10) || "
+        "'Some **bold** *em* `code` text.' || chr(10) || "
+        "'- item' || chr(10) || '1. numbered' || chr(10) || "
+        "'> quote' || chr(10) || "
+        "'[label](http://example.com) ![alt](http://img)' || chr(10) || "
+        "'```' || chr(10) || 'fenced line' || chr(10) || '```' || chr(10) "
+        "|| '---' || chr(10)"
+    )
+    oracles["markdown_strip"] = rf"""
+        with p as (
+          select doc_id, coalesce(text, '') || {_md_tail} as t0
+          from documents),
+        s1 as (select doc_id, t0, regexp_replace(t0,
+          '(?m)^(```|~~~)[^\n]*$', '', 'g') as t from p),
+        s2 as (select doc_id, t0, regexp_replace(t,
+          '(?m)^#{{1,6}}[ \t]+', '', 'g') as t from s1),
+        s3 as (select doc_id, t0, regexp_replace(t,
+          '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') as t from s2),
+        s4 as (select doc_id, t0, regexp_replace(t,
+          '\[([^\]]+)\]\([^)]*\)', '\1', 'g') as t from s3),
+        s5 as (select doc_id, t0, regexp_replace(t,
+          '\*\*([^*]+)\*\*', '\1', 'g') as t from s4),
+        s6 as (select doc_id, t0, regexp_replace(t,
+          '__([^_]+)__', '\1', 'g') as t from s5),
+        s7 as (select doc_id, t0, regexp_replace(t,
+          '\*([^*\n]+)\*', '\1', 'g') as t from s6),
+        s8 as (select doc_id, t0, regexp_replace(t,
+          '_([^_\n]+)_', '\1', 'g') as t from s7),
+        s9 as (select doc_id, t0, regexp_replace(t,
+          '`([^`]+)`', '\1', 'g') as t from s8),
+        s10 as (select doc_id, t0, regexp_replace(t,
+          '(?m)^[ \t]*(>[ \t]?|[-*+][ \t]+|\d+\.[ \t]+)', '', 'g') as t
+          from s9),
+        s11 as (select doc_id, t0, regexp_replace(t,
+          '(?m)^[ \t]*-{{3,}}[ \t]*$', '', 'g') as t from s10)
+        select doc_id, t as plain_text,
+               cast(length(t0) - length(t) as bigint) as n_removed_chars
+        from s11
+    """
+    oracles["special_token_leaks"] = r"""
+        with toks(token) as (values
+          ('<|endoftext|>'), ('<|im_start|>'), ('<|im_end|>'),
+          ('[INST]'), ('[/INST]'), ('<s>'), ('</s>'), ('<pad>')),
+        p as (
+          select doc_id,
+                 case when cast(concat('0x', substr(md5(
+                        'stl:' || cast(doc_id as varchar)), 1, 8))
+                      as bigint) % 7 = 0
+                 then coalesce(text, '')
+                      || ' <|im_end|> tail <|im_end|>[INST] end'
+                 else text end as text
+          from documents)
+        select doc_id, token,
+               cast((length(text) - length(replace(text, token, '')))
+                    // length(token) as bigint) as n_hits
+        from p cross join toks
+        where text is not null
+          and length(text) - length(replace(text, token, '')) > 0
     """
     oracles["rank_agreement"] = r"""
         with s as (

@@ -2280,3 +2280,181 @@ def rank_agreement(
         .cast("long")
         .alias("agreement_bp"),
     )
+
+
+def code_detect(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold_bp: int = 1500,
+) -> DataFrame:
+    """Code-vs-prose routing signal: exact integer counts of code-shaped
+    line and character features, blended into a basis-point score. LLM
+    pipelines route code to different tokenization/dedup/quality
+    settings than prose — this is the classifier that does the routing
+    without a model, in pure codegen column math (zero exchanges, the
+    whole thing fuses into the scan).
+
+    Features (each an exact count, so the oracle replays bit-for-bit)::
+
+        n_lines          non-empty lines
+        n_code_lines     lines matching code shapes: indented 4+/tab,
+                         brace/semicolon-terminated, or starting with a
+                         keyword (def/class/import/return/if(/for(/etc.)
+        n_sym_chars      {};()[]=<> characters
+        code_bp          half-up basis points of
+                         (n_code_lines/n_lines + n_sym_chars/n_chars)/2
+        is_code          code_bp >= threshold_bp
+
+    Null/empty documents score 0 and ``is_code = false``. The two
+    ratios are averaged in exact integer arithmetic: bp = half-up of
+    (10000·n_code_lines·n_chars + 10000·n_sym_chars·n_lines) /
+    (2·n_lines·n_chars)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    code_line_re = (
+        r"^(    |\t)|[;{}]\s*$|"
+        r"^\s*(def |class |import |from |return |if\s*\(|for\s*\(|"
+        r"while\s*\(|function |var |let |const |#include|public |private )"
+    )
+    n_lines = F.size(lines).cast("long")
+    n_code = F.size(
+        F.filter(lines, lambda l: l.rlike(code_line_re))
+    ).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_sym = (
+        n_chars - F.length(F.regexp_replace(text, r"[{}()\[\]=<>;]", ""))
+    ).cast("long")
+    denom = F.lit(2) * n_lines * n_chars
+    bp = F.when(
+        (n_lines > 0) & (n_chars > 0),
+        F.floor(
+            (
+                F.lit(2) * 10000 * (n_code * n_chars + n_sym * n_lines)
+                + denom
+            )
+            / (F.lit(2) * denom)
+        ),
+    ).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_code.alias("n_code_lines"),
+        n_sym.alias("n_sym_chars"),
+        bp.cast("long").alias("code_bp"),
+        (bp >= threshold_bp).alias("is_code"),
+    )
+
+
+def markdown_strip(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Markdown → plain text: the normalization pass run before token
+    counting / dedup on scraped docs whose markup would otherwise make
+    identical prose hash differently (``**bold**`` vs ``bold``). A
+    fixed chain of ``regexp_replace`` rewrites — JVM codegen, zero
+    exchanges, replayed verbatim by the SQL oracle:
+
+    1. fenced code markers ``` / ~~~ lines dropped (content kept — it
+       is data, only the fence is markup)
+    2. ATX heading markers (``## ``) stripped, text kept
+    3. images ``![alt](url)`` → alt, links ``[text](url)`` → text
+    4. emphasis ``**x**``/``*x*``/``__x__``/``_x_`` unwrapped
+    5. inline code backticks unwrapped
+    6. blockquote ``> `` and list markers (``- ``, ``* ``, ``1. ``)
+       stripped at line starts
+    7. horizontal rules (``---``+ alone on a line) dropped
+
+    Emits (id, plain_text, n_removed_chars). Null text passes through
+    null with n_removed_chars 0 (the unigram_lm_score preserve
+    contract)."""
+    t = F.col(text_col)
+    steps = [
+        (r"(?m)^(```|~~~)[^\n]*$", ""),
+        (r"(?m)^#{1,6}[ \t]+", ""),
+        (r"!\[([^\]]*)\]\([^)]*\)", r"$1"),
+        (r"\[([^\]]+)\]\([^)]*\)", r"$1"),
+        (r"\*\*([^*]+)\*\*", r"$1"),
+        (r"__([^_]+)__", r"$1"),
+        (r"\*([^*\n]+)\*", r"$1"),
+        (r"_([^_\n]+)_", r"$1"),
+        (r"`([^`]+)`", r"$1"),
+        (r"(?m)^[ \t]*(>[ \t]?|[-*+][ \t]+|\d+\.[ \t]+)", ""),
+        (r"(?m)^[ \t]*-{3,}[ \t]*$", ""),
+    ]
+    out = t
+    for pat, rep in steps:
+        out = F.regexp_replace(out, pat, rep)
+    return df.select(
+        F.col(id_col),
+        out.alias("plain_text"),
+        F.when(
+            t.isNull(), F.lit(0)
+        )
+        .otherwise(F.length(t) - F.length(out))
+        .cast("long")
+        .alias("n_removed_chars"),
+    )
+
+
+SPECIAL_TOKENS = [
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "[INST]",
+    "[/INST]",
+    "<s>",
+    "</s>",
+    "<pad>",
+]
+
+
+def special_token_leaks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    tokens: list[str] | None = None,
+) -> DataFrame:
+    """Chat-template token leakage audit: occurrences of tokenizer
+    control strings (``<|endoftext|>``, ``[INST]``, …) INSIDE document
+    text. Leaked control tokens teach the model to emit its own stop
+    sequences mid-generation — corpora assembled from model outputs or
+    scraped chat logs carry them, and this is the scan that catches it
+    before training (per-token counts, so the fix list is actionable).
+
+    One row per (document, leaked token) with its occurrence count —
+    clean documents emit nothing, keeping output proportional to the
+    leak, not the corpus. Counting is substring arithmetic
+    ((len(text) - len(remove(text, tok))) / len(tok)) — exact, zero
+    UDFs, zero exchanges, fuses into the scan."""
+    toks = tokens if tokens is not None else SPECIAL_TOKENS
+    text = F.col(text_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(tok).alias("token"),
+                F.when(
+                    text.isNull(), F.lit(0)
+                )
+                .otherwise(
+                    (
+                        F.length(text)
+                        - F.length(
+                            F.replace(text, F.lit(tok), F.lit(""))
+                        )
+                    )
+                    / len(tok)
+                )
+                .cast("long")
+                .alias("n_hits"),
+            )
+            for tok in toks
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.filter(pairs, lambda p: p["n_hits"] > 0)).alias("_p"),
+        )
+        .select(
+            id_col,
+            F.col("_p.token").alias("token"),
+            F.col("_p.n_hits").alias("n_hits"),
+        )
+    )

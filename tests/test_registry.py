@@ -67,6 +67,9 @@ CARRYOVER = {
     "rank_agreement",
     "parrot_rate",
     "prompt_dedup",
+    "code_detect",
+    "markdown_strip",
+    "special_token_leaks",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

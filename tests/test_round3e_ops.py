@@ -296,3 +296,73 @@ def test_prompt_dedup_null_and_empty_form_one_class(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
     got = pipeline.prompt_dedup(df, min_convs=3).collect()
     assert len(got) == 1 and got[0]["n_convs"] == 3
+
+
+# ------------------------------------------------------------- code_detect
+
+
+def test_code_detect_routes_code_vs_prose(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    code = "def add(a, b):\n    return a + b\n\nx = add(1, 2);\n"
+    prose = "The weather was pleasant and everyone enjoyed the walk today."
+    df = spark.createDataFrame([(1, code), (2, prose), (3, None)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text_stats.code_detect(df).collect()}
+    assert got[1]["is_code"] is True
+    assert got[1]["n_code_lines"] == 3  # def line, indented return, `;` line
+    assert got[2]["is_code"] is False
+    assert got[2]["n_code_lines"] == 0
+    assert got[3] == {"doc_id": 3, "n_lines": 0, "n_code_lines": 0,
+                      "n_sym_chars": 0, "code_bp": 0, "is_code": False}
+
+
+# ---------------------------------------------------------- markdown_strip
+
+
+def test_markdown_strip_rewrites(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    md = (
+        "## Title\n"
+        "Some **bold** and *em* and `code` here.\n"
+        "- item one\n"
+        "1. item two\n"
+        "> quoted\n"
+        "[link text](http://x) and ![alt](http://y)\n"
+        "```python\n"
+        "print(1)\n"
+        "```\n"
+        "---\n"
+    )
+    df = spark.createDataFrame([(1, md), (2, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text_stats.markdown_strip(df).collect()}
+    plain = got[1]["plain_text"]
+    assert "Title" in plain and "##" not in plain
+    assert "bold" in plain and "**" not in plain
+    assert "code" in plain and "`" not in plain
+    assert "item one" in plain and "- item" not in plain
+    assert "quoted" in plain and "> " not in plain
+    assert "link text" in plain and "http://x" not in plain
+    assert "alt" in plain and "![" not in plain
+    assert "print(1)" in plain and "```" not in plain
+    assert got[1]["n_removed_chars"] == len(md) - len(plain)
+    assert got[2]["plain_text"] is None
+    assert got[2]["n_removed_chars"] == 0
+
+
+# ----------------------------------------------------- special_token_leaks
+
+
+def test_special_token_leaks_counts_per_token(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    rows = [
+        (1, "clean document, nothing leaked"),
+        (2, "x <|endoftext|> y <|endoftext|> z [INST] w"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["token"]): r["n_hits"]
+           for r in text_stats.special_token_leaks(df).collect()}
+    assert got == {(2, "<|endoftext|>"): 2, (2, "[INST]"): 1}
