@@ -1217,3 +1217,21 @@ def test_prompt_dedup_two_exchanges_prompts_only(spark):
     plan = _plan(pipeline.prompt_dedup(df))
     assert "SinglePartition" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_batch11_ops_zero_exchange_zero_python(spark):
+    """code_detect / markdown_strip / special_token_leaks are pure
+    scan-fused column math: no Exchange, no Python worker in any plan
+    (the SCALE.md inventory rows, pinned)."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for op in (
+        text_stats.code_detect,
+        text_stats.markdown_strip,
+        text_stats.special_token_leaks,
+    ):
+        plan = _plan(op(df))
+        assert "Exchange" not in plan, op.__name__
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, op.__name__
