@@ -109,3 +109,110 @@ def test_cdc_chunks_match_python_reference(spark, texts):
             continue
         ends = [e for _, e in sorted(got[i])]
         assert ends == _py_cdc_ends(t), (i, t)
+
+
+_LEAK_ALPHABET = st.text(
+    alphabet=st.sampled_from(list("ab<|>[]/INSTendofximpad_ ")), max_size=80
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(_LEAK_ALPHABET, min_size=1, max_size=5))
+def test_special_token_leaks_match_python_count(spark, texts):
+    """Substring arithmetic == str.count for every control token, on
+    adversarial text drawn from the tokens' own alphabet (overlapping
+    near-matches, partial markers)."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["token"]): r["n_hits"]
+        for r in text_stats.special_token_leaks(df).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for tok in text_stats.SPECIAL_TOKENS:
+            n = t.count(tok)
+            if n > 0:
+                want[(i, tok)] = n
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    epochs=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=500)),
+        min_size=1,
+        max_size=12,
+    ),
+    delay=st.integers(min_value=0, max_value=100),
+)
+def test_watermark_lateness_matches_python_fold(spark, epochs, delay):
+    """The operator == the sequential fold a streaming engine actually
+    runs: track running max event time over arrivals, drop rows more
+    than `delay` behind it."""
+    from datetime import datetime, timezone
+
+    from pdf_extractors_spark import pipeline
+
+    rows = [
+        (
+            "c",
+            i,
+            None
+            if e is None
+            else datetime.fromtimestamp(1_700_000_000 + e, tz=timezone.utc),
+        )
+        for i, e in enumerate(epochs)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    r = pipeline.watermark_lateness(df, delay_s=delay).collect()[0]
+
+    run_max, n_late, max_dis, n_rows, n_null = None, 0, 0, 0, 0
+    for e in epochs:
+        if e is None:
+            n_null += 1
+            continue
+        n_rows += 1
+        if run_max is not None:
+            dis = max(run_max - e, 0)
+            max_dis = max(max_dis, dis)
+            if dis > delay:
+                n_late += 1
+        run_max = e if run_max is None else max(run_max, e)
+    assert (r["n_rows"], r["n_late"], r["max_disorder_secs"], r["n_null_ts"]) == (
+        n_rows, n_late, max_dis, n_null,
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    turns=st.lists(
+        st.tuples(
+            st.sampled_from(["user", "assistant", "tool"]),
+            st.text(alphabet=st.sampled_from(list("ab c")), max_size=30),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_parrot_rate_matches_python_sets(spark, turns):
+    from pdf_extractors_spark import pipeline
+
+    rows = [("c", i, role, text) for i, (role, text) in enumerate(turns)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    r = pipeline.parrot_rate(df).collect()[0]
+    a_set, u_set = set(), set()
+    for role, text in turns:
+        toks = {w for w in text.lower().strip().split() if w}
+        if role == "assistant":
+            a_set |= toks
+        elif role == "user":
+            u_set |= toks
+    n_a, n_s = len(a_set), len(a_set & u_set)
+    bp = (2 * 10000 * n_s + n_a) // (2 * n_a) if n_a else 0
+    assert (r["n_asst_types"], r["n_shared"], r["parrot_bp"]) == (n_a, n_s, bp)
