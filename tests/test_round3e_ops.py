@@ -366,3 +366,72 @@ def test_special_token_leaks_counts_per_token(spark):
     got = {(r["doc_id"], r["token"]): r["n_hits"]
            for r in text_stats.special_token_leaks(df).collect()}
     assert got == {(2, "<|endoftext|>"): 2, (2, "[INST]"): 1}
+
+
+# -------------------------------------------------------------- plan_audit
+
+
+def test_plan_audit_reads_shuffle_facts(spark):
+    from pdf_extractors_spark import plans
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("c", 1)], "conv_id string, v int"
+    ).groupBy("conv_id").agg(F.sum("v").alias("s"))
+    a = plans.plan_audit(df)
+    assert a.n_exchanges == 1
+    assert a.shuffles_only_on == {"conv_id"}
+    assert not a.has_single_partition
+    assert a.python_stages == []
+
+
+def test_assert_plan_raises_with_plan_attached(spark):
+    import pytest
+
+    from pdf_extractors_spark import plans
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame([(1, 2)], "k int, v int")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    # the aggregation shuffles once; a zero-exchange budget must fail
+    # and carry the plan text in the message
+    with pytest.raises(AssertionError) as e:
+        plans.assert_plan(df, max_exchanges=0)
+    assert "exchanges > budget" in str(e.value)
+    assert "Physical Plan" in str(e.value)
+
+
+def test_assert_plan_flags_python_and_passes_clean(spark):
+    import pytest
+
+    from pdf_extractors_spark import pipeline, plans
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    # the Arrow extraction stage IS a python stage — no_python must flag it
+    with pytest.raises(AssertionError, match="Python stages"):
+        plans.assert_plan(
+            t.withColumnRenamed("role", "tool").withColumn(
+                "ts", pipeline.F.current_timestamp()
+            ).transform(lambda d: pipeline.extract_transcripts(
+                d.select("conv_id", "turn_idx", "text", "tool", "ts",
+                         pipeline.F.lit("user").alias("role")))),
+            no_python=True,
+        )
+    # a pure-column audit passes the full budget
+    plans.assert_plan(
+        pipeline.watermark_lateness(
+            t.select("conv_id", "turn_idx",
+                     pipeline.F.current_timestamp().alias("ts"))
+        ),
+        max_exchanges=1,
+        no_single_partition=True,
+        no_python=True,
+        shuffle_keys={"conv_id"},
+    )
