@@ -3856,6 +3856,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["special_token_leaks"] = q_special_token_leaks
 
+    def q_domain_quality(spark, sf):
+        """Per-domain quality rollup (urls.domain_quality) — the
+        blocklist-building table — with the domain_counts URL plant
+        (fixture documents carry no URLs). Quality is scored over the
+        PLANTED text in both engines; min_docs=3, block threshold
+        3000bp."""
+        from pdf_extractors_spark.operators import urls
+
+        docs = _read(spark, sf, "documents")
+        planted = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    "text",
+                    F.lit(" https://site-"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.org/page and http://mirror.example.net/x"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return urls.domain_quality(planted)
+
+    q["domain_quality"] = q_domain_quality
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8316,6 +8341,59 @@ def oracle_sql() -> dict[str, str]:
         from p cross join toks
         where text is not null
           and length(text) - length(replace(text, token, '')) > 0
+    """
+    oracles["domain_quality"] = rf"""
+        with p as (
+          select doc_id,
+                 case when doc_id % 10 = 0
+                 then text || ' https://site-'
+                      || cast(doc_id % 7 as varchar)
+                      || '.example.org/page and http://mirror.example.net/x'
+                 else text end as text
+          from documents),
+        t as (
+          select doc_id,
+                 cast(length(text) as bigint) as n_chars,
+                 cast(len(string_split_regex(trim(lower(text)), '\s+'))
+                   as bigint) as n_tokens,
+                 cast(len(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t in ({sw_en}))) as bigint) as stopword_hits,
+                 cast(length(regexp_replace(text,
+                     '[^!-/:-@\[-`{{-~]', '', 'g')) as bigint) as punct_chars
+          from p),
+        q as (
+          select doc_id,
+                 8 * least(n_chars, 500)
+                 + (case when n_tokens > 0
+                         then (2 * 4000 * stopword_hits + n_tokens)
+                              // (2 * n_tokens)
+                         else 0 end)
+                 + (case when n_chars > 0
+                         then 2000 - least((2 * 10000 * punct_chars
+                              + n_chars) // (2 * n_chars), 2000)
+                         else 0 end) as quality_bp
+          from t),
+        doms as (
+          select distinct doc_id, dom as domain from (
+            select doc_id,
+                   unnest(regexp_extract_all(text,
+                     'https?://([A-Za-z0-9.-]+)', 1)) as dom
+            from p)),
+        per as (
+          select domain,
+                 cast(count(*) as bigint) as n_docs,
+                 cast(sum(quality_bp) as bigint) as total_bp
+          from doms join q using (doc_id)
+          group by domain),
+        m as (
+          select domain, n_docs,
+                 cast((2 * total_bp + n_docs) // (2 * n_docs) as bigint)
+                   as mean_quality_bp
+          from per where n_docs >= 3)
+        select domain, n_docs, mean_quality_bp,
+               mean_quality_bp < 3000 as blocked
+        from m
     """
     oracles["rank_agreement"] = r"""
         with s as (

@@ -1766,3 +1766,34 @@ def lsh_degree_hist(
     return based.groupBy("degree").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+def lsh_tuning(threshold: float, k: int = 8) -> list[dict]:
+    """Banding-parameter design table (driver-side math, no data): for
+    every (bands, rows) factorization of a ``k``-hash MinHash signature,
+    the S-curve collision probability ``1 - (1 - s^r)^b`` at the target
+    Jaccard ``threshold`` and the similarity at which collision
+    probability crosses 1/2 (``s50 = (1 - (1/2)^(1/b))^(1/r)``). The
+    table one reads BEFORE committing a banding to a 100-TB run: pick
+    the row whose ``s50`` brackets the threshold, then verify with
+    lsh_eval on a sample and check the join fan-out with
+    lsh_degree_hist. Pure reference math (Leskovec et al., MMDS ch.3);
+    deterministic, unit-tested against hand-computed values."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    out = []
+    for rows in range(1, k + 1):
+        if k % rows:
+            continue
+        bands = k // rows
+        p = 1.0 - (1.0 - threshold**rows) ** bands
+        s50 = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows)
+        out.append(
+            {
+                "bands": bands,
+                "rows": rows,
+                "p_collision_at_threshold": p,
+                "s50": s50,
+            }
+        )
+    return out

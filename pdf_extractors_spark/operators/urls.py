@@ -127,3 +127,60 @@ def robots_filter(
             F.col("win.prefix").alias("matched_prefix"),
         )
     )
+
+
+def domain_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    block_below_bp: int = 3000,
+) -> DataFrame:
+    """Per-domain quality rollup — how domain blocklists are actually
+    BUILT (the inverse of robots_filter, which consumes one): every
+    document contributes its integer quality score to every domain its
+    text links to; domains seen in ``min_docs``+ documents get a mean
+    score and a block verdict. Curated lists (UT1, Blacklists UdS) are
+    seeded exactly this way, from per-domain quality mass, then
+    human-reviewed — the ``blocked`` column is the review queue.
+
+    Emits ``(domain, n_docs, mean_quality_bp, blocked)`` with the mean
+    in half-up basis points (exact integer division, replayable). A
+    document linking the same domain twice counts ONCE (distinct per
+    (doc, domain) — one spammy page cannot stuff its own domain's
+    sample size).
+
+    Shape: quality scoring is scan-fused column math
+    (text_stats.quality_score contract); domains ride one
+    regexp_extract_all + explode; the rollup is one map-side-combined
+    groupBy(domain) over (domain, quality_bp) pairs — payloads never
+    shuffle. The distinct collapses on the same (doc, domain) exchange
+    AQE plans for the groupBy."""
+    from .text_stats import quality_score
+
+    q = quality_score(docs, text_col, id_col).select(id_col, "quality_bp")
+    doms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                text_col, F.lit(r"https?://([A-Za-z0-9.-]+)"), 1
+            )
+        ).alias("domain"),
+    ).distinct()
+    per = doms.join(q, id_col).groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("quality_bp").cast("long").alias("_total_bp"),
+    )
+    mean_bp = F.floor(
+        (F.lit(2) * F.col("_total_bp") + F.col("n_docs"))
+        / (F.lit(2) * F.col("n_docs"))
+    ).cast("long")
+    return (
+        per.filter(F.col("n_docs") >= min_docs)
+        .select(
+            "domain",
+            "n_docs",
+            mean_bp.alias("mean_quality_bp"),
+            (mean_bp < block_below_bp).alias("blocked"),
+        )
+    )

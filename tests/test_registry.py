@@ -70,6 +70,7 @@ CARRYOVER = {
     "code_detect",
     "markdown_strip",
     "special_token_leaks",
+    "domain_quality",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -435,3 +435,57 @@ def test_assert_plan_flags_python_and_passes_clean(spark):
         no_python=True,
         shuffle_keys={"conv_id"},
     )
+
+
+# ----------------------------------------------------------- domain_quality
+
+
+def test_domain_quality_rollup_and_verdict(spark):
+    from pdf_extractors_spark.operators import urls
+
+    good = ("the quick brown fox jumps with many common stopwords and the "
+            "usual flowing prose that scores well " * 5)
+    spam = "$$$ !!! @@@ ### %%% ^^^ &&& *** ((( )))"
+    rows = (
+        [(i, f"{good} https://good.example.org/a") for i in range(3)]
+        + [(10 + i, f"{spam} http://spam.example.net/b") for i in range(3)]
+        + [(20, f"{good} https://rare.example.io/once")]  # below min_docs
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["domain"]: r.asDict() for r in urls.domain_quality(df).collect()}
+    assert set(got) == {"good.example.org", "spam.example.net"}
+    assert got["good.example.org"]["n_docs"] == 3
+    assert got["good.example.org"]["blocked"] is False
+    assert got["spam.example.net"]["blocked"] is True
+
+
+def test_domain_quality_distinct_per_doc(spark):
+    from pdf_extractors_spark.operators import urls
+
+    # one doc stuffing its own domain 5 times still counts once
+    text = "words " * 30 + "http://stuff.example.com/a " * 5
+    df = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    r = urls.domain_quality(df).collect()
+    assert len(r) == 1 and r[0]["n_docs"] == 3
+
+
+# --------------------------------------------------------------- lsh_tuning
+
+
+def test_lsh_tuning_table_matches_hand_math(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    table = {(d["bands"], d["rows"]): d for d in dedup.lsh_tuning(0.5, k=8)}
+    # factorizations of 8 only
+    assert set(table) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    # hand math at s=0.5, b=4, r=2: 1 - (1 - 0.25)^4 = 0.68359375
+    assert abs(table[(4, 2)]["p_collision_at_threshold"] - 0.68359375) < 1e-12
+    # s50 rises with rows (stricter banding catches only higher similarity)
+    s50s = [table[k]["s50"] for k in [(8, 1), (4, 2), (2, 4), (1, 8)]]
+    assert s50s == sorted(s50s)
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.lsh_tuning(1.5)
