@@ -3881,6 +3881,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_quality"] = q_domain_quality
 
+    def q_markdown_tables(spark, sf):
+        """Pipe-table extraction (text_stats.markdown_tables) with a
+        two-table markdown tail (separator rows, a gap line, per-doc
+        cell values) appended to every document; indices and cells
+        exact."""
+        from pdf_extractors_spark.operators import text_stats
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\n| name | qty |\n|------|:---:|\n| row-"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" | 7 |\ngap\n| solo-"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(" |\n"),
+            ).alias("text"),
+        )
+        return text_stats.markdown_tables(d)
+
+    q["markdown_tables"] = q_markdown_tables
+
+    def q_render_chatml(spark, sf):
+        """Chat-template rendering (pipeline.render_chatml) over the
+        transcripts fixture — the SFT serialization pass, value-checked
+        against an ordered string_agg."""
+        return pipeline.render_chatml(
+            _transcripts(spark, "sf0.01").select(
+                "conv_id", "turn_idx", "role", "text"
+            )
+        )
+
+    q["render_chatml"] = q_render_chatml
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8395,6 +8429,58 @@ def oracle_sql() -> dict[str, str]:
                mean_quality_bp < 3000 as blocked
         from m
     """
+    oracles["markdown_tables"] = r"""
+        with p as (
+          select doc_id,
+                 coalesce(text, '') || chr(10)
+                 || '| name | qty |' || chr(10)
+                 || '|------|:---:|' || chr(10)
+                 || '| row-' || cast(doc_id % 5 as varchar) || ' | 7 |'
+                 || chr(10) || 'gap' || chr(10)
+                 || '| solo-' || cast(doc_id % 3 as varchar) || ' |'
+                 || chr(10) as text
+          from documents),
+        raw as (
+          select doc_id,
+                 unnest(string_split(text, chr(10))) as line,
+                 generate_subscripts(string_split(text, chr(10)), 1) as ln
+          from p),
+        l as (
+          select doc_id, ln, line from raw
+          where regexp_matches(line, '^\s*\|')),
+        g as (
+          select doc_id, ln, line,
+                 ln - row_number() over (partition by doc_id order by ln)
+                   as tbl_key
+          from l),
+        c0 as (
+          select doc_id, ln, tbl_key,
+                 string_split(trim(line), '|') as parts
+          from g),
+        c as (
+          select doc_id, ln, tbl_key,
+                 list_transform(parts[2:len(parts) - 1],
+                                x -> trim(x)) as cells
+          from c0
+          where len(list_transform(parts[2:len(parts) - 1],
+                                   x -> trim(x))) > 0),
+        kept as (
+          select * from c
+          where len(list_filter(cells,
+                    x -> regexp_matches(x, '^:?-+:?$'))) <> len(cells)),
+        numbered as (
+          select doc_id,
+                 cast(dense_rank() over (partition by doc_id
+                   order by tbl_key) - 1 as bigint) as table_idx,
+                 cast(row_number() over (partition by doc_id, tbl_key
+                   order by ln) - 1 as bigint) as row_idx,
+                 cells
+          from kept)
+        select doc_id, table_idx, row_idx,
+               cast(generate_subscripts(cells, 1) - 1 as bigint) as col_idx,
+               unnest(cells) as cell
+        from numbered
+    """
     oracles["rank_agreement"] = r"""
         with s as (
           select doc_id, lang,
@@ -8506,6 +8592,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(per.n_runs_ge_min, 0) as bigint)
                      as n_runs_ge_min
             from allc a left join per on a.conv_id = per.conv_id
+        """
+        oracles["render_chatml"] = f"""
+            select conv_id,
+                   cast(count(*) as bigint) as n_turns,
+                   string_agg('<|im_start|>' || role || chr(10)
+                              || coalesce(text, '') || '<|im_end|>',
+                              chr(10)
+                              order by turn_idx, role, coalesce(text, ''))
+                     as chatml_text
+            from read_parquet('{tp}')
+            group by conv_id
         """
         oracles["parrot_rate"] = rf"""
             with tk as (

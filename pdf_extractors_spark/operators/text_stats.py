@@ -2458,3 +2458,68 @@ def special_token_leaks(
             F.col("_p.n_hits").alias("n_hits"),
         )
     )
+
+
+def markdown_tables(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Markdown pipe-table extraction: runs of consecutive ``|``-prefixed
+    lines become tables, alignment separator rows (``|---|:--:|``) are
+    dropped, and every cell lands as its own row — the table-structure
+    recovery pass for markdown corpora, mirroring what the reference's
+    lattice/ruled extractors do for PDF text (ruled.py) but in pure
+    column math.
+
+    Emits ``(id, table_idx, row_idx, col_idx, cell)``: table_idx numbers
+    tables within the document (0-based, in text order), row_idx numbers
+    kept rows within the table (header = 0), col_idx the trimmed cells
+    left-to-right. Documents without tables emit nothing.
+
+    One conv-style exchange on the document id: consecutive pipe-lines
+    group via gaps-and-islands (line_no − row_number), and the row
+    numbering reuses the same hashpartitioning. Cell splitting is
+    ``split``/``slice``/``posexplode`` codegen — payloads shuffle once,
+    as (id, line) pairs for pipe-lines only."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("_ln", "_line"),
+    ).filter(F.col("_line").rlike(r"^\s*\|"))
+    w = Window.partitionBy(id_col).orderBy("_ln")
+    grouped = lines.withColumn(
+        "_tbl_key", F.col("_ln") - F.row_number().over(w)
+    )
+    # cells: split on |, drop the leading/trailing empties, trim
+    parts = F.split(F.trim(F.col("_line")), r"\|")
+    cells = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 2, F.lit(0))),
+        lambda c: F.trim(c),
+    )
+    with_cells = grouped.withColumn("_cells", cells).filter(
+        F.size("_cells") > 0
+    )
+    # alignment separator rows: every cell matches :?-+:? (at least one)
+    sep = F.size(
+        F.filter(F.col("_cells"), lambda c: c.rlike(r"^:?-+:?$"))
+    ) == F.size("_cells")
+    kept = with_cells.filter(~sep)
+    w_tbl = Window.partitionBy(id_col).orderBy("_tbl_key")
+    w_row = Window.partitionBy(id_col, "_tbl_key").orderBy("_ln")
+    numbered = kept.select(
+        id_col,
+        (F.dense_rank().over(w_tbl) - 1).cast("long").alias("table_idx"),
+        (F.row_number().over(w_row) - 1).cast("long").alias("row_idx"),
+        "_cells",
+    )
+    return numbered.select(
+        id_col,
+        "table_idx",
+        "row_idx",
+        F.posexplode("_cells").alias("col_idx", "cell"),
+    ).select(
+        id_col,
+        "table_idx",
+        "row_idx",
+        F.col("col_idx").cast("long").alias("col_idx"),
+        "cell",
+    )

@@ -1240,3 +1240,42 @@ def prompt_dedup(
         )
         .filter(F.col("n_convs") >= min_convs)
     )
+
+
+def render_chatml(transcripts: DataFrame) -> DataFrame:
+    """Render each conversation into chat-template training text (the
+    inverse of special_token_leaks' audit): turns in order, each wrapped
+    as ``<|im_start|>role\\ntext<|im_end|>``, joined with newlines. The
+    final SFT-prep serialization — downstream of dedup/quality/packing,
+    immediately before tokenization.
+
+    Emits ``(conv_id, n_turns, chatml_text)``. Null turn text renders as
+    empty (the marker structure is preserved — a missing payload must
+    not silently delete its turn). Ordering is total: (turn_idx, role,
+    text), so duplicated turn indices render deterministically.
+
+    One exchange on conv_id: collect_list + array_sort + transform +
+    array_join all inside the aggregate — the whole render is a single
+    map-side-combinable aggregation, no window, no grouped-map UDF."""
+    turn = F.struct(
+        F.col("turn_idx"),
+        F.col("role"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(turn)),
+            lambda t: F.concat(
+                F.lit("<|im_start|>"),
+                t["role"],
+                F.lit("\n"),
+                t["text"],
+                F.lit("<|im_end|>"),
+            ),
+        ),
+        "\n",
+    )
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        rendered.alias("chatml_text"),
+    )

@@ -71,6 +71,8 @@ CARRYOVER = {
     "markdown_strip",
     "special_token_leaks",
     "domain_quality",
+    "markdown_tables",
+    "render_chatml",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -489,3 +489,75 @@ def test_lsh_tuning_table_matches_hand_math(spark):
 
     with pytest.raises(ValueError):
         dedup.lsh_tuning(1.5)
+
+
+# ---------------------------------------------------------- markdown_tables
+
+
+def test_markdown_tables_cells_and_separator(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    md = (
+        "intro prose\n"
+        "| h1 | h2 |\n"
+        "|----|:--:|\n"
+        "| a  | b  |\n"
+        "| c  | d  |\n"
+        "gap line\n"
+        "| x |\n"
+    )
+    df = spark.createDataFrame([(1, md), (2, "no tables here")],
+                               "doc_id long, text string")
+    rows = text_stats.markdown_tables(df).collect()
+    got = {(r["table_idx"], r["row_idx"], r["col_idx"]): r["cell"] for r in rows}
+    assert all(r["doc_id"] == 1 for r in rows)
+    # table 0: header + 2 data rows (separator dropped), 2 cols
+    assert got[(0, 0, 0)] == "h1" and got[(0, 0, 1)] == "h2"
+    assert got[(0, 1, 0)] == "a" and got[(0, 2, 1)] == "d"
+    # table 1 (after the gap): single cell
+    assert got[(1, 0, 0)] == "x"
+    assert len(got) == 7
+
+
+def test_markdown_tables_empty_and_null(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame([(1, None), (2, "| |")], "doc_id long, text string")
+    rows = text_stats.markdown_tables(df).collect()
+    # "| |" has one empty cell -> one row with cell ""
+    assert [(r["doc_id"], r["cell"]) for r in rows] == [(2, "")]
+
+
+# ------------------------------------------------------------ render_chatml
+
+
+def test_render_chatml_order_and_markers(spark):
+    rows = [
+        ("a", 1, "assistant", "hi there"),
+        ("a", 0, "user", "hello"),
+        ("a", 2, "tool", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    r = pipeline.render_chatml(df).collect()[0]
+    assert r["n_turns"] == 3
+    assert r["chatml_text"] == (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nhi there<|im_end|>\n"
+        "<|im_start|>tool\n<|im_end|>"
+    )
+
+
+def test_render_chatml_roundtrip_with_leak_audit(spark):
+    """The rendered text is exactly what special_token_leaks should
+    flag: n markers of each kind per conversation."""
+    from pdf_extractors_spark.operators import text_stats
+
+    rows = [("a", i, "user", f"t{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    rendered = pipeline.render_chatml(df).select(
+        pipeline.F.col("conv_id").alias("doc_id"),
+        pipeline.F.col("chatml_text").alias("text"),
+    )
+    got = {r["token"]: r["n_hits"]
+           for r in text_stats.special_token_leaks(rendered).collect()}
+    assert got == {"<|im_start|>": 4, "<|im_end|>": 4}
