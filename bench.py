@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "postings",
     "bigram_lift",
+    # round-3 batch 8-13: the two new documents-scaled shapes — the
+    # markdown table recovery (regex + islands + cell explode) and the
+    # per-domain quality rollup (scan-fused scoring + distinct + join)
+    "markdown_tables",
+    "domain_quality",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

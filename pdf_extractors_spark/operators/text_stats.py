@@ -2475,6 +2475,14 @@ def markdown_tables(
     kept rows within the table (header = 0), col_idx the trimmed cells
     left-to-right. Documents without tables emit nothing.
 
+    Island contract (pinned by the oracle and the fuzz reference):
+    islands form over ALL ``|``-prefixed lines, so a cell-less pipe
+    line (``|``, or a row missing its trailing pipe) keeps an island
+    contiguous even though it emits no cells; separator and cell-less
+    rows then drop, and table indices renumber densely over the
+    islands that still have rows — an all-separator "table" does not
+    consume an index.
+
     One conv-style exchange on the document id: consecutive pipe-lines
     group via gaps-and-islands (line_no − row_number), and the row
     numbering reuses the same hashpartitioning. Cell splitting is

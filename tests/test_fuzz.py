@@ -216,3 +216,55 @@ def test_parrot_rate_matches_python_sets(spark, turns):
     n_a, n_s = len(a_set), len(a_set & u_set)
     bp = (2 * 10000 * n_s + n_a) // (2 * n_a) if n_a else 0
     assert (r["n_asst_types"], r["n_shared"], r["parrot_bp"]) == (n_a, n_s, bp)
+
+
+def _py_markdown_tables(text: str) -> list[tuple[int, int, int, str]]:
+    """Sequential reference for markdown_tables, replaying the operator's
+    island contract exactly: islands form over ALL pipe-prefixed lines
+    (so a zero-cell or separator line keeps an island contiguous), then
+    cell-less and separator rows drop, tables renumber densely over the
+    SURVIVING islands, and rows number over surviving lines."""
+    import re as _re
+
+    islands: dict[int, list] = {}
+    seq = 0
+    for ln, line in enumerate((text or "").split("\n")):
+        if not _re.match(r"^\s*\|", line):
+            continue
+        seq += 1
+        key = ln - seq
+        parts = _re.split(r"\|", line.strip())
+        cells = [c.strip() for c in parts[1:-1]]
+        if not cells:
+            continue
+        if all(_re.fullmatch(r":?-+:?", c) for c in cells):
+            continue
+        islands.setdefault(key, []).append((ln, cells))
+    out = []
+    for tbl, key in enumerate(sorted(islands)):
+        for row, (_ln, cells) in enumerate(sorted(islands[key])):
+            for col, c in enumerate(cells):
+                out.append((tbl, row, col, c))
+    return out
+
+
+_MD_ALPHABET = st.text(
+    alphabet=st.sampled_from(list("|-: abc\n")), max_size=120
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts=st.lists(_MD_ALPHABET, min_size=1, max_size=4))
+def test_markdown_tables_match_python_reference(spark, texts):
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, list] = {i: [] for i in range(len(texts))}
+    for r in text_stats.markdown_tables(df).collect():
+        got[r["doc_id"]].append(
+            (r["table_idx"], r["row_idx"], r["col_idx"], r["cell"])
+        )
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == sorted(_py_markdown_tables(t)), (i, t)

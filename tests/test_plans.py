@@ -1235,3 +1235,34 @@ def test_batch11_ops_zero_exchange_zero_python(spark):
         assert "Exchange" not in plan, op.__name__
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, op.__name__
+
+
+def test_batch12_13_plan_budgets(spark):
+    """Batch-12/13 budgets, asserted through the public plans API
+    (plans.assert_plan — the same linter a pipeline author calls):
+    markdown_tables and render_chatml are single-exchange on the
+    document/conversation key; domain_quality is bounded at 4 keyed
+    exchanges (distinct, join sides, domain rollup) with no funnel."""
+    from pdf_extractors_spark import pipeline, plans
+    from pdf_extractors_spark.operators import text_stats, urls
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    t = spark.createDataFrame(
+        [("c", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plans.assert_plan(
+        text_stats.markdown_tables(d),
+        max_exchanges=1, no_single_partition=True, no_python=True,
+        shuffle_keys={"doc_id"},
+    )
+    plans.assert_plan(
+        pipeline.render_chatml(t),
+        max_exchanges=1, no_single_partition=True, no_python=True,
+        shuffle_keys={"conv_id"},
+    )
+    plans.assert_plan(
+        urls.domain_quality(d),
+        max_exchanges=4, no_single_partition=True, no_python=True,
+        shuffle_keys={"doc_id", "domain"},
+    )
