@@ -3915,6 +3915,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["render_chatml"] = q_render_chatml
 
+    def q_corpus_health(spark, sf):
+        """One-row corpus dashboard (text_stats.corpus_health) over
+        documents — volume, null rate, exact-dup mass, token volume,
+        mean quality; every number an exact integer or half-up basis
+        points."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.corpus_health(_read(spark, sf, "documents"))
+
+    q["corpus_health"] = q_corpus_health
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8273,6 +8284,57 @@ def oracle_sql() -> dict[str, str]:
                          // (2 * total_chars)
                     else 0 end as bigint) as savings_bp
         from rep
+    """
+    oracles["corpus_health"] = rf"""
+        with t as (
+          select doc_id, text,
+                 case when text is null then 1 else 0 end as is_null,
+                 case when text is not null then
+                   cast(concat('0x', substr(md5({norm}), 1, 8)) as bigint)
+                 end as h,
+                 cast(coalesce(len(string_split_regex(trim(lower(text)),
+                     '\s+')), 0) as bigint) as toks,
+                 cast(length(text) as bigint) as nc,
+                 cast(len(string_split_regex(trim(lower(text)), '\s+'))
+                   as bigint) as nt,
+                 cast(len(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x in ({sw_en}))) as bigint) as stop,
+                 cast(length(regexp_replace(text,
+                     '[^!-/:-@\[-`{{-~]', '', 'g')) as bigint) as punct
+          from documents),
+        q as (
+          select *,
+                 8 * least(nc, 500)
+                 + (case when nt > 0
+                         then (2 * 4000 * stop + nt) // (2 * nt)
+                         else 0 end)
+                 + (case when nc > 0
+                         then 2000 - least((2 * 10000 * punct + nc)
+                              // (2 * nc), 2000)
+                         else 0 end) as qbp
+          from t),
+        a as (
+          select cast(count(*) as bigint) as n_docs,
+                 cast(sum(is_null) as bigint) as n_null_text,
+                 cast(count(distinct h) as bigint) as n_distinct,
+                 cast(coalesce(sum(case when is_null = 0 then toks end), 0)
+                   as bigint) as total_ws_tokens,
+                 cast(sum(case when is_null = 0 then qbp end) as bigint)
+                   as q_total
+          from q)
+        select n_docs, n_null_text, n_distinct,
+               cast(case when n_docs - n_null_text > 0
+                    then (2 * 10000 * (n_docs - n_null_text - n_distinct)
+                          + (n_docs - n_null_text))
+                         // (2 * (n_docs - n_null_text))
+                    else 0 end as bigint) as exact_dup_bp,
+               total_ws_tokens,
+               cast(case when n_docs - n_null_text > 0
+                    then (2 * q_total + (n_docs - n_null_text))
+                         // (2 * (n_docs - n_null_text))
+                    else 0 end as bigint) as mean_quality_bp
+        from a
     """
     oracles["code_detect"] = r"""
         with p as (

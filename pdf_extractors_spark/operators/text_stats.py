@@ -2531,3 +2531,102 @@ def markdown_tables(
         F.col("col_idx").cast("long").alias("col_idx"),
         "cell",
     )
+
+
+def corpus_health(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The one-row corpus dashboard a pipeline run logs next to its
+    lineage manifest — the first thing read when a training run's data
+    looks wrong: volume, null rate, exact-duplicate mass, token volume,
+    and mean quality, all exact integers / half-up basis points.
+
+    Emits one row::
+
+        n_docs           rows
+        n_null_text      rows with null text
+        n_distinct       distinct normalized non-null texts
+        exact_dup_bp     (non-null docs − distinct) / non-null docs
+        total_ws_tokens  whitespace tokens across the corpus
+        mean_quality_bp  mean integer quality score (non-null docs)
+
+    Shape: ONE scan — all features (hash, token count, quality terms)
+    are computed in the same projection, so the corpus is read once; the
+    only exchanges are the distinct-count on the 16-byte normalized-text
+    hash and the final 1-row aggregate — ~16 bytes per document cross
+    the wire, never payloads. The quality term re-states
+    :func:`quality_score`'s exact integer formula inline (pinned equal
+    by test) instead of joining that operator's output back, which
+    would scan the corpus twice."""
+    from .dedup import normalize_text
+    from .hashing import md5_bigint
+
+    text = F.col(text_col)
+    toks = tokens(text)
+    per_doc = df.select(
+        text.isNull().cast("long").alias("_is_null"),
+        F.when(text.isNotNull(), md5_bigint(normalize_text(text))).alias("_h"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("_toks"),
+        F.length(text).cast("long").alias("_nc"),
+        F.size(toks).cast("long").alias("_nt"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+        .cast("long")
+        .alias("_stop"),
+        F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+        .cast("long")
+        .alias("_punct"),
+    )
+    quality = (
+        8 * F.least(F.col("_nc"), F.lit(500))
+        + F.when(
+            F.col("_nt") > 0,
+            F.expr("(2 * (4000 * _stop) + _nt) div (2 * _nt)"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("_nc") > 0,
+            F.lit(2000)
+            - F.least(
+                F.expr("(2 * (10000 * _punct) + _nc) div (2 * _nc)"),
+                F.lit(2000),
+            ),
+        ).otherwise(F.lit(0))
+    )
+    base = per_doc.withColumn("_q", quality).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_is_null").cast("long").alias("n_null_text"),
+        F.count_distinct("_h").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("_is_null") == 0, F.col("_toks")))
+        .cast("long")
+        .alias("total_ws_tokens"),
+        F.sum(F.when(F.col("_is_null") == 0, F.col("_q")))
+        .cast("long")
+        .alias("_q_total"),
+    )
+    nonnull = F.col("n_docs") - F.col("n_null_text")
+    return base.select(
+        "n_docs",
+        "n_null_text",
+        "n_distinct",
+        F.when(
+            nonnull > 0,
+            F.floor(
+                (F.lit(2) * 10000 * (nonnull - F.col("n_distinct")) + nonnull)
+                / (F.lit(2) * nonnull)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("exact_dup_bp"),
+        F.coalesce("total_ws_tokens", F.lit(0))
+        .cast("long")
+        .alias("total_ws_tokens"),
+        F.when(
+            nonnull > 0,
+            F.floor(
+                (F.lit(2) * F.col("_q_total") + nonnull) / (F.lit(2) * nonnull)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_quality_bp"),
+    )

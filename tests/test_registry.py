@@ -73,6 +73,7 @@ CARRYOVER = {
     "domain_quality",
     "markdown_tables",
     "render_chatml",
+    "corpus_health",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

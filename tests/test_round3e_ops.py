@@ -561,3 +561,36 @@ def test_render_chatml_roundtrip_with_leak_audit(spark):
     got = {r["token"]: r["n_hits"]
            for r in text_stats.special_token_leaks(rendered).collect()}
     assert got == {"<|im_start|>": 4, "<|im_end|>": 4}
+
+
+# ------------------------------------------------------------ corpus_health
+
+
+def test_corpus_health_dashboard(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE  quick  brown FOX"),  # same after normalization
+        (3, "something else entirely"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = text_stats.corpus_health(df).collect()[0]
+    assert r["n_docs"] == 4 and r["n_null_text"] == 1
+    assert r["n_distinct"] == 2
+    # 3 non-null docs, 2 distinct -> 1/3 duplicate mass, half-up
+    assert r["exact_dup_bp"] == 3333
+    assert r["total_ws_tokens"] == 4 + 4 + 3
+
+
+def test_corpus_health_quality_matches_quality_score(spark):
+    """The inlined quality term must equal quality_score's quality_bp
+    exactly (single doc: mean == the score)."""
+    from pdf_extractors_spark.operators import text_stats
+
+    text = "the and was with some words of ordinary prose, twice over."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    want = text_stats.quality_score(df).collect()[0]["quality_bp"]
+    got = text_stats.corpus_health(df).collect()[0]["mean_quality_bp"]
+    assert got == want
