@@ -3926,6 +3926,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_health"] = q_corpus_health
 
+    def q_stream_response_join(spark, sf):
+        """Watermarked STREAM-STREAM inner join, value-checked: the
+        user-turn stream joined to the assistant-turn stream
+        (streaming/extract_stream.response_join_stream — adjacency +
+        event-time range so both state buffers are watermark-bounded),
+        run availableNow over the pinned transcripts and oracled by the
+        plain SQL join."""
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        _transcripts(spark, "sf0.01")  # materialize + ship package
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_resp_join_{_STREAM_COUNTER[0]}"
+        sdf = es.read_transcript_stream(spark, _transcripts_path("sf0.01"))
+        query = (
+            es.response_join_stream(sdf)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(qn)
+
+    q["stream_response_join"] = q_stream_response_join
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8665,6 +8691,23 @@ def oracle_sql() -> dict[str, str]:
                      as chatml_text
             from read_parquet('{tp}')
             group by conv_id
+        """
+        oracles["stream_response_join"] = f"""
+            with u as (
+              select conv_id, cast(turn_idx as bigint) as user_idx,
+                     cast(floor(epoch(ts)) as bigint) as u_ep
+              from read_parquet('{tp}') where role = 'user'),
+            a as (
+              select conv_id, cast(turn_idx as bigint) as asst_idx,
+                     cast(floor(epoch(ts)) as bigint) as a_ep
+              from read_parquet('{tp}') where role = 'assistant')
+            select u.conv_id, u.user_idx, a.asst_idx,
+                   cast(a.a_ep - u.u_ep as bigint) as latency_secs
+            from u join a
+              on u.conv_id = a.conv_id
+             and a.asst_idx = u.user_idx + 1
+             and a.a_ep >= u.u_ep
+             and a.a_ep <= u.u_ep + 60
         """
         oracles["parrot_rate"] = rf"""
             with tk as (

@@ -214,3 +214,55 @@ def neardup_stream(
             watermark_col, watermark
         ).dropDuplicatesWithinWatermark(["simhash"])
     return fp.dropDuplicates(["simhash"])
+
+
+def response_join_stream(
+    transcripts: DataFrame,
+    watermark: str = "2 minutes",
+    max_latency_s: int = 60,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the user-turn stream
+    joined to the assistant-turn stream of the same conversation, each
+    pair constrained to the adjacent turn AND an event-time range, so
+    Spark can bound both join-state buffers by the watermark (without
+    the time-range predicate the state would grow forever; this is the
+    canonical Structured Streaming stream-stream join contract).
+
+    Emits ``(conv_id, user_idx, asst_idx, latency_secs)`` per answered
+    user turn — the live agent-responsiveness feed whose batch form is
+    ``pipeline.turn_latency_stats``. Works unchanged on a batch
+    DataFrame (withWatermark is a no-op in batch), which is what the
+    value oracle replays."""
+    is_stream = transcripts.isStreaming
+    users = transcripts.filter(F.col("role") == "user").select(
+        "conv_id",
+        F.col("turn_idx").alias("user_idx"),
+        F.col("ts").alias("u_ts"),
+    )
+    assts = transcripts.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv_id"),
+        F.col("turn_idx").alias("asst_idx"),
+        F.col("ts").alias("a_ts"),
+    )
+    if is_stream:
+        users = users.withWatermark("u_ts", watermark)
+        assts = assts.withWatermark("a_ts", watermark)
+    joined = users.join(
+        assts,
+        (F.col("conv_id") == F.col("a_conv_id"))
+        & (F.col("asst_idx") == F.col("user_idx") + 1)
+        & (F.col("a_ts") >= F.col("u_ts"))
+        & (
+            F.col("a_ts")
+            <= F.col("u_ts") + F.expr(f"interval {int(max_latency_s)} seconds")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "conv_id",
+        F.col("user_idx").cast("long").alias("user_idx"),
+        F.col("asst_idx").cast("long").alias("asst_idx"),
+        (F.col("a_ts").cast("long") - F.col("u_ts").cast("long"))
+        .cast("long")
+        .alias("latency_secs"),
+    )

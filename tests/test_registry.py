@@ -74,6 +74,7 @@ CARRYOVER = {
     "markdown_tables",
     "render_chatml",
     "corpus_health",
+    "stream_response_join",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

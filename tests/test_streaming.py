@@ -173,3 +173,53 @@ def test_session_rollup_lifts_to_streaming(spark, tmp_path):
         for r in df.collect()
     )
     assert key(spark.table("sess_stream")) == key(batch)
+
+
+def test_stream_stream_response_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join parity: the same response_join
+    over readStream (availableNow, file source split into micro-batches)
+    emits exactly the batch join's rows."""
+    from datetime import datetime, timedelta
+
+    src = str(tmp_path / "turns")
+    base = datetime(2026, 1, 1)
+    rows = []
+    for c in range(6):
+        for i in range(8):
+            role = ["user", "assistant", "tool"][i % 3]
+            rows.append(
+                (f"c{c}", i, role, f"t{i}", "html_page",
+                 base + timedelta(seconds=7 * i + c))
+            )
+    # one answered pair pushed past the 60s latency cap: no join row
+    rows.append(("late", 0, "user", "u", "html_page", base))
+    rows.append(("late", 1, "assistant", "a", "html_page",
+                 base + timedelta(seconds=120)))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    df.repartition(4).write.parquet(src)
+
+    batch = es.response_join_stream(spark.read.parquet(src))
+
+    sdf = es.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        es.response_join_stream(sdf)
+        .writeStream.format("memory")
+        .queryName("resp_join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    key = lambda d: sorted(
+        (r["conv_id"], r["user_idx"], r["asst_idx"], r["latency_secs"])
+        for r in d.collect()
+    )
+    got, want = key(spark.table("resp_join_stream")), key(batch)
+    assert got == want
+    assert want  # the join actually produced pairs
+    assert all(r[0] != "late" for r in want)  # the 120s pair was capped
