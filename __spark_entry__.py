@@ -3952,6 +3952,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_response_join"] = q_stream_response_join
 
+    def q_stream_enrich(spark, sf):
+        """STREAM-STATIC broadcast enrich, value-checked: the transcript
+        stream inner-joined to a deterministic per-conversation dim
+        (experiment arm = md5 bucket of conv_id) — stateless by
+        definition, so availableNow emits exactly the batch join; the
+        oracle replays the dim derivation and the join in SQL."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+        from pdf_extractors_spark.streaming import extract_stream as es
+
+        t = _transcripts(spark, "sf0.01")  # materialize + ship package
+        dim = t.select("conv_id").distinct().select(
+            "conv_id",
+            F.pmod(
+                md5_bigint(F.concat(F.lit("arm:"), F.col("conv_id"))),
+                F.lit(3),
+            )
+            .cast("long")
+            .alias("arm"),
+        )
+        _STREAM_COUNTER[0] += 1
+        qn = f"stream_enrich_{_STREAM_COUNTER[0]}"
+        sdf = es.read_transcript_stream(spark, _transcripts_path("sf0.01"))
+        enriched = es.enrich_stream(sdf, dim).select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "role",
+            "arm",
+        )
+        query = (
+            enriched.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(qn)
+
+    q["stream_enrich"] = q_stream_enrich
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8708,6 +8748,13 @@ def oracle_sql() -> dict[str, str]:
              and a.asst_idx = u.user_idx + 1
              and a.a_ep >= u.u_ep
              and a.a_ep <= u.u_ep + 60
+        """
+        oracles["stream_enrich"] = f"""
+            select conv_id, cast(turn_idx as bigint) as turn_idx, role,
+                   cast(cast(concat('0x', substr(md5(
+                       'arm:' || conv_id), 1, 8)) as bigint) % 3
+                     as bigint) as arm
+            from read_parquet('{tp}')
         """
         oracles["parrot_rate"] = rf"""
             with tk as (

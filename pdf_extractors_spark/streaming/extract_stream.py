@@ -266,3 +266,16 @@ def response_join_stream(
         .cast("long")
         .alias("latency_secs"),
     )
+
+
+def enrich_stream(
+    transcripts: DataFrame, dim: DataFrame, on: str = "conv_id"
+) -> DataFrame:
+    """STREAM-STATIC join: the transcript stream enriched by a static
+    dimension table (routing metadata, tenant config, experiment arm).
+    The static side is explicitly broadcast — each micro-batch hash-joins
+    against the in-memory dim with no shuffle and no join state at all
+    (stream-static inner joins are stateless by definition: only the
+    stream side flows). Completes the join matrix next to
+    response_join_stream (stream-stream, watermark-bounded state)."""
+    return transcripts.join(F.broadcast(dim), on, "inner")

@@ -75,6 +75,7 @@ CARRYOVER = {
     "render_chatml",
     "corpus_health",
     "stream_response_join",
+    "stream_enrich",
     "domain_cap",
     "skew_report",
     "bpe_pairs",
