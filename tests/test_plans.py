@@ -1266,3 +1266,20 @@ def test_batch12_13_plan_budgets(spark):
         max_exchanges=4, no_single_partition=True, no_python=True,
         shuffle_keys={"doc_id", "domain"},
     )
+
+
+def test_aqe_runtime_coalesces_shuffle_partitions(spark):
+    """AQE is not just configured — it actually re-plans at runtime:
+    a small aggregate shuffled across 32 (or session-default) partitions
+    is read back through AQEShuffleRead with fewer, coalesced partitions
+    in the FINAL (executed) adaptive plan."""
+    df = (
+        spark.range(0, 1000)
+        .withColumn("k", F.col("id") % 5)
+        .groupBy("k")
+        .count()
+    )
+    df.collect()  # execute so the adaptive plan finalizes
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in executed
+    assert "coalesced" in executed
