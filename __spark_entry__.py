@@ -3992,6 +3992,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_enrich"] = q_stream_enrich
 
+    def q_filter_attrition(spark, sf):
+        """Per-rule Gopher attrition report (text_stats.filter_attrition)
+        over documents — marginal and cumulative removal per rule in the
+        documented order; last row's n_remaining equals the gopher_pass
+        count."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.filter_attrition(_read(spark, sf, "documents"))
+
+    q["filter_attrition"] = q_filter_attrition
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8401,6 +8412,49 @@ def oracle_sql() -> dict[str, str]:
                          // (2 * (n_docs - n_null_text))
                     else 0 end as bigint) as mean_quality_bp
         from a
+    """
+    oracles["filter_attrition"] = f"""
+        with g as (select * from ({_GOPHER_SQL})),
+        a as (
+          select cast(count(*) as bigint) as n,
+                 cast(sum(case when flag_word_count then 1 else 0 end)
+                   as bigint) as f0,
+                 cast(sum(case when flag_mean_word_len then 1 else 0 end)
+                   as bigint) as f1,
+                 cast(sum(case when flag_symbol_ratio then 1 else 0 end)
+                   as bigint) as f2,
+                 cast(sum(case when flag_bullet_lines then 1 else 0 end)
+                   as bigint) as f3,
+                 cast(sum(case when flag_ellipsis_lines then 1 else 0 end)
+                   as bigint) as f4,
+                 cast(sum(case when flag_stopword_frac then 1 else 0 end)
+                   as bigint) as f5,
+                 cast(sum(case when flag_word_count then 1 else 0 end)
+                   as bigint) as c0,
+                 cast(sum(case when flag_word_count or flag_mean_word_len
+                     then 1 else 0 end) as bigint) as c1,
+                 cast(sum(case when flag_word_count or flag_mean_word_len
+                     or flag_symbol_ratio then 1 else 0 end) as bigint) as c2,
+                 cast(sum(case when flag_word_count or flag_mean_word_len
+                     or flag_symbol_ratio or flag_bullet_lines
+                     then 1 else 0 end) as bigint) as c3,
+                 cast(sum(case when flag_word_count or flag_mean_word_len
+                     or flag_symbol_ratio or flag_bullet_lines
+                     or flag_ellipsis_lines then 1 else 0 end)
+                   as bigint) as c4,
+                 cast(sum(case when flag_word_count or flag_mean_word_len
+                     or flag_symbol_ratio or flag_bullet_lines
+                     or flag_ellipsis_lines or flag_stopword_frac
+                     then 1 else 0 end) as bigint) as c5
+          from g)
+        select cast(0 as bigint) as rule_order, 'word_count' as rule,
+               f0 as n_flagged, c0 as n_cum_removed, n - c0 as n_remaining
+        from a
+        union all select 1, 'mean_word_len', f1, c1, n - c1 from a
+        union all select 2, 'symbol_ratio', f2, c2, n - c2 from a
+        union all select 3, 'bullet_lines', f3, c3, n - c3 from a
+        union all select 4, 'ellipsis_lines', f4, c4, n - c4 from a
+        union all select 5, 'stopword_frac', f5, c5, n - c5 from a
     """
     oracles["code_detect"] = r"""
         with p as (

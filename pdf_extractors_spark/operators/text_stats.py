@@ -2630,3 +2630,64 @@ def corpus_health(
         .cast("long")
         .alias("mean_quality_bp"),
     )
+
+
+GOPHER_RULES = [
+    "word_count",
+    "mean_word_len",
+    "symbol_ratio",
+    "bullet_lines",
+    "ellipsis_lines",
+    "stopword_frac",
+]
+
+
+def filter_attrition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-rule attrition report over the Gopher structural rules — the
+    table every pipeline paper publishes and every filter-tuning
+    session starts from: for each rule, in its documented order, how
+    many documents it flags in isolation and how many are gone
+    cumulatively once the chain has run through it. A rule whose
+    marginal removal (`n_cum_removed` delta) is ~0 is redundant; one
+    that removes half the corpus is a bug or a threshold to revisit.
+
+    One row per rule: ``(rule_order, rule, n_flagged, n_cum_removed,
+    n_remaining)`` — ``n_flagged`` counts the rule alone,
+    ``n_cum_removed`` counts documents failing ANY rule up to and
+    including this one, so the last row's ``n_remaining`` equals the
+    ``gopher_pass`` count.
+
+    ONE scan and a single 1-row aggregate (all 13 sums share the pass),
+    exploded to the 6 report rows — no per-rule jobs, no shuffle beyond
+    the final funnel (the report is 6 rows; SinglePartition is its
+    correct plan)."""
+    flags = gopher_quality_flags(df, text_col, id_col)
+    cols = [f"flag_{r}" for r in GOPHER_RULES]
+    aggs = [F.count("*").cast("long").alias("_n")]
+    acc = F.lit(False)
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"_f{i}"))
+        acc = acc | F.col(c)
+        aggs.append(F.sum(acc.cast("long")).alias(f"_c{i}"))
+    one = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("rule_order"),
+                F.lit(r).alias("rule"),
+                F.col(f"_f{i}").alias("n_flagged"),
+                F.col(f"_c{i}").alias("n_cum_removed"),
+                (F.col("_n") - F.col(f"_c{i}")).alias("n_remaining"),
+            )
+            for i, r in enumerate(GOPHER_RULES)
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select(
+        F.col("_r.rule_order").alias("rule_order"),
+        F.col("_r.rule").alias("rule"),
+        F.col("_r.n_flagged").cast("long").alias("n_flagged"),
+        F.col("_r.n_cum_removed").cast("long").alias("n_cum_removed"),
+        F.col("_r.n_remaining").cast("long").alias("n_remaining"),
+    )

@@ -76,6 +76,7 @@ CARRYOVER = {
     "corpus_health",
     "stream_response_join",
     "stream_enrich",
+    "filter_attrition",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -594,3 +594,28 @@ def test_corpus_health_quality_matches_quality_score(spark):
     want = text_stats.quality_score(df).collect()[0]["quality_bp"]
     got = text_stats.corpus_health(df).collect()[0]["mean_quality_bp"]
     assert got == want
+
+
+# --------------------------------------------------------- filter_attrition
+
+
+def test_filter_attrition_marginal_and_cumulative(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    prose = ("the cat and the dog sat in the sun and that was good for "
+             "everyone involved in the afternoon.")
+    rows = [
+        (1, prose),                       # passes everything
+        (2, "too short"),                 # fails word_count
+        (3, "#### " * 40),                # fails symbol ratio (and stopwords)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["rule"]: r.asDict() for r in text_stats.filter_attrition(df).collect()}
+    assert list(text_stats.GOPHER_RULES) == sorted(rep, key=lambda k: rep[k]["rule_order"])
+    assert rep["word_count"]["n_flagged"] == 1   # doc2 only (doc3 has 40 words)
+    assert rep["symbol_ratio"]["n_flagged"] == 1  # doc3's hash flood
+    # cumulative never decreases and last row matches gopher_pass count
+    cums = [rep[r]["n_cum_removed"] for r in text_stats.GOPHER_RULES]
+    assert cums == sorted(cums)
+    n_pass = text_stats.gopher_quality_flags(df).filter("gopher_pass").count()
+    assert rep["stopword_frac"]["n_remaining"] == n_pass
