@@ -4003,6 +4003,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filter_attrition"] = q_filter_attrition
 
+    def q_windowed_dedup(spark, sf):
+        """Time-horizon exact dedup (dedup.windowed_dedup, 1-hour
+        tumbling windows) over transcripts with canned duplicate texts
+        planted into md5 bucket 0 (of 6) — duplicates collapse within a
+        window, the horizon contract exactly; same plant in the
+        oracle."""
+        from pdf_extractors_spark.operators import dedup
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "text", "ts"
+        )
+        b = md5_bigint(
+            F.concat(
+                F.lit("wd:"),
+                F.col("conv_id"),
+                F.lit(":"),
+                F.col("turn_idx").cast("string"),
+            )
+        )
+        planted = t.select(
+            F.concat(
+                F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("row_id"),
+            F.when(
+                F.pmod(b, F.lit(6)) == 0,
+                F.element_at(
+                    F.array(
+                        F.lit("Exact duplicate payload alpha."),
+                        F.lit("Exact duplicate payload beta."),
+                    ),
+                    F.pmod(b, F.lit(2)).cast("int") + 1,
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+            "ts",
+        )
+        return dedup.windowed_dedup(
+            planted, window="1 hour", id_col="row_id"
+        )
+
+    q["windowed_dedup"] = q_windowed_dedup
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8803,6 +8845,41 @@ def oracle_sql() -> dict[str, str]:
              and a.a_ep >= u.u_ep
              and a.a_ep <= u.u_ep + 60
         """
+        oracles["windowed_dedup"] = f"""
+            with p as (
+              select conv_id || ':' || cast(turn_idx as varchar) as row_id,
+                     case when cast(concat('0x', substr(md5(
+                            'wd:' || conv_id || ':'
+                            || cast(turn_idx as varchar)), 1, 8))
+                          as bigint) % 6 = 0
+                     then (['Exact duplicate payload alpha.',
+                            'Exact duplicate payload beta.'])[
+                        cast(cast(concat('0x', substr(md5(
+                            'wd:' || conv_id || ':'
+                            || cast(turn_idx as varchar)), 1, 8))
+                          as bigint) % 2 as int) + 1]
+                     else text end as text,
+                     ts
+              from read_parquet('{tp}')),
+            h as (
+              select case when ts is not null then
+                       cast(to_timestamp((cast(floor(epoch(ts)) as bigint)
+                         // 3600) * 3600) as timestamp)
+                     end as window_start,
+                     case when ({{norm_p}}) is null then null
+                          else cast(concat('0x', substr(md5(
+                               {{norm_p}}), 1, 8)) as bigint) end
+                       as text_hash,
+                     row_id
+              from p)
+            select window_start, text_hash,
+                   cast(count(*) as bigint) as n_dups,
+                   min(row_id) as keep_id
+            from h group by window_start, text_hash
+        """.replace(
+            "{norm_p}",
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))",
+        )
         oracles["stream_enrich"] = f"""
             select conv_id, cast(turn_idx as bigint) as turn_idx, role,
                    cast(cast(concat('0x', substr(md5(

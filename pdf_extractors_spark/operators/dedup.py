@@ -1797,3 +1797,54 @@ def lsh_tuning(threshold: float, k: int = 8) -> list[dict]:
             }
         )
     return out
+
+
+def windowed_dedup(
+    df: DataFrame,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: str | None = None,
+) -> DataFrame:
+    """Exact dedup with a TIME HORIZON: duplicates collapse only within
+    the same tumbling event-time window — the batch form of
+    ``dropDuplicatesWithinWatermark`` and the standard bounded-state
+    compromise for perpetual crawls, where global dedup state would
+    grow forever but a re-crawl within the horizon is still junk. The
+    horizon is explicit: a duplicate straddling two windows SURVIVES
+    (that is the contract, not a bug — global collapse is exact_dedup).
+
+    Emits one row per (window, distinct normalized text):
+    ``(window_start, text_hash, n_dups, keep_id)``. Null event times
+    form their own explicit window (null window_start) rather than
+    vanishing — deliberately NOT ``F.window()``, which silently drops
+    null-timestamp rows (it generates no window for them); the tumbling
+    start is epoch arithmetic, aligned to the unix epoch exactly like
+    the native operator for post-1970 timestamps. ``window`` accepts
+    the streaming-style strings "N hours"/"N minutes"/"N seconds" as a
+    convenience. One map-side-combined groupBy on (window_start,
+    16-byte hash); payloads never shuffle."""
+    if window is not None:
+        qty, unit = window.split()
+        window_s = int(qty) * {"second": 1, "minute": 60, "hour": 3600}[
+            unit.rstrip("s")
+        ]
+    win_start = F.timestamp_seconds(
+        F.expr(f"(cast({ts_col} as long) div {int(window_s)})")
+        * F.lit(int(window_s))
+    )
+    return (
+        df.select(
+            F.when(F.col(ts_col).isNotNull(), win_start).alias(
+                "window_start"
+            ),
+            md5_bigint(normalize_text(F.col(text_col))).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("window_start", "text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

@@ -77,6 +77,7 @@ CARRYOVER = {
     "stream_response_join",
     "stream_enrich",
     "filter_attrition",
+    "windowed_dedup",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -619,3 +619,36 @@ def test_filter_attrition_marginal_and_cumulative(spark):
     assert cums == sorted(cums)
     n_pass = text_stats.gopher_quality_flags(df).filter("gopher_pass").count()
     assert rep["stopword_frac"]["n_remaining"] == n_pass
+
+
+# ----------------------------------------------------------- windowed_dedup
+
+
+def test_windowed_dedup_horizon_contract(spark):
+    from datetime import datetime
+
+    from pdf_extractors_spark.operators import dedup
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    rows = [
+        (1, "same text", t(10, 5)),
+        (2, "same text", t(10, 40)),   # same hour window: collapses
+        (3, "same text", t(11, 5)),    # next window: SURVIVES (horizon)
+        (4, "other", t(10, 5)),
+        (5, "null ts", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    got = dedup.windowed_dedup(df, window="1 hour").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["text_hash"], []).append((r["window_start"], r["n_dups"], r["keep_id"]))
+    counts = sorted(
+        (len(v), sorted(n for _, n, _ in v)) for v in by.values()
+    )
+    # "same text": two windows, (2 dups, 1 dup); "other": 1; "null ts": 1
+    assert counts == [(1, [1]), (1, [1]), (2, [1, 2])]
+    # null event time forms its own explicit window
+    assert any(r["window_start"] is None for r in got)
+    # the within-window keeper is the min id
+    same = [v for v in by.values() if len(v) == 2][0]
+    assert sorted(k for _, n, k in same if n == 2) == [1]
