@@ -4045,6 +4045,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_dedup"] = q_windowed_dedup
 
+    def q_embedding_stats(spark, sf):
+        """Per-vector embedding QA (similarity.embedding_stats) over the
+        embeddings table — dims, zero components, quantization-surviving
+        components, and the exact quantized squared norm."""
+        from pdf_extractors_spark.operators import similarity
+
+        return similarity.embedding_stats(_read(spark, sf, "embeddings"))
+
+    q["embedding_stats"] = q_embedding_stats
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8454,6 +8464,27 @@ def oracle_sql() -> dict[str, str]:
                          // (2 * (n_docs - n_null_text))
                     else 0 end as bigint) as mean_quality_bp
         from a
+    """
+    oracles["embedding_stats"] = """
+        with q as (
+          select vec_id, embedding,
+                 list_transform(embedding,
+                   x -> case when x is null or isnan(x) or isinf(x)
+                        then null
+                        else cast(floor(cast(x as double) * 1000)
+                                  as bigint) end)
+                   as qv
+          from embeddings)
+        select vec_id,
+               cast(coalesce(len(embedding), 0) as bigint) as dim,
+               cast(coalesce(len(list_filter(embedding, x -> x = 0)), 0)
+                 as bigint) as n_zeros,
+               cast(coalesce(len(embedding), 0)
+                    - coalesce(len(list_filter(qv, x -> x is not null)), 0)
+                 as bigint) as n_bad,
+               cast(coalesce(list_sum(list_transform(qv,
+                      x -> coalesce(x * x, 0))), 0) as bigint) as norm2_q
+        from q
     """
     oracles["filter_attrition"] = f"""
         with g as (select * from ({_GOPHER_SQL})),

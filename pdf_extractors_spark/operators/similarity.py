@@ -478,3 +478,69 @@ def random_projection(
         )
         projections.append(proj.alias(f"proj_{j}"))
     return vectors.select(F.col(id_col), *projections)
+
+
+def embedding_stats(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-vector embedding QA — the sanity scan run on every embedding
+    delivery before it reaches dedup/ANN: a broken encoder batch shows
+    up as zero vectors, NaN components, or collapsed norms, and at
+    10^12 rows nobody eyeballs parquet. All outputs are exact integers
+    (the random_projection idiom: components quantize to
+    ``floor(x·scale)`` before any arithmetic, so the numbers are
+    engine-portable and summation-order-free).
+
+    Per vector emits::
+
+        dim       components (0 for a null embedding column)
+        n_zeros   exactly-0.0 components
+        n_bad     components that do not survive quantization —
+                  NaN/Inf/null (floor→cast(long) nulls them)
+        norm2_q   Σ quantized² over good components — 0 means the
+                  zero/dead vector, collapsed values flag a batch
+                  whose scale is wrong
+
+    Pure higher-order-function column math: zero UDFs, zero exchanges,
+    fuses into the scan."""
+    vec = F.col(vec_col)
+
+    def _q(x):
+        d = x.cast("double")
+        # explicit: the non-ANSI cast maps NaN->0 and Inf->Long.Max
+        # SILENTLY, which would launder a broken component into a
+        # plausible quantized value — bad components must null out
+        bad = x.isNull() | F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
+        return F.when(~bad, F.floor(d * F.lit(scale)).cast("long"))
+
+    quant = F.transform(vec, _q)
+    return vectors.select(
+        F.col(id_col),
+        F.coalesce(F.size(vec), F.lit(0)).cast("long").alias("dim"),
+        F.coalesce(
+            F.size(F.filter(vec, lambda x: x == 0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_zeros"),
+        (
+            F.coalesce(F.size(vec), F.lit(0))
+            - F.coalesce(
+                F.size(F.filter(quant, lambda x: x.isNotNull())), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_bad"),
+        F.coalesce(
+            F.aggregate(
+                quant,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.coalesce(x * x, F.lit(0)),
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("norm2_q"),
+    )

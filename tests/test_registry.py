@@ -78,6 +78,7 @@ CARRYOVER = {
     "stream_enrich",
     "filter_attrition",
     "windowed_dedup",
+    "embedding_stats",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

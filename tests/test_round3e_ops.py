@@ -652,3 +652,25 @@ def test_windowed_dedup_horizon_contract(spark):
     # the within-window keeper is the min id
     same = [v for v in by.values() if len(v) == 2][0]
     assert sorted(k for _, n, k in same if n == 2) == [1]
+
+
+# ---------------------------------------------------------- embedding_stats
+
+
+def test_embedding_stats_flags_broken_vectors(spark):
+    from pdf_extractors_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, -2.0]),
+        (2, [0.0, 0.0, 0.0]),         # the dead vector
+        (3, [float("nan"), 1.0]),     # NaN component
+        (4, None),                    # null embedding column
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r.asDict() for r in similarity.embedding_stats(df).collect()}
+    assert got[1] == {"vec_id": 1, "dim": 3, "n_zeros": 1, "n_bad": 0,
+                      "norm2_q": 1000**2 + 0 + 2000**2}
+    assert got[2]["norm2_q"] == 0 and got[2]["n_zeros"] == 3
+    assert got[3]["n_bad"] == 1 and got[3]["norm2_q"] == 1000**2
+    assert got[4] == {"vec_id": 4, "dim": 0, "n_zeros": 0, "n_bad": 0,
+                      "norm2_q": 0}
