@@ -4055,6 +4055,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_stats"] = q_embedding_stats
 
+    def q_ann_recall(spark, sf):
+        """IVF recall against the exact baseline (lsh_eval's ANN
+        sibling): per query, how many of brute-force cosine top-5 the
+        IVF(n_probe=3) candidate path returns — the report that
+        justifies n_probe before a 100-TB run. Exact half-up basis
+        points; oracle replays both sides and the intersection."""
+        emb = _read(spark, sf, "embeddings")
+        queries_df = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = similarity.take_centroids(emb, n=8)
+        ivf = similarity.ivf_topk(
+            _spread(emb), queries_df, cents, k=5, n_probe=3
+        ).select("query_id", "vec_id")
+        brute = similarity.brute_force_topk(
+            _spread(emb), queries_df, k=5
+        ).select("query_id", "vec_id")
+        hits = brute.join(ivf, ["query_id", "vec_id"], "left_semi")
+        per = hits.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        qs = brute.select("query_id").distinct()
+        n_hit = F.coalesce("n_hit", F.lit(0))
+        return qs.join(per, "query_id", "left").select(
+            F.col("query_id").cast("long").alias("query_id"),
+            n_hit.cast("long").alias("n_hit"),
+            F.floor((F.lit(2) * 10000 * n_hit + F.lit(5)) / F.lit(10))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+
+    q["ann_recall"] = q_ann_recall
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8464,6 +8497,21 @@ def oracle_sql() -> dict[str, str]:
                          // (2 * (n_docs - n_null_text))
                     else 0 end as bigint) as mean_quality_bp
         from a
+    """
+    oracles["ann_recall"] = f"""
+        with h as (
+          select b.query_id, cast(count(*) as bigint) as n_hit
+          from ({oracles["cosine_topk"]}) b
+          join ({oracles["ivf_ann_topk"]}) i
+            on b.query_id = i.query_id and b.vec_id = i.vec_id
+          group by b.query_id),
+        qs as (
+          select distinct query_id from ({oracles["cosine_topk"]}))
+        select cast(qs.query_id as bigint) as query_id,
+               cast(coalesce(h.n_hit, 0) as bigint) as n_hit,
+               cast((2 * 10000 * coalesce(h.n_hit, 0) + 5) // 10
+                 as bigint) as recall_bp
+        from qs left join h on qs.query_id = h.query_id
     """
     oracles["embedding_stats"] = """
         with q as (

@@ -79,6 +79,7 @@ CARRYOVER = {
     "filter_attrition",
     "windowed_dedup",
     "embedding_stats",
+    "ann_recall",
     "domain_cap",
     "skew_report",
     "bpe_pairs",
