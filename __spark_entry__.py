@@ -4088,6 +4088,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = q_ann_recall
 
+    def q_source_mirror_pairs(spark, sf):
+        """Cross-source mirror detection (dedup.source_mirror_pairs)
+        with canned duplicate texts planted into md5 bucket 0 (of 8) —
+        the same three texts land in every source, so the source pairs
+        and shared counts are exact. Same plant in the oracle."""
+        from pdf_extractors_spark.operators import dedup
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        d = _read(spark, sf, "documents")
+        b = md5_bigint(F.concat(F.lit("mir:"), F.col("doc_id").cast("string")))
+        planted = d.withColumn(
+            "text",
+            F.when(
+                F.pmod(b, F.lit(8)) == 0,
+                F.element_at(
+                    F.array(
+                        F.lit("Mirrored article body one."),
+                        F.lit("Mirrored article body two."),
+                        F.lit("Mirrored article body three."),
+                    ),
+                    F.pmod(b, F.lit(3)).cast("int") + 1,
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return dedup.source_mirror_pairs(planted)
+
+    q["source_mirror_pairs"] = q_source_mirror_pairs
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8497,6 +8525,35 @@ def oracle_sql() -> dict[str, str]:
                          // (2 * (n_docs - n_null_text))
                     else 0 end as bigint) as mean_quality_bp
         from a
+    """
+    oracles["source_mirror_pairs"] = rf"""
+        with p as (
+          select source,
+                 case when cast(concat('0x', substr(md5(
+                        'mir:' || cast(doc_id as varchar)), 1, 8))
+                      as bigint) % 8 = 0
+                 then (['Mirrored article body one.',
+                        'Mirrored article body two.',
+                        'Mirrored article body three.'])[
+                    cast(cast(concat('0x', substr(md5(
+                        'mir:' || cast(doc_id as varchar)), 1, 8))
+                      as bigint) % 3 as int) + 1]
+                 else text end as text
+          from documents),
+        hs as (
+          select distinct
+                 case when ({norm.replace('text', 'p.text')}) is null
+                      then null
+                      else cast(concat('0x', substr(md5(
+                           {norm.replace('text', 'p.text')}), 1, 8))
+                           as bigint) end as h,
+                 source as src
+          from p)
+        select a.src as src_a, b.src as src_b,
+               cast(count(*) as bigint) as n_shared
+        from hs a join hs b on a.h = b.h and a.src < b.src
+        group by a.src, b.src
+        having count(*) >= 2
     """
     oracles["ann_recall"] = f"""
         with h as (

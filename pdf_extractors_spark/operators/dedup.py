@@ -1848,3 +1848,45 @@ def windowed_dedup(
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def source_mirror_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    src_col: str = "source",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Mirror detection at SOURCE granularity: which pairs of sources
+    keep publishing the same documents. Exact-dup analysis says *what*
+    is duplicated; a mixture builder needs to know *which feeds* mirror
+    each other, because the fix is dropping/down-weighting a whole
+    source, not deleting rows one at a time.
+
+    Per unordered source pair (src_a < src_b) seen sharing
+    ``min_shared``+ distinct normalized texts, emits ``(src_a, src_b,
+    n_shared)``. A text present in k sources contributes to all
+    C(k, 2) pairs — the fan-out is bounded by the SOURCE count, not the
+    corpus (sources are catalog-sized, so the self-join explodes to at
+    most |sources|² rows per text identity).
+
+    Shape: one distinct on (16-byte hash, source) — payloads never
+    shuffle — then a hash-keyed self-join and a map-side-combined pair
+    count."""
+    hs = df.select(
+        md5_bigint(normalize_text(F.col(text_col))).alias("_h"),
+        F.col(src_col).alias("_src"),
+    ).distinct()
+    a = hs.alias("a")
+    b = hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col("a._src") < F.col("b._src")),
+        )
+        .groupBy(
+            F.col("a._src").alias("src_a"), F.col("b._src").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

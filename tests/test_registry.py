@@ -80,6 +80,7 @@ CARRYOVER = {
     "windowed_dedup",
     "embedding_stats",
     "ann_recall",
+    "source_mirror_pairs",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -674,3 +674,31 @@ def test_embedding_stats_flags_broken_vectors(spark):
     assert got[3]["n_bad"] == 1 and got[3]["norm2_q"] == 1000**2
     assert got[4] == {"vec_id": 4, "dim": 0, "n_zeros": 0, "n_bad": 0,
                       "norm2_q": 0}
+
+
+# ------------------------------------------------------ source_mirror_pairs
+
+
+def test_source_mirror_pairs_attribution(spark):
+    from pdf_extractors_spark.operators import dedup
+
+    rows = [
+        (1, "shared story A", "feed1"),
+        (2, "Shared  STORY a", "feed2"),  # same after normalization
+        (3, "shared story B", "feed1"),
+        (4, "shared story B", "feed2"),
+        (5, "shared story B", "feed3"),  # 3-way: C(3,2) pairs
+        (6, "unique to feed3", "feed3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["src_a"], r["src_b"]): r["n_shared"]
+           for r in dedup.source_mirror_pairs(df, min_shared=1).collect()}
+    assert got == {
+        ("feed1", "feed2"): 2,  # story A (normalized) + story B
+        ("feed1", "feed3"): 1,
+        ("feed2", "feed3"): 1,
+    }
+    # min_shared floor drops the weak pairs
+    got2 = {(r["src_a"], r["src_b"]): r["n_shared"]
+            for r in dedup.source_mirror_pairs(df, min_shared=2).collect()}
+    assert got2 == {("feed1", "feed2"): 2}
