@@ -1283,3 +1283,29 @@ def test_aqe_runtime_coalesces_shuffle_partitions(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in executed
     assert "coalesced" in executed
+
+
+def test_final_round3_plan_budgets(spark):
+    """Plan budgets for the last round-3 operators, through the public
+    plans API: windowed_dedup one keyed exchange; embedding_stats pure
+    scan math; source_mirror_pairs bounded at 5 keyed exchanges
+    (distinct, two join sides, pair count); filter_attrition's only
+    funnel is the 6-row report aggregate (its correct plan)."""
+    from pdf_extractors_spark import plans
+    from pdf_extractors_spark.operators import dedup, similarity, text_stats
+
+    d = spark.createDataFrame([(1, "x", "s")],
+                              "doc_id long, text string, source string")
+    e = spark.createDataFrame([(1, [1.0])],
+                              "vec_id long, embedding array<float>")
+    dts = spark.createDataFrame([(1, "x", None)],
+                                "doc_id long, text string, ts timestamp")
+    plans.assert_plan(dedup.windowed_dedup(dts), max_exchanges=1,
+                      no_single_partition=True, no_python=True)
+    plans.assert_plan(similarity.embedding_stats(e), max_exchanges=0,
+                      no_single_partition=True, no_python=True)
+    plans.assert_plan(dedup.source_mirror_pairs(d), max_exchanges=5,
+                      no_single_partition=True, no_python=True)
+    a = plans.assert_plan(text_stats.filter_attrition(d),
+                          max_exchanges=1, no_python=True)
+    assert a.has_single_partition  # the 6-row report funnel, by design
