@@ -4116,6 +4116,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_mirror_pairs"] = q_source_mirror_pairs
 
+    def q_tool_latency_percentiles(spark, sf):
+        """Per-tool latency tails (pipeline.tool_latency_percentiles):
+        tool-turn payloads re-planted as envelopes whose latency is a
+        hash function of (conv, turn) — 1 turn in 4 carries no latency
+        (exercising the excluded-from-basis path); exact interpolated
+        percentiles, same plant in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "tool", "text"
+        )
+        b = md5_bigint(
+            F.concat(
+                F.lit("lat:"),
+                F.col("conv_id"),
+                F.lit(":"),
+                F.col("turn_idx").cast("string"),
+            )
+        )
+        planted = t.withColumn(
+            "text",
+            F.when(
+                F.pmod(b, F.lit(4)) == 0,
+                F.lit('{"status":"ok"}'),
+            ).otherwise(
+                F.concat(
+                    F.lit('{"status":"ok","latency_ms":'),
+                    F.pmod(b, F.lit(500)).cast("string"),
+                    F.lit("}"),
+                )
+            ),
+        )
+        return pipeline.tool_latency_percentiles(planted)
+
+    q["tool_latency_percentiles"] = q_tool_latency_percentiles
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8980,6 +9016,28 @@ def oracle_sql() -> dict[str, str]:
              and a.asst_idx = u.user_idx + 1
              and a.a_ep >= u.u_ep
              and a.a_ep <= u.u_ep + 60
+        """
+        oracles["tool_latency_percentiles"] = f"""
+            with p as (
+              select tool,
+                     case when cast(concat('0x', substr(md5(
+                            'lat:' || conv_id || ':'
+                            || cast(turn_idx as varchar)), 1, 8))
+                          as bigint) % 4 = 0
+                     then null
+                     else cast(concat('0x', substr(md5(
+                            'lat:' || conv_id || ':'
+                            || cast(turn_idx as varchar)), 1, 8))
+                          as bigint) % 500 end as lat
+              from read_parquet('{tp}') where role = 'tool'),
+            t as (select tool, lat from p where lat is not null)
+            select tool,
+                   cast(count(*) as bigint) as n_timed,
+                   round(quantile_cont(lat, 0.5), 2) as p50_ms,
+                   round(quantile_cont(lat, 0.9), 2) as p90_ms,
+                   round(quantile_cont(lat, 0.99), 2) as p99_ms,
+                   cast(max(lat) as bigint) as max_ms
+            from t group by tool
         """
         oracles["windowed_dedup"] = f"""
             with p as (

@@ -1279,3 +1279,34 @@ def render_chatml(transcripts: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_turns"),
         rendered.alias("chatml_text"),
     )
+
+
+def tool_latency_percentiles(
+    transcripts: DataFrame, payload_col: str = "text"
+) -> DataFrame:
+    """Per-tool latency distribution from the standard JSON result
+    envelope — the p50/p90/p99 dashboard behind tool SLOs and the
+    straggler-tool hunt (:func:`tool_call_stats` gives totals and error
+    splits; tails live here, and a tool whose p99 is 100× its p50 is a
+    retry storm or a hung dependency, not a slow tool).
+
+    Per tool emits ``(tool, n_timed, p50_ms, p90_ms, p99_ms,
+    max_ms)`` — exact interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, both linear), rounded to 2 decimals for
+    engine-portable hashing; envelopes that do not parse or carry no
+    latency are excluded from the timing basis (tool_call_stats counts
+    them). One map-side-combined groupBy on tool; JSON parsing is JVM
+    codegen."""
+    j = F.from_json(F.col(payload_col), "status string, latency_ms bigint")
+    timed = (
+        transcripts.filter(F.col("role") == "tool")
+        .select("tool", j["latency_ms"].alias("_lat"))
+        .filter(F.col("_lat").isNotNull())
+    )
+    return timed.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_timed"),
+        F.round(F.expr("percentile(_lat, 0.5)"), 2).alias("p50_ms"),
+        F.round(F.expr("percentile(_lat, 0.9)"), 2).alias("p90_ms"),
+        F.round(F.expr("percentile(_lat, 0.99)"), 2).alias("p99_ms"),
+        F.max("_lat").cast("long").alias("max_ms"),
+    )

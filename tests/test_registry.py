@@ -81,6 +81,7 @@ CARRYOVER = {
     "embedding_stats",
     "ann_recall",
     "source_mirror_pairs",
+    "tool_latency_percentiles",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

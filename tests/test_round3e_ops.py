@@ -702,3 +702,24 @@ def test_source_mirror_pairs_attribution(spark):
     got2 = {(r["src_a"], r["src_b"]): r["n_shared"]
             for r in dedup.source_mirror_pairs(df, min_shared=2).collect()}
     assert got2 == {("feed1", "feed2"): 2}
+
+
+# ------------------------------------------------- tool_latency_percentiles
+
+
+def test_tool_latency_percentiles_tails(spark):
+    rows = (
+        [("a", i, "tool", "srch", f'{{"status":"ok","latency_ms":{10 * (i + 1)}}}')
+         for i in range(9)]
+        + [("a", 9, "tool", "srch", '{"status":"ok","latency_ms":1000}')]  # the tail
+        + [("a", 10, "tool", "srch", "not an envelope")]   # excluded from basis
+        + [("a", 11, "user", None, '{"latency_ms":5}')]    # wrong role: ignored
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, text string"
+    )
+    r = pipeline.tool_latency_percentiles(df).collect()[0]
+    assert r["n_timed"] == 10
+    assert r["p50_ms"] == 55.0   # interpolated between 50 and 60
+    assert r["max_ms"] == 1000
+    assert r["p99_ms"] > r["p90_ms"] >= r["p50_ms"]
