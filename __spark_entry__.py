@@ -4152,6 +4152,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tool_latency_percentiles"] = q_tool_latency_percentiles
 
+    def q_conv_neardup(spark, sf):
+        """CONVERSATION-level near-dup candidates — the transcripts-
+        native composition of the dedup path: conversations in md5
+        bucket 0 (of 7) gain a near-copy (same turns, one tweaked
+        opening line, '~copy' id suffix), the corpus is assembled with
+        conv_stitch_arrow, and banded MinHash over the stitched text
+        emits candidate pairs. The oracle replays stitch + the SHARED
+        banding CTE chain over the same planted conversations."""
+        from pdf_extractors_spark.operators import dedup
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        # first 12 turns per conversation: bounds the stitched text so
+        # the DuckDB shingle replay stays inside the gate's time budget
+        # (the operator itself has no such cap)
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "text"
+        ).filter(F.col("turn_idx") < 12)
+        b = md5_bigint(F.concat(F.lit("cn:"), F.col("conv_id")))
+        copies = t.filter(F.pmod(b, F.lit(7)) == 0).select(
+            F.concat(F.col("conv_id"), F.lit("~copy")).alias("conv_id"),
+            "turn_idx",
+            F.when(
+                F.col("turn_idx") == 0,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" near duplicate tail"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        docs = pipeline.conv_stitch_arrow(t.unionByName(copies))
+        sigs = dedup.minhash_signatures(
+            docs, text_col="stitched_text", id_col="conv_id"
+        )
+        return dedup.lsh_candidates(sigs, id_col="conv_id")
+
+    q["conv_neardup"] = q_conv_neardup
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -9016,6 +9053,27 @@ def oracle_sql() -> dict[str, str]:
              and a.asst_idx = u.user_idx + 1
              and a.a_ep >= u.u_ep
              and a.a_ep <= u.u_ep + 60
+        """
+        oracles["conv_neardup"] = f"""
+            with p as (
+              select conv_id, turn_idx, text from read_parquet('{tp}')
+              where turn_idx < 12
+              union all
+              select conv_id || '~copy', turn_idx,
+                     case when turn_idx = 0
+                          then coalesce(text, '') || ' near duplicate tail'
+                          else text end
+              from read_parquet('{tp}')
+              where turn_idx < 12
+                and cast(concat('0x', substr(md5('cn:' || conv_id), 1, 8))
+                      as bigint) % 7 = 0),
+            conv_docs as (
+              select conv_id as doc_id,
+                     string_agg(coalesce(text, ''), chr(10) || chr(10)
+                                order by turn_idx) as text
+              from p group by conv_id),
+            {_lsh_pairs_ctes().replace("from documents", "from conv_docs")}
+            select id_a, id_b from pairs
         """
         oracles["tool_latency_percentiles"] = f"""
             with p as (

@@ -82,6 +82,7 @@ CARRYOVER = {
     "ann_recall",
     "source_mirror_pairs",
     "tool_latency_percentiles",
+    "conv_neardup",
     "domain_cap",
     "skew_report",
     "bpe_pairs",
