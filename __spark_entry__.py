@@ -4189,6 +4189,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_neardup"] = q_conv_neardup
 
+    def q_role_token_share(spark, sf):
+        """Per-conversation role balance (pipeline.role_token_share)
+        over the transcripts fixture — whitespace token counts per role
+        and the assistant dialogue share in exact basis points."""
+        return pipeline.role_token_share(
+            _transcripts(spark, "sf0.01").select("conv_id", "role", "text")
+        )
+
+    q["role_token_share"] = q_role_token_share
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -9053,6 +9063,30 @@ def oracle_sql() -> dict[str, str]:
              and a.asst_idx = u.user_idx + 1
              and a.a_ep >= u.u_ep
              and a.a_ep <= u.u_ep + 60
+        """
+        oracles["role_token_share"] = rf"""
+            with t as (
+              select conv_id, role,
+                     case when trim(coalesce(text, '')) = '' then 0
+                          else len(string_split_regex(trim(lower(text)),
+                                   '\s+')) end as toks
+              from read_parquet('{tp}')),
+            per as (
+              select conv_id,
+                     cast(sum(case when role = 'user' then toks
+                              else 0 end) as bigint) as user_tokens,
+                     cast(sum(case when role = 'assistant' then toks
+                              else 0 end) as bigint) as assistant_tokens,
+                     cast(sum(case when role = 'tool' then toks
+                              else 0 end) as bigint) as tool_tokens
+              from t group by conv_id)
+            select conv_id, user_tokens, assistant_tokens, tool_tokens,
+                   cast(case when user_tokens + assistant_tokens > 0
+                        then (2 * 10000 * assistant_tokens
+                              + user_tokens + assistant_tokens)
+                             // (2 * (user_tokens + assistant_tokens))
+                        else 0 end as bigint) as assistant_share_bp
+            from per
         """
         oracles["conv_neardup"] = f"""
             with p as (

@@ -1310,3 +1310,51 @@ def tool_latency_percentiles(
         F.round(F.expr("percentile(_lat, 0.99)"), 2).alias("p99_ms"),
         F.max("_lat").cast("long").alias("max_ms"),
     )
+
+
+def role_token_share(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation role balance — the SFT mixture audit: a
+    conversation that is 95% assistant tokens is a monologue, one that
+    is 95% user tokens is a paste dump, and both get down-weighted
+    before pair assembly. Whitespace token counts per role, plus the
+    assistant share in half-up basis points of the user+assistant
+    total (tool output is infrastructure, not dialogue — counted,
+    excluded from the share).
+
+    Emits ``(conv_id, user_tokens, assistant_tokens, tool_tokens,
+    assistant_share_bp)``; share is 0 when the conversation has no
+    dialogue tokens at all. One map-side-combined groupBy(conv_id) over
+    per-turn token counts — conditional aggregation, no pivot shuffle,
+    payloads never move."""
+    n_toks = F.coalesce(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")), F.lit(0)
+    )
+    toks = F.when(F.trim(F.coalesce(F.col("text"), F.lit(""))) == "", 0).otherwise(n_toks)
+    per = transcripts.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("role") == "user", toks).otherwise(0))
+        .cast("long")
+        .alias("user_tokens"),
+        F.sum(F.when(F.col("role") == "assistant", toks).otherwise(0))
+        .cast("long")
+        .alias("assistant_tokens"),
+        F.sum(F.when(F.col("role") == "tool", toks).otherwise(0))
+        .cast("long")
+        .alias("tool_tokens"),
+    )
+    dialogue = F.col("user_tokens") + F.col("assistant_tokens")
+    return per.select(
+        "conv_id",
+        "user_tokens",
+        "assistant_tokens",
+        "tool_tokens",
+        F.when(
+            dialogue > 0,
+            F.floor(
+                (F.lit(2) * 10000 * F.col("assistant_tokens") + dialogue)
+                / (F.lit(2) * dialogue)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("assistant_share_bp"),
+    )

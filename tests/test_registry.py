@@ -83,6 +83,7 @@ CARRYOVER = {
     "source_mirror_pairs",
     "tool_latency_percentiles",
     "conv_neardup",
+    "role_token_share",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

@@ -723,3 +723,24 @@ def test_tool_latency_percentiles_tails(spark):
     assert r["p50_ms"] == 55.0   # interpolated between 50 and 60
     assert r["max_ms"] == 1000
     assert r["p99_ms"] > r["p90_ms"] >= r["p50_ms"]
+
+
+# --------------------------------------------------------- role_token_share
+
+
+def test_role_token_share_balance(spark):
+    rows = [
+        ("a", "user", "three words here"),
+        ("a", "assistant", "one two three four five six seven"),
+        ("a", "tool", "tool output not dialogue"),
+        ("b", "tool", "only tooling"),      # no dialogue: share 0
+        ("c", "user", "   "),               # whitespace-only: 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, text string")
+    got = {r["conv_id"]: r.asDict() for r in pipeline.role_token_share(df).collect()}
+    assert got["a"]["user_tokens"] == 3
+    assert got["a"]["assistant_tokens"] == 7
+    assert got["a"]["tool_tokens"] == 4
+    assert got["a"]["assistant_share_bp"] == 7000
+    assert got["b"]["assistant_share_bp"] == 0 and got["b"]["tool_tokens"] == 2
+    assert got["c"]["user_tokens"] == 0
