@@ -4199,6 +4199,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["role_token_share"] = q_role_token_share
 
+    def q_vocab_coverage(spark, sf):
+        """Top-100 vocabulary occurrence coverage over documents
+        (text_stats.vocab_coverage) — the tokenizer-budget curve point,
+        exact half-up basis points."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.vocab_coverage(_read(spark, sf, "documents"), k=100)
+
+    q["vocab_coverage"] = q_vocab_coverage
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -8652,6 +8662,34 @@ def oracle_sql() -> dict[str, str]:
                cast((2 * 10000 * coalesce(h.n_hit, 0) + 5) // 10
                  as bigint) as recall_bp
         from qs left join h on qs.query_id = h.query_id
+    """
+    oracles["vocab_coverage"] = r"""
+        with toks as (
+          select unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   w -> w <> '')) as token
+          from documents where text is not null),
+        counts as (
+          select token, cast(count(*) as bigint) as cnt
+          from toks group by token),
+        top as (
+          select cnt from counts
+          order by cnt desc, token asc limit 100),
+        cov as (
+          select cast(count(*) as bigint) as k_effective,
+                 cast(coalesce(sum(cnt), 0) as bigint) as covered
+          from top),
+        tot as (
+          select cast(coalesce(sum(cnt), 0) as bigint) as total
+          from counts)
+        select cast(100 as bigint) as k_requested,
+               k_effective,
+               covered as covered_occurrences,
+               total as total_occurrences,
+               cast(case when total > 0
+                    then (2 * 10000 * covered + total) // (2 * total)
+                    else 0 end as bigint) as coverage_bp
+        from cov, tot
     """
     oracles["embedding_stats"] = """
         with q as (

@@ -2691,3 +2691,54 @@ def filter_attrition(
         F.col("_r.n_cum_removed").cast("long").alias("n_cum_removed"),
         F.col("_r.n_remaining").cast("long").alias("n_remaining"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, k: int = 1000, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One point on the vocabulary coverage curve: what share of ALL
+    token occurrences the top-``k`` tokens (by total count,
+    deterministic (count desc, token asc) tie-break) account for — the
+    number that sizes a vocabulary/BPE budget and decides whether a
+    stopword list is worth maintaining (coverage past ~50% at tiny k
+    means a handful of types dominate the corpus).
+
+    One row: ``(k_requested, k_effective, covered_occurrences,
+    total_occurrences, coverage_bp)`` — k_effective < k when the corpus
+    has fewer distinct tokens; coverage is half-up basis points.
+
+    Shape: ONE wordcount exchange; the top-k is a tiny sorted limit
+    over (token, count) pairs; totals ride 1-row aggregates. Empty/null
+    documents contribute nothing (a whitespace split of '' is
+    filtered)."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    covered = top.agg(
+        F.count("*").cast("long").alias("k_effective"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered"),
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total")
+    )
+    joined = covered.crossJoin(total)
+    return joined.select(
+        F.lit(k).cast("long").alias("k_requested"),
+        "k_effective",
+        F.col("covered").alias("covered_occurrences"),
+        F.col("total").alias("total_occurrences"),
+        F.when(
+            F.col("total") > 0,
+            F.floor(
+                (F.lit(2) * 10000 * F.col("covered") + F.col("total"))
+                / (F.lit(2) * F.col("total"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coverage_bp"),
+    )

@@ -84,6 +84,7 @@ CARRYOVER = {
     "tool_latency_percentiles",
     "conv_neardup",
     "role_token_share",
+    "vocab_coverage",
     "domain_cap",
     "skew_report",
     "bpe_pairs",

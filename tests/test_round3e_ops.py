@@ -744,3 +744,21 @@ def test_role_token_share_balance(spark):
     assert got["a"]["assistant_share_bp"] == 7000
     assert got["b"]["assistant_share_bp"] == 0 and got["b"]["tool_tokens"] == 2
     assert got["c"]["user_tokens"] == 0
+
+
+# ----------------------------------------------------------- vocab_coverage
+
+
+def test_vocab_coverage_top_k_share(spark):
+    from pdf_extractors_spark.operators import text_stats
+
+    # 10 'a', 5 'b', 1 each of c d e -> total 18; top-2 covers 15
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c", "d", "e"])
+    df = spark.createDataFrame([(1, text), (2, None)], "doc_id long, text string")
+    r = text_stats.vocab_coverage(df, k=2).collect()[0]
+    assert (r["k_requested"], r["k_effective"]) == (2, 2)
+    assert (r["covered_occurrences"], r["total_occurrences"]) == (15, 18)
+    assert r["coverage_bp"] == 8333
+    # k beyond the vocabulary: full coverage, k_effective = distinct tokens
+    r2 = text_stats.vocab_coverage(df, k=100).collect()[0]
+    assert r2["k_effective"] == 5 and r2["coverage_bp"] == 10000
