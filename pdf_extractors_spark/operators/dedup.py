@@ -201,7 +201,10 @@ def connected_components(
     component — the canonical cluster representative for dedup keep-lists.
 
     Each round is one equi-join (labels onto edge endpoints) + one
-    map-side-combined ``min`` aggregation; lineage is truncated per round
+    map-side-combined ``min`` aggregation; convergence is detected by a
+    boolean changed-flag column carried on the materialized label
+    checkpoint (a shuffle-free ``take(1)`` scan — not a second join
+    diffing new labels against old). Lineage is truncated per round
     with ``localCheckpoint`` so the plan stays O(1) deep (at cluster
     scale swap in reliable ``checkpoint`` against the checkpoint dir).
     Converges in O(component diameter) rounds — near-dup graphs are
@@ -236,6 +239,7 @@ def connected_components(
             .withColumn("comp", F.col("node"))
             .localCheckpoint()
         )
+        prev_ckpt = labels
         for _ in range(max_iter):
             neigh = (
                 edges.join(
@@ -247,6 +251,10 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("bcomp").alias("ncomp"))
             )
+            # convergence flag rides the label update itself: re-joining
+            # new labels onto old ones to diff them would cost a second
+            # shuffle join per round; a boolean column on the already-
+            # materialized checkpoint costs a shuffle-free take(1) scan
             new_labels = (
                 labels.join(neigh, labels["node"] == neigh["a"], "left")
                 .select(
@@ -254,20 +262,19 @@ def connected_components(
                     F.least(
                         F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                     ).alias("comp"),
+                    (
+                        F.coalesce("ncomp", F.col("comp")) < F.col("comp")
+                    ).alias("chg"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
+            changed = not new_labels.filter("chg").isEmpty()
             # drop the previous round's checkpoint blocks — otherwise up
             # to max_iter label snapshots pile up in executor storage
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
+            prev_ckpt.unpersist()
+            prev_ckpt = new_labels
+            labels = new_labels.select("node", "comp")
+            if not changed:
                 return labels
         if on_stall == "raise":
             raise RuntimeError(
