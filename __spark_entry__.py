@@ -4209,6 +4209,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_coverage"] = q_vocab_coverage
 
+    def q_response_grounding(spark, sf):
+        """Per-assistant-turn grounding share (pipeline.
+        response_grounding) over the transcripts fixture — prior
+        non-assistant-context token containment per response, in exact
+        half-up basis points."""
+        return _longify(
+            pipeline.response_grounding(
+                _transcripts(spark, "sf0.01").select(
+                    "conv_id", "turn_idx", "role", "text"
+                )
+            )
+        )
+
+    q["response_grounding"] = q_response_grounding
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -9308,5 +9323,47 @@ def oracle_sql() -> dict[str, str]:
                    cast((2 * 10000 * kc.n_with_key + tot.n_json)
                         // (2 * tot.n_json) as bigint) as pct_bp
             from kc join tot on kc.tool = tot.tool
+        """
+        oracles["response_grounding"] = rf"""
+            with t as (
+              select conv_id, turn_idx, role, text
+              from read_parquet('{tp}')),
+            a_turns as (
+              select conv_id, turn_idx from t where role = 'assistant'),
+            a_tok as (
+              select conv_id, turn_idx,
+                     unnest(string_split_regex(trim(lower(text)),
+                            '\s+')) as token
+              from t where role = 'assistant'
+                and trim(coalesce(text, '')) <> ''),
+            first_ctx as (
+              select conv_id, token,
+                     min(turn_idx) as first_idx
+              from (
+                select conv_id, turn_idx,
+                       unnest(string_split_regex(trim(lower(text)),
+                              '\s+')) as token
+                from t where role <> 'assistant'
+                  and trim(coalesce(text, '')) <> '')
+              group by conv_id, token),
+            per as (
+              select a.conv_id, a.turn_idx,
+                     count(*) as n_tokens,
+                     sum(case when f.first_idx < a.turn_idx
+                         then 1 else 0 end) as grounded
+              from a_tok a left join first_ctx f
+                on a.conv_id = f.conv_id and a.token = f.token
+              group by a.conv_id, a.turn_idx)
+            select s.conv_id,
+                   cast(s.turn_idx as bigint) as turn_idx,
+                   cast(coalesce(p.n_tokens, 0) as bigint) as n_tokens,
+                   cast(coalesce(p.grounded, 0) as bigint)
+                     as grounded_tokens,
+                   cast(case when coalesce(p.n_tokens, 0) > 0
+                        then (2 * 10000 * p.grounded + p.n_tokens)
+                             // (2 * p.n_tokens)
+                        else 0 end as bigint) as grounding_bp
+            from a_turns s left join per p
+              on s.conv_id = p.conv_id and s.turn_idx = p.turn_idx
         """
     return oracles

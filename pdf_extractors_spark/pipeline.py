@@ -1358,3 +1358,72 @@ def role_token_share(transcripts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("assistant_share_bp"),
     )
+
+
+def response_grounding(transcripts: DataFrame) -> DataFrame:
+    """Per-assistant-turn grounding share — the extractiveness /
+    hallucination-risk proxy for SFT data: what fraction of an
+    assistant turn's tokens already appeared in the conversation's
+    PRIOR non-assistant context (user prompts and tool results with a
+    strictly smaller ``turn_idx``)? A response whose tokens are mostly
+    grounded is extractive/faithful to its inputs; a near-zero share on
+    a long answer flags free-generation against the provided context —
+    both tails get inspected before pair assembly.
+
+    Tokens are the same convention as :func:`role_token_share`
+    (lowercased whitespace split of trimmed text); every occurrence
+    counts, and a token is grounded when it occurs ANYWHERE in a prior
+    non-assistant turn of the same conversation. Emits one row per
+    assistant turn — ``(conv_id, turn_idx, n_tokens, grounded_tokens,
+    grounding_bp)`` with the share in half-up basis points; blank/null
+    assistant turns are preserved with zeros, never dropped.
+
+    Scale: context tokens collapse to ``(conv_id, token, min turn_idx)``
+    with one map-side-combined aggregation BEFORE the join, so the join
+    input is the distinct per-conversation vocabulary, not every
+    occurrence; both join sides key on ``(conv_id, xxhash64(token))`` —
+    the shuffle carries 16 bytes per key, never token strings (the
+    ``lm_score`` hashed-join convention). No window over the
+    conversation, no per-row Python, no driver collect."""
+    toks_arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nonempty = F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    base = transcripts.select("conv_id", "turn_idx", "role", "text")
+    a_turns = base.filter(F.col("role") == "assistant")
+    a_tok = (
+        a_turns.filter(nonempty)
+        .select("conv_id", "turn_idx", F.explode(toks_arr).alias("token"))
+        .select("conv_id", "turn_idx", F.xxhash64("token").alias("tok_h"))
+    )
+    first_ctx = (
+        base.filter((F.col("role") != "assistant") & nonempty)
+        .select("conv_id", F.explode(toks_arr).alias("token"), "turn_idx")
+        .select("conv_id", F.xxhash64("token").alias("tok_h"), "turn_idx")
+        .groupBy("conv_id", "tok_h")
+        .agg(F.min("turn_idx").alias("first_idx"))
+    )
+    per = (
+        a_tok.join(first_ctx, ["conv_id", "tok_h"], "left")
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("first_idx") < F.col("turn_idx"), 1).otherwise(0)
+            ).alias("grounded_tokens"),
+        )
+    )
+    n = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    g = F.coalesce(F.col("grounded_tokens"), F.lit(0)).cast("long")
+    return (
+        a_turns.select("conv_id", "turn_idx")
+        .join(per, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            n.alias("n_tokens"),
+            g.alias("grounded_tokens"),
+            F.when(n > 0, F.floor((F.lit(2) * 10000 * g + n) / (F.lit(2) * n)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("grounding_bp"),
+        )
+    )

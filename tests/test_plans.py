@@ -1309,3 +1309,24 @@ def test_final_round3_plan_budgets(spark):
     a = plans.assert_plan(text_stats.filter_attrition(d),
                           max_exchanges=1, no_python=True)
     assert a.has_single_partition  # the 6-row report funnel, by design
+
+
+def test_response_grounding_plan_budget(spark):
+    """response_grounding: four keyed exchanges (context vocab groupBy,
+    token-hash join's two sides feed one of them, per-turn re-agg, and
+    the preserve-join back onto the assistant turn list) — no
+    SinglePartition funnel, no Python stage, and every shuffle keyed on
+    the conversation/token-hash/turn columns only."""
+    from pdf_extractors_spark import pipeline, plans
+
+    t = spark.createDataFrame(
+        [("a", 0, "user", "x"), ("a", 1, "assistant", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plans.assert_plan(
+        pipeline.response_grounding(t),
+        max_exchanges=5,
+        no_single_partition=True,
+        no_python=True,
+        shuffle_keys={"conv_id", "tok_h", "turn_idx"},
+    )

@@ -30,6 +30,7 @@ CARRYOVER = {
     "jsonl_export",
     "ngram_counts",
     "blocklist_filter",
+    "response_grounding",
     # added after this round's window was pinned; rotate in next round
     "dehyphenate",
     "strip_repeated_lines",

@@ -762,3 +762,83 @@ def test_vocab_coverage_top_k_share(spark):
     # k beyond the vocabulary: full coverage, k_effective = distinct tokens
     r2 = text_stats.vocab_coverage(df, k=100).collect()[0]
     assert r2["k_effective"] == 5 and r2["coverage_bp"] == 10000
+
+
+# ------------------------------------------------- response_grounding
+
+
+def test_response_grounding_planted(spark):
+    rows = [
+        # conv a: user context at 0, assistant at 1 reuses 3 of 4 tokens
+        ("a", 0, "user", "the quick brown fox"),
+        ("a", 1, "assistant", "the brown fox jumps"),
+        # later context must NOT ground an EARLIER assistant turn
+        ("a", 2, "tool", "jumps jumps jumps"),
+        ("a", 3, "assistant", "jumps again"),   # 'jumps' now grounded (turn 2)
+        # blank assistant turn: preserved with zeros
+        ("a", 4, "assistant", "   "),
+        # conv b: assistant with no prior context at all
+        ("b", 0, "assistant", "hello world"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in pipeline.response_grounding(df).collect()
+    }
+    assert set(got) == {("a", 1), ("a", 3), ("a", 4), ("b", 0)}
+    a1 = got[("a", 1)]
+    assert (a1["n_tokens"], a1["grounded_tokens"]) == (4, 3)
+    assert a1["grounding_bp"] == 7500
+    a3 = got[("a", 3)]
+    assert (a3["n_tokens"], a3["grounded_tokens"]) == (2, 1)
+    assert a3["grounding_bp"] == 5000
+    assert got[("a", 4)]["n_tokens"] == 0
+    assert got[("a", 4)]["grounding_bp"] == 0
+    assert got[("b", 0)]["grounded_tokens"] == 0
+
+
+def test_response_grounding_matches_sequential_reference(spark):
+    import random
+
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for c in range(8):
+        for t in range(rng.randrange(1, 9)):
+            role = rng.choice(["user", "assistant", "tool"])
+            text = (
+                None
+                if rng.random() < 0.1
+                else " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 6)))
+            )
+            rows.append((f"c{c}", t, role, text))
+
+    # sequential reference: context tokens register their first-seen
+    # turn index as the conversation streams in turn order
+    want = {}
+    for conv in {r[0] for r in rows}:
+        turns = sorted((r for r in rows if r[0] == conv), key=lambda r: r[1])
+        first = {}
+        for _, idx, role, text in turns:
+            toks = (text or "").strip().lower().split()
+            if role == "assistant":
+                g = sum(1 for w in toks if first.get(w, 10**9) < idx)
+                n = len(toks)
+                bp = (2 * 10000 * g + n) // (2 * n) if n else 0
+                want[(conv, idx)] = (n, g, bp)
+            else:
+                for w in toks:
+                    first.setdefault(w, idx)
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["n_tokens"], r["grounded_tokens"], r["grounding_bp"]
+        )
+        for r in pipeline.response_grounding(df).collect()
+    }
+    assert got == want
