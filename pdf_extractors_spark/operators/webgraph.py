@@ -234,10 +234,27 @@ def hits(
     ).distinct()
     e = e.repartition("src").cache()
 
-    def _normalize(raw_by_node: DataFrame, nodes: DataFrame, out: str) -> DataFrame:
-        full = nodes.join(raw_by_node, "node", "left").select(
-            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+    def _normalize(
+        raw_by_node: DataFrame,
+        nodes: DataFrame,
+        out: str,
+        caches: list[DataFrame],
+    ) -> DataFrame:
+        # `full` feeds BOTH the denominator aggregate and the rescaled
+        # output — uncached, the (scores ⋈ nodes) join would evaluate
+        # twice per half-round (and the lazy auth half would compound to
+        # 4× inside the hub checkpoint's plan). The cache adds no job:
+        # the round's one eager checkpoint populates it on first access.
+        # Lifetime is owned by the round loop (unpersisted once the
+        # round's checkpoint has materialized).
+        full = (
+            nodes.join(raw_by_node, "node", "left")
+            .select(
+                "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+            )
+            .cache()
         )
+        caches.append(full)
         denom = full.agg(
             F.greatest(
                 F.expr(f"coalesce(sum(raw), 0L) div {scale}"),
@@ -259,6 +276,7 @@ def hits(
         auth = None
         prev: list[DataFrame] = []
         for i in range(iters):
+            caches: list[DataFrame] = []
             auth_raw = (
                 e.join(
                     hub.select(F.col("node").alias("src"), "hub"), "src"
@@ -267,11 +285,13 @@ def hits(
                 .agg(F.sum("hub").alias("raw"))
             )
             # auth stays lazy: one checkpoint per FULL round (after the
-            # hub update) already caps plan depth at two joins — eagerly
-            # materializing the half-round too just doubles the job
-            # count (measured ~2x wall-clock on small graphs, where the
-            # fixed per-job cost dominates)
-            auth = _normalize(auth_raw, nodes, "auth")
+            # hub update) already caps plan depth at two joins, and the
+            # cached `full` inside _normalize makes the lazy reference
+            # single-evaluation — eagerly materializing the half-round
+            # too would just double the job count (measured ~2x
+            # wall-clock on small graphs, where fixed per-job cost
+            # dominates)
+            auth = _normalize(auth_raw, nodes, "auth", caches)
             if i == iters - 1:
                 auth = auth.localCheckpoint()  # final join reads it twice
             hub_raw = (
@@ -281,10 +301,14 @@ def hits(
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.sum("auth").alias("raw"))
             )
-            hub = _normalize(hub_raw, nodes, "hub").localCheckpoint()
+            hub = _normalize(hub_raw, nodes, "hub", caches).localCheckpoint()
             for df in prev:
                 df.unpersist()
             prev = [hub]
+            # the eager checkpoint above has materialized everything
+            # that reads this round's normalization caches
+            for c in caches:
+                c.unpersist()
         return hub.join(auth, "node").select("node", "hub", "auth")
     finally:
         e.unpersist()
