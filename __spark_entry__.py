@@ -4224,6 +4224,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["response_grounding"] = q_response_grounding
 
+    def q_refusal_scan(spark, sf):
+        """Per-conversation refusal audit (pipeline.refusal_scan).
+        Fixture assistant text never refuses, so refusals are planted
+        deterministically (md5-bucket of conv_id, the conv_validate
+        pattern) in BOTH the query and the oracle: bucket 0 gets an
+        anchored opener at turn 1, bucket 1 an in-text disclaimer."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        bkt = F.pmod(
+            md5_bigint(F.concat(F.lit("rf:"), F.col("conv_id"))), F.lit(10)
+        )
+        planted = t.withColumn(
+            "text",
+            F.when(
+                (bkt == 0) & (F.col("turn_idx") == 1),
+                F.lit("I'm sorry, I can't help with that."),
+            )
+            .when(
+                (bkt == 1) & (F.col("turn_idx") == 1),
+                F.lit("Sure — though as an AI I summarize; details follow."),
+            )
+            .otherwise(F.col("text")),
+        )
+        return pipeline.refusal_scan(planted)
+
+    q["refusal_scan"] = q_refusal_scan
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -9365,5 +9395,49 @@ def oracle_sql() -> dict[str, str]:
                         else 0 end as bigint) as grounding_bp
             from a_turns s left join per p
               on s.conv_id = p.conv_id and s.turn_idx = p.turn_idx
+        """
+        from pdf_extractors_spark.pipeline import REFUSAL_PATTERNS
+
+        _rx_sql = "|".join(f"(?:{p})" for p in REFUSAL_PATTERNS).replace(
+            "'", "''"
+        )
+        oracles["refusal_scan"] = f"""
+            with t as (
+              select conv_id, turn_idx, role, text
+              from read_parquet('{tp}')),
+            p as (
+              select conv_id, turn_idx, role,
+                     case when cast(concat('0x', substr(md5(
+                                'rf:' || conv_id), 1, 8)) as bigint)
+                               % 10 = 0 and turn_idx = 1
+                          then 'I''m sorry, I can''t help with that.'
+                          when cast(concat('0x', substr(md5(
+                                'rf:' || conv_id), 1, 8)) as bigint)
+                               % 10 = 1 and turn_idx = 1
+                          then 'Sure — though as an AI I summarize; '
+                               || 'details follow.'
+                          else text end as text
+              from t),
+            a as (
+              select conv_id, turn_idx,
+                     case when regexp_matches(
+                            lower(trim(coalesce(text, ''))),
+                            '{_rx_sql}')
+                          then 1 else 0 end as hit
+              from p where role = 'assistant'),
+            per as (
+              select conv_id,
+                     cast(count(*) as bigint) as n_assistant,
+                     cast(sum(hit) as bigint) as n_refusals,
+                     cast(coalesce(min(case when hit = 1
+                                       then turn_idx end), -1)
+                       as bigint) as first_refusal_idx
+              from a group by conv_id)
+            select conv_id, n_assistant, n_refusals, first_refusal_idx,
+                   cast(case when n_assistant > 0
+                        then (2 * 10000 * n_refusals + n_assistant)
+                             // (2 * n_assistant)
+                        else 0 end as bigint) as refusal_bp
+            from per
         """
     return oracles

@@ -1427,3 +1427,62 @@ def response_grounding(transcripts: DataFrame) -> DataFrame:
             .alias("grounding_bp"),
         )
     )
+
+
+# refusal cues matched against lower(trim(text)); kept to syntax both
+# Java regex and RE2 execute identically (anchors, alternation, literals)
+# so the DuckDB oracle replays the same battery verbatim
+REFUSAL_PATTERNS = (
+    "^i cannot",
+    "^i can't",
+    "^i'm sorry",
+    "^i am sorry",
+    "as an ai",
+    "i am unable to",
+    "i'm unable to",
+)
+
+
+def refusal_scan(
+    transcripts: DataFrame, patterns: tuple[str, ...] = REFUSAL_PATTERNS
+) -> DataFrame:
+    """Per-conversation refusal audit — the SFT curation filter that
+    separates 'the assistant declined' from 'the assistant answered':
+    a corpus whose refusals are invisible trains a model that refuses
+    at the wrong rate in both directions. Matches each assistant turn's
+    ``lower(trim(text))`` against a fixed cue battery (anchored openers
+    plus in-text disclaimers) and emits one row per conversation:
+    ``(conv_id, n_assistant, n_refusals, first_refusal_idx,
+    refusal_bp)`` — first_refusal_idx is -1 when nothing matched (a
+    sentinel, not null: keeps the column non-nullable int64 end to
+    end), the rate is half-up basis points of assistant turns, 0 when
+    the conversation has no assistant turn at all.
+
+    One filter + one map-side-combined groupBy(conv_id); the regex runs
+    inside codegen on the scan, payloads never shuffle."""
+    rx = "|".join(f"(?:{p})" for p in patterns)
+    hit = F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))).rlike(rx)
+    per = (
+        transcripts.filter(F.col("role") == "assistant")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assistant"),
+            F.sum(hit.cast("long")).cast("long").alias("n_refusals"),
+            F.coalesce(
+                F.min(F.when(hit, F.col("turn_idx"))).cast("long"),
+                F.lit(-1).cast("long"),
+            ).alias("first_refusal_idx"),
+        )
+    )
+    n = F.col("n_assistant")
+    r = F.col("n_refusals")
+    return per.select(
+        "conv_id",
+        "n_assistant",
+        "n_refusals",
+        "first_refusal_idx",
+        F.when(n > 0, F.floor((F.lit(2) * 10000 * r + n) / (F.lit(2) * n)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("refusal_bp"),
+    )

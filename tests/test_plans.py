@@ -1330,3 +1330,22 @@ def test_response_grounding_plan_budget(spark):
         no_python=True,
         shuffle_keys={"conv_id", "tok_h", "turn_idx"},
     )
+
+
+def test_refusal_scan_plan_budget(spark):
+    """refusal_scan: the regex battery evaluates inside codegen on the
+    scan side of ONE map-side-combined groupBy(conv_id) — no second
+    exchange, no SinglePartition funnel, no Python stage."""
+    from pdf_extractors_spark import pipeline, plans
+
+    t = spark.createDataFrame(
+        [("a", 0, "assistant", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plans.assert_plan(
+        pipeline.refusal_scan(t),
+        max_exchanges=1,
+        no_single_partition=True,
+        no_python=True,
+        shuffle_keys={"conv_id"},
+    )

@@ -31,6 +31,7 @@ CARRYOVER = {
     "ngram_counts",
     "blocklist_filter",
     "response_grounding",
+    "refusal_scan",
     # added after this round's window was pinned; rotate in next round
     "dehyphenate",
     "strip_repeated_lines",

@@ -842,3 +842,67 @@ def test_response_grounding_matches_sequential_reference(spark):
         for r in pipeline.response_grounding(df).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- refusal_scan
+
+
+def test_refusal_scan_planted(spark):
+    rows = [
+        ("a", 0, "user", "please do the thing"),
+        ("a", 1, "assistant", "I'm sorry, I can't help with that."),
+        ("a", 2, "user", "ok try again"),
+        ("a", 3, "assistant", "Here is the answer you wanted."),
+        # unanchored cue mid-text
+        ("b", 0, "assistant", "Well, as an AI I summarize documents."),
+        # anchored cue NOT at start: must not match
+        ("c", 0, "assistant", "He said I cannot and left."),
+        # null text and a conversation with no assistant turns at all
+        ("c", 1, "assistant", None),
+        ("d", 0, "user", "just a user monologue"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        r["conv_id"]: r.asDict() for r in pipeline.refusal_scan(df).collect()
+    }
+    assert set(got) == {"a", "b", "c"}  # 'd' has no assistant turn: no row
+    a = got["a"]
+    assert (a["n_assistant"], a["n_refusals"], a["first_refusal_idx"]) == (2, 1, 1)
+    assert a["refusal_bp"] == 5000
+    assert got["b"]["n_refusals"] == 1 and got["b"]["first_refusal_idx"] == 0
+    c = got["c"]
+    assert (c["n_refusals"], c["first_refusal_idx"]) == (0, -1)
+    assert c["refusal_bp"] == 0
+
+
+def test_refusal_scan_battery_parity_with_python_re(spark):
+    """The Spark rlike battery and Python re agree cue-by-cue — the
+    guarantee the DuckDB oracle leans on (Java regex vs RE2 vs sre all
+    executing the same anchors/alternation/literals identically)."""
+    import re
+
+    from pdf_extractors_spark.pipeline import REFUSAL_PATTERNS
+
+    rx = re.compile("|".join(f"(?:{p})" for p in REFUSAL_PATTERNS))
+    texts = [
+        "i cannot do that",
+        "I can't help",
+        "i'm sorry about this",
+        "i am sorry, no",
+        "speaking as an ai model",
+        "i am unable to comply",
+        "i'm unable to verify",
+        "sorry is not a prefix here",
+        "can i help you cannot be matched",
+        "",
+        "   i cannot (leading spaces trimmed first)",
+    ]
+    rows = [("c", i, "assistant", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = pipeline.refusal_scan(df).collect()[0]
+    want_hits = sum(1 for t in texts if rx.search(t.strip().lower()))
+    assert got["n_refusals"] == want_hits == 8
