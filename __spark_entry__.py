@@ -4254,6 +4254,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["refusal_scan"] = q_refusal_scan
 
+    def q_dsir_weights(spark, sf):
+        """DSIR importance weights (sampling.dsir_weights): hashed-
+        unigram bucket models of target (lang='en') vs the full raw
+        corpus, per-document floor-log2 importance ratio in whole bits
+        — integer-exact, broadcast-only scoring join. The oracle
+        replays the identical bucket/surprisal algebra in DuckDB
+        (unigrams; the bigram feature path is pinned in pytest against
+        a pure-Python reference)."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return sampling.dsir_weights(
+            _spread(docs),
+            target=docs.filter(F.col("lang") == "en"),
+            n_buckets=512,
+            bigrams=False,
+        )
+
+    q["dsir_weights"] = q_dsir_weights
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -9440,4 +9460,48 @@ def oracle_sql() -> dict[str, str]:
                         else 0 end as bigint) as refusal_bp
             from per
         """
+    oracles["dsir_weights"] = r"""
+        with toks as (
+          select doc_id, tok
+          from (select doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+                from documents)
+          where tok <> ''
+        ),
+        feats as (
+          select doc_id,
+                 cast(concat('0x', substr(md5('dsir:' || tok), 1, 8))
+                      as bigint) % 512 as bucket
+          from toks
+        ),
+        tfeats as (
+          select f.bucket
+          from feats f join documents d using (doc_id)
+          where d.lang = 'en'
+        ),
+        counts_r as (select bucket, count(*) as tf_r from feats group by bucket),
+        counts_t as (select bucket, count(*) as tf_t from tfeats group by bucket),
+        scal_r as (select cast(sum(tf_r) as bigint) as n_raw from counts_r),
+        scal_t as (select cast(coalesce(sum(tf_t), 0) as bigint) as n_tgt
+                   from counts_t),
+        score as (
+          select bucket,
+                 cast((length(bin((n_raw + 512) // (tf_r + 1))) - 1)
+                    - (length(bin((n_tgt + 512) // (coalesce(tf_t, 0) + 1))) - 1)
+                   as bigint) as score_bits
+          from counts_r left join counts_t using (bucket), scal_r, scal_t
+        ),
+        scored as (
+          select doc_id,
+                 cast(count(*) as bigint) as n_features,
+                 cast(sum(score_bits) as bigint) as log2_weight
+          from feats join score using (bucket)
+          group by doc_id
+        )
+        select d.doc_id,
+               coalesce(s.n_features, 0) as n_features,
+               coalesce(s.log2_weight, 0) as log2_weight
+        from (select doc_id from documents) d
+        left join scored s using (doc_id)
+    """
     return oracles

@@ -492,3 +492,135 @@ def k_anonymity(
         .filter(F.col("stratum_n") < k)
         .select(F.col(id_col), *[F.col(c) for c in quasi], F.col("stratum_n"))
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"), integer-exact: score each raw document by how much
+    more a hashed-n-gram model of the TARGET corpus likes its features
+    than a model of the raw corpus itself.
+
+    Features are lowercase whitespace unigrams (plus space-joined
+    bigrams when ``bigrams=True``) hashed into a FIXED space of
+    ``n_buckets`` via the portable md5 hash, so the two bag-of-feature
+    models live over the same finite vocabulary and add-one smoothing
+    is over buckets, not observed types. Per bucket ``b`` with
+    occurrence counts ``tf_x(b)`` and corpus totals ``N_x``:
+
+        bits_x(b)  = floor(log2((N_x + n_buckets) div (tf_x(b) + 1)))
+        score(b)   = bits_raw(b) - bits_target(b)
+
+    i.e. the difference of the two add-one-smoothed surprisals in
+    whole bits, computed exactly as binary-string length (the
+    unigram_lm_score machinery — no float log, no cross-engine
+    rounding drift). A document's ``log2_weight`` is the sum of
+    ``score`` over its feature OCCURRENCES: positive means the target
+    model assigns the document's features more probability mass than
+    the raw model — the (floor-)log importance ratio of the paper.
+    Selection is the caller's move (top-k, threshold, or
+    temperature_sample over shifted weights); this operator is the
+    scoring pass.
+
+    Documents with no features are PRESERVED with zeros (left join to
+    the input id set), matching unigram_lm_score's contract.
+
+    Plan/scale: both bucket-count tables are bounded by ``n_buckets``
+    rows regardless of corpus size, so the per-document scoring join is
+    a BROADCAST — the only exchanges are the two map-side-combined
+    groupBys on the bucket key (≤ n_buckets keys per partition) and the
+    per-document aggregation. Corpus totals are window sums over the
+    full-outer-joined count tables (≤ 2·n_buckets rows on one
+    partition), so each corpus is scanned exactly once and nothing is
+    collected to the driver. At
+    10^12 turns the raw corpus streams past a KB-sized score table.
+    Quotient-form surprisal keeps every intermediate inside int64 at
+    any corpus size (``N + n_buckets`` fits; no products of counts).
+    """
+    from .text_stats import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    if bigrams:
+        tail = F.greatest(F.size(toks) - 1, F.lit(0))
+        bigr = F.zip_with(
+            F.slice(toks, 1, tail),
+            F.slice(toks, 2, tail),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats_expr = F.concat(toks, bigr)
+    else:
+        feats_expr = toks
+    bucket = F.pmod(
+        md5_bigint(F.concat(F.lit("dsir:"), F.col("feat"))), F.lit(n_buckets)
+    ).alias("bucket")
+
+    feats_raw = raw.select(
+        F.col(id_col), F.explode(feats_expr).alias("feat")
+    ).select(F.col(id_col), bucket)
+    feats_tgt = target.select(F.explode(feats_expr).alias("feat")).select(bucket)
+
+    counts_r = feats_raw.groupBy("bucket").agg(F.count("*").alias("tf_r"))
+    counts_t = feats_tgt.groupBy("bucket").agg(F.count("*").alias("tf_t"))
+
+    def _bits(total: str, tf: str) -> F.Column:
+        return (
+            F.length(
+                F.conv(
+                    F.expr(f"({total} + {n_buckets}) div ({tf} + 1)").cast(
+                        "string"
+                    ),
+                    10,
+                    2,
+                )
+            )
+            - 1
+        ).cast("long")
+
+    # corpus totals as window sums over the FULL-outer-joined count
+    # tables (≤ 2·n_buckets rows on one partition — trivially small),
+    # NOT as separate .agg() branches: a second aggregation over
+    # counts_x would re-run the whole explode + groupBy subtree unless
+    # exchange reuse happens to fire. Full outer keeps target-only
+    # buckets so n_tgt is the exact target total; their score rows are
+    # inert (no raw feature ever joins them).
+    wall = Window.partitionBy()
+    score = (
+        counts_r.join(counts_t, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("tf_r", F.lit(0)).alias("tf_r"),
+            F.coalesce("tf_t", F.lit(0)).alias("tf_t"),
+        )
+        .withColumn("n_raw", F.sum("tf_r").over(wall).cast("long"))
+        .withColumn("n_tgt", F.sum("tf_t").over(wall).cast("long"))
+        .select(
+            "bucket",
+            (_bits("n_raw", "tf_r") - _bits("n_tgt", "tf_t")).alias(
+                "score_bits"
+            ),
+        )
+    )
+    weighted = (
+        feats_raw.join(F.broadcast(score), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("score_bits").cast("long").alias("log2_weight"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(weighted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+            F.coalesce("log2_weight", F.lit(0)).cast("long").alias("log2_weight"),
+        )
+    )

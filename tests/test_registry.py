@@ -32,6 +32,7 @@ CARRYOVER = {
     "blocklist_filter",
     "response_grounding",
     "refusal_scan",
+    "dsir_weights",
     # added after this round's window was pinned; rotate in next round
     "dehyphenate",
     "strip_repeated_lines",
