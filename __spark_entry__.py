@@ -373,6 +373,18 @@ _BM25_QUERIES = [
 ]
 
 
+# mojibake plant constants, shared byte-for-byte by the Spark queries
+# and the DuckDB oracles (f-string interpolated into both): SUFx is the
+# damaged form appended to bucket-x documents, FIXx the repaired form.
+# SUF2 is GENUINE accented text (strict UTF-8 re-decode of its CP1252
+# bytes fails) — the repair query's false-positive control.
+_MJ_SUF0 = " cafÃ© naÃ¯ve"
+_MJ_FIX0 = " café naïve"
+_MJ_SUF1 = " donâ€™t â€œdash"
+_MJ_FIX1 = " don’t “dash"
+_MJ_SUF2 = " résumé"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -4273,6 +4285,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dsir_weights"] = q_dsir_weights
+
+    def q_mojibake_scan(spark, sf):
+        """Encoding-damage audit (text_stats.mojibake_scan) with
+        deterministically planted artifacts: docs in md5 bucket 0 gain
+        two Latin-1-misread 2-byte sequences, bucket 1 two CP1252
+        3-byte sequences plus a U+FFFD; the oracle replays the plant
+        and the same regex classes in DuckDB (RE2 and Java regex agree
+        on these plain character alternations)."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        b = F.pmod(
+            md5_bigint(F.concat(F.lit("mj:"), F.col("doc_id").cast("string"))),
+            F.lit(4),
+        )
+        planted = docs.withColumn(
+            "text",
+            F.when(b == 0, F.concat(F.col("text"), F.lit(_MJ_SUF0)))
+            .when(
+                b == 1,
+                F.concat(F.col("text"), F.lit(_MJ_SUF1 + " �")),
+            )
+            .otherwise(F.col("text")),
+        )
+        return text_stats.mojibake_scan(planted)
+
+    q["mojibake_scan"] = q_mojibake_scan
+
+    def q_mojibake_repair(spark, sf):
+        """CP1252/Latin-1 round-trip repair (text_stats.mojibake_repair)
+        over planted damage: bucket 0/1 docs gain repairable artifacts,
+        bucket 2 a GENUINE accented suffix (strict UTF-8 re-decode
+        fails, so it must pass through untouched — the false-positive
+        control), bucket 3 stays ASCII. The oracle states the expected
+        output directly from the plant structure — an independent
+        prediction, not a re-run of the repair (valid because the base
+        corpus is ASCII and round-trips unchanged)."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        b = F.pmod(
+            md5_bigint(F.concat(F.lit("mj:"), F.col("doc_id").cast("string"))),
+            F.lit(4),
+        )
+        planted = docs.withColumn(
+            "text",
+            F.when(b == 0, F.concat(F.col("text"), F.lit(_MJ_SUF0)))
+            .when(b == 1, F.concat(F.col("text"), F.lit(_MJ_SUF1)))
+            .when(b == 2, F.concat(F.col("text"), F.lit(_MJ_SUF2)))
+            .otherwise(F.col("text")),
+        )
+        return text_stats.mojibake_repair(planted)
+
+    q["mojibake_repair"] = q_mojibake_repair
 
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
@@ -9503,5 +9571,41 @@ def oracle_sql() -> dict[str, str]:
                coalesce(s.log2_weight, 0) as log2_weight
         from (select doc_id from documents) d
         left join scored s using (doc_id)
+    """
+    from pdf_extractors_spark.operators.text_stats import MOJI2_RE, MOJI3_RE
+
+    _mj_bucket = (
+        "cast(concat('0x', substr(md5('mj:' || cast(doc_id as varchar)),"
+        " 1, 8)) as bigint) % 4"
+    )
+    oracles["mojibake_scan"] = f"""
+        with p as (
+          select doc_id,
+                 case {_mj_bucket}
+                   when 0 then text || '{_MJ_SUF0}'
+                   when 1 then text || '{_MJ_SUF1} �'
+                   else text end as text
+          from documents),
+        c as (
+          select doc_id,
+                 cast(len(regexp_extract_all(text, '{MOJI2_RE}'))
+                      as bigint) as n_moji2,
+                 cast(len(regexp_extract_all(text, '{MOJI3_RE}'))
+                      as bigint) as n_moji3,
+                 cast(length(text) - length(replace(text, '�', ''))
+                      as bigint) as n_replacement
+          from p)
+        select doc_id, n_moji2, n_moji3, n_replacement,
+               (n_moji2 + n_moji3 + n_replacement) > 0 as mojibake
+        from c
+    """
+    oracles["mojibake_repair"] = f"""
+        select doc_id,
+               case b when 0 then text || '{_MJ_FIX0}'
+                      when 1 then text || '{_MJ_FIX1}'
+                      when 2 then text || '{_MJ_SUF2}'
+                      else text end as text_fixed,
+               b in (0, 1) as changed
+        from (select doc_id, text, {_mj_bucket} as b from documents)
     """
     return oracles

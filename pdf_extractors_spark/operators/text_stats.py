@@ -2742,3 +2742,111 @@ def vocab_coverage(
         .cast("long")
         .alias("coverage_bp"),
     )
+
+
+# ------------------------------------------------------------- mojibake
+
+# Characters a UTF-8 continuation byte (0x80-0xBF) decodes to when the
+# byte stream is mis-read as Latin-1 (U+0080-U+00BF verbatim) or CP1252
+# (bytes 0x80-0x9F map to the Windows punctuation block below; 0x81,
+# 0x8D, 0x8F, 0x90, 0x9D are undefined in CP1252 and appear only via
+# the Latin-1 range). The class is shared verbatim by the Spark
+# expressions, the DuckDB oracle and the pytest Python-re reference —
+# one definition, three engines.
+_MOJI_CONT = (
+    "\u0080-\u00bf"
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+# mis-decoded UTF-8 lead bytes: C2-DF start 2-byte sequences, E0-EF
+# 3-byte; both ranges decode identically under Latin-1 and CP1252.
+MOJI2_RE = f"[\u00c2-\u00df][{_MOJI_CONT}]"
+MOJI3_RE = f"[\u00e0-\u00ef][{_MOJI_CONT}][{_MOJI_CONT}]"
+REPLACEMENT_CHAR = "\ufffd"
+
+
+def mojibake_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mojibake (encoding-damage) audit — the detection half of the
+    classic ftfy repair pass, and the third member of the text-repair
+    family beside ``unicode_normalize`` (form damage) and
+    ``dehyphenate`` (layout damage): count the signatures of UTF-8 text
+    that was decoded as Latin-1/CP1252 ("caf\u00c3\u00a9",
+    "don\u00e2\u20ac\u2122t") plus bare U+FFFD replacement characters
+    left by earlier lossy decodes.
+
+    Per document: ``n_moji2`` (mis-decoded 2-byte sequences,
+    ``MOJI2_RE``), ``n_moji3`` (3-byte, ``MOJI3_RE``),
+    ``n_replacement`` (U+FFFD count) and a ``mojibake`` verdict (any
+    signature present). Null text rows are preserved with zero counts
+    and a false verdict — an unreadable row is a different defect.
+
+    Like every scan-fused audit here the counts are pure codegen column
+    math (``regexp_count`` / ``length`` arithmetic — no UDF, no
+    shuffle): the plan is Scan -> Project, payloads never move, and the
+    operator composes into a corpus scan for free at 10^12 turns. The
+    regex classes are plain character alternations, identical under
+    Java regex, RE2 (DuckDB) and Python ``re``, which is what makes the
+    cross-engine value oracle and the pytest reference possible."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n2 = F.regexp_count(t, F.lit(MOJI2_RE)).cast("long")
+    n3 = F.regexp_count(t, F.lit(MOJI3_RE)).cast("long")
+    nr = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, REPLACEMENT_CHAR, ""))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n2.alias("n_moji2"),
+        n3.alias("n_moji3"),
+        nr.alias("n_replacement"),
+        ((n2 + n3 + nr) > 0).alias("mojibake"),
+    )
+
+
+def mojibake_repair(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Single-pass mojibake repair: re-encode the text as CP1252
+    (falling back to Latin-1 for the five CP1252 holes) and strictly
+    re-decode as UTF-8. If the full round-trip succeeds the decoded
+    form is returned — pure-ASCII text round-trips to itself, and
+    genuinely-accented text fails the strict UTF-8 decode and passes
+    through untouched, so the operator is idempotent on clean corpora.
+    One layer per pass (doubly-encoded text needs two applications);
+    strict decoding means a repair can never introduce U+FFFD.
+
+    Returns ``(id, text_fixed, changed)``; nulls preserved with
+    ``changed = false``. Arrow-batched scalar pandas_udf (codec tables
+    live in CPython; Spark has no charset round-trip builtin) — same
+    stage shape as ``unicode_normalize``: zero exchanges, one
+    ArrowEvalPython over the scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fix(texts: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            try:
+                b = s.encode("cp1252")
+            except UnicodeEncodeError:
+                try:
+                    b = s.encode("latin-1")
+                except UnicodeEncodeError:
+                    return s
+            try:
+                return b.decode("utf-8")
+            except UnicodeDecodeError:
+                return s
+
+        return texts.map(one)
+
+    out = _fix(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        out.alias("text_fixed"),
+        (~out.eqNullSafe(F.col(text_col))).alias("changed"),
+    )

@@ -33,6 +33,8 @@ CARRYOVER = {
     "response_grounding",
     "refusal_scan",
     "dsir_weights",
+    "mojibake_scan",
+    "mojibake_repair",
     # added after this round's window was pinned; rotate in next round
     "dehyphenate",
     "strip_repeated_lines",
