@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     # per-domain quality rollup (scan-fused scoring + distinct + join)
     "markdown_tables",
     "domain_quality",
+    # late round-3: the broadcast-scored corpus scan (two bounded bucket
+    # groupBys + a broadcast scoring join — the DSIR selection shape)
+    "dsir_weights",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

@@ -52,6 +52,14 @@ PLAN_QUERIES = {
         "Contamination check. Expect: the benchmark shingle set under "
         "`BroadcastExchange` — the corpus side streams through one pass."
     ),
+    "dsir_weights": (
+        "DSIR importance weights. Expect: the bucket-score table under "
+        "`BroadcastExchange` feeding a `BroadcastHashJoin` against the "
+        "exploded corpus features — both count tables are bounded by "
+        "n_buckets, so the corpus never shuffles for scoring; the only "
+        "exchanges are the two bucket groupBys, the per-doc aggregation "
+        "and the id-set join."
+    ),
     "kmv_distinct": (
         "KMV cardinality sketch. Expect: `MapInPandas` directly on the "
         "scan-side project (the bounded-state k-minima fold, zero exchange) "

@@ -268,3 +268,72 @@ def test_markdown_tables_match_python_reference(spark, texts):
         )
     for i, t in enumerate(texts):
         assert sorted(got[i]) == sorted(_py_markdown_tables(t)), (i, t)
+
+
+# ------------------------------------------------------------- mojibake
+
+# adversarial alphabet for the codec round-trip: ASCII, the Latin-1 /
+# CP1252 block (lead + continuation chars), Windows punctuation
+# artifacts, genuine accents, CJK (outside CP1252), and U+FFFD
+_MOJI_ALPHABET = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0xA0, max_codepoint=0xFF),
+        st.sampled_from("\u20ac\u2122\u0153\u2018\u2019\u201c\u201d"
+                        "\u2013\u2014\u2026\ufffd\u4e2d\u6587"),
+    ),
+    max_size=60,
+)
+
+
+def _py_moji_repair(s):
+    try:
+        b = s.encode("cp1252")
+    except UnicodeEncodeError:
+        try:
+            b = s.encode("latin-1")
+        except UnicodeEncodeError:
+            return s
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return s
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(_MOJI_ALPHABET, min_size=1, max_size=6))
+def test_mojibake_repair_matches_python_codec(spark, texts):
+    """The Arrow-batched repair == the plain CPython round-trip on
+    arbitrary mixed-script text (the subtle cases: strings valid under
+    BOTH readings, CP1252 holes, partial artifact sequences)."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_fixed"], r["changed"])
+        for r in text_stats.mojibake_repair(df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_moji_repair(t)
+        assert got[i] == (want, want != t), (i, t)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(_MOJI_ALPHABET, min_size=1, max_size=6))
+def test_mojibake_scan_matches_python_re(spark, texts):
+    """Java-regex artifact counts == Python re over the same shared
+    class constants (engine-parity is what the DuckDB oracle assumes)."""
+    import re
+
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in text_stats.mojibake_scan(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i]["n_moji2"] == len(re.findall(text_stats.MOJI2_RE, t))
+        assert got[i]["n_moji3"] == len(re.findall(text_stats.MOJI3_RE, t))
+        assert got[i]["n_replacement"] == t.count("\ufffd")
