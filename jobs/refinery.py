@@ -18,7 +18,10 @@ checkpoint.py even when it was killed mid-stage):
   extracted/  Arrow-batched per-turn extraction (per-bucket manifests)
   docs/       conversation assembly: applyInArrow stitch of extracted
               turn text into one document per conversation
-  dedup/      exact dedup of assembled documents (min-conv_id keeper)
+  repaired/   text repair BEFORE any hashing: mojibake round-trip fix +
+              Unicode NFC — composed vs decomposed (or encoding-damaged)
+              bytes silently defeat every hash-keyed stage downstream
+  dedup/      exact dedup of repaired documents (min-conv_id keeper)
   kept/       quality gate: whitespace token count >= --min-tokens
   packed/     budget-aligned training units (pack_units sharding)
 
@@ -101,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession, functions as F
 
     from pdf_extractors_spark import checkpoint, pipeline
-    from pdf_extractors_spark.operators import dedup, sampling
+    from pdf_extractors_spark.operators import dedup, sampling, text_stats
 
     spark = SparkSession.builder.appName("transcript-refinery").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -151,17 +154,46 @@ def main(argv: list[str] | None = None) -> int:
         report["stages"]["docs"] = _commit_stage(args.output, "docs", docs)
     docs = spark.read.parquet(_stage_dir(args.output, "docs"))
 
-    # -- stage 3: exact dedup of assembled documents ---------------------
+    # -- stage 3: text repair BEFORE any hash-keyed stage -----------------
+    # mojibake round-trip fix, then Unicode NFC: encoding-damaged or
+    # decomposed bytes are different md5 keys for the same text, so
+    # un-repaired input silently defeats the dedup stage that follows.
+    if (m := _committed(args.output, "repaired")) is not None:
+        report["stages"]["repaired"] = {**m, "skipped": True}
+    else:
+        fixed = text_stats.mojibake_repair(
+            docs, text_col="stitched_text", id_col="conv_id",
+            keep_cols=("n_turns",),
+        ).select(
+            "conv_id", "n_turns",
+            F.col("text_fixed").alias("stitched_text"),
+            F.col("changed").alias("moji_changed"),
+        )
+        nfc = text_stats.unicode_normalize(
+            fixed, text_col="stitched_text", id_col="conv_id",
+            keep_cols=("n_turns", "moji_changed"),
+        ).select(
+            "conv_id", "n_turns",
+            F.col("text_nfc").alias("stitched_text"),
+            "moji_changed",
+            F.col("changed").alias("nfc_changed"),
+        )
+        report["stages"]["repaired"] = _commit_stage(
+            args.output, "repaired", nfc
+        )
+    repaired = spark.read.parquet(_stage_dir(args.output, "repaired"))
+
+    # -- stage 4: exact dedup of repaired documents -----------------------
     if (m := _committed(args.output, "dedup")) is not None:
         report["stages"]["dedup"] = {**m, "skipped": True}
     else:
         deduped = dedup.dedup_documents(
-            docs, text_col="stitched_text", id_col="conv_id"
+            repaired, text_col="stitched_text", id_col="conv_id"
         )
         report["stages"]["dedup"] = _commit_stage(args.output, "dedup", deduped)
     deduped = spark.read.parquet(_stage_dir(args.output, "dedup"))
 
-    # -- stage 4: quality gate -------------------------------------------
+    # -- stage 5: quality gate -------------------------------------------
     if (m := _committed(args.output, "kept")) is not None:
         report["stages"]["kept"] = {**m, "skipped": True}
     else:
@@ -174,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         report["stages"]["kept"] = _commit_stage(args.output, "kept", kept)
     kept = spark.read.parquet(_stage_dir(args.output, "kept"))
 
-    # -- stage 5: budget-aligned packing ----------------------------------
+    # -- stage 6: budget-aligned packing ----------------------------------
     if (m := _committed(args.output, "packed")) is not None:
         report["stages"]["packed"] = {**m, "skipped": True}
     else:

@@ -1004,6 +1004,7 @@ def unicode_normalize(
     text_col: str = "text",
     id_col: str = "doc_id",
     form: str = "NFC",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unicode normalization (UAX #15) of a text column — the repair
     pass a crawl corpus needs before ANY hash-based dedup or shingle
@@ -1034,6 +1035,7 @@ def unicode_normalize(
     out = _norm(F.col(text_col))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         out.alias("text_nfc"),
         (~out.eqNullSafe(F.col(text_col))).alias("changed"),
     )
@@ -2807,7 +2809,10 @@ def mojibake_scan(
 
 
 def mojibake_repair(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Single-pass mojibake repair: re-encode the text as CP1252
     (falling back to Latin-1 for the five CP1252 holes) and strictly
@@ -2818,7 +2823,9 @@ def mojibake_repair(
     One layer per pass (doubly-encoded text needs two applications);
     strict decoding means a repair can never introduce U+FFFD.
 
-    Returns ``(id, text_fixed, changed)``; nulls preserved with
+    Returns ``(id, *keep_cols, text_fixed, changed)`` (``keep_cols``
+    carried through so repair composes into a pipeline pass without a
+    re-join, like ``lang_id``); nulls preserved with
     ``changed = false``. Arrow-batched scalar pandas_udf (codec tables
     live in CPython; Spark has no charset round-trip builtin) — same
     stage shape as ``unicode_normalize``: zero exchanges, one
@@ -2847,6 +2854,7 @@ def mojibake_repair(
     out = _fix(F.col(text_col))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         out.alias("text_fixed"),
         (~out.eqNullSafe(F.col(text_col))).alias("changed"),
     )

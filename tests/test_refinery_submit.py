@@ -1,6 +1,6 @@
 """End-to-end refinery job test through the REAL ``spark-submit`` binary
 with ``--py-files engine.zip`` (the north rule's submission shape): the
-composed extract → assemble → dedup → quality → pack pipeline commits
+composed extract → assemble → repair → dedup → quality → pack pipeline commits
 each stage atomically, a re-submit skips everything, and deleting one
 stage re-runs exactly that stage."""
 
@@ -57,10 +57,11 @@ def test_refinery_submit_stages_and_resume(tmp_path):
     assert st["extracted"]["processed_buckets"] == 4
     assert st["extracted"]["parse_errors"] == 0
     assert st["docs"]["rows"] == 20  # one document per conversation
-    assert st["dedup"]["rows"] <= st["docs"]["rows"]
+    assert st["repaired"]["rows"] == st["docs"]["rows"]  # repair never drops
+    assert st["dedup"]["rows"] <= st["repaired"]["rows"]
     assert st["kept"]["rows"] <= st["dedup"]["rows"]
     assert st["packed"]["rows"] == st["kept"]["rows"]
-    for name in ("docs", "dedup", "kept", "packed"):
+    for name in ("docs", "repaired", "dedup", "kept", "packed"):
         assert os.path.exists(os.path.join(outp, name, "_stage.json"))
 
     # full resume: every stage (and every extraction bucket) skipped
@@ -68,7 +69,7 @@ def test_refinery_submit_stages_and_resume(tmp_path):
     st2 = r2["stages"]
     assert st2["extracted"]["processed_buckets"] == 0
     assert st2["extracted"]["skipped_buckets"] == 4
-    for name in ("docs", "dedup", "kept", "packed"):
+    for name in ("docs", "repaired", "dedup", "kept", "packed"):
         assert st2[name].get("skipped") is True
         assert st2[name]["rows"] == st[name]["rows"]
 
@@ -78,5 +79,5 @@ def test_refinery_submit_stages_and_resume(tmp_path):
     st3 = r3["stages"]
     assert st3["kept"].get("skipped") is None
     assert st3["kept"]["rows"] == st["kept"]["rows"]
-    for name in ("docs", "dedup", "packed"):
+    for name in ("docs", "repaired", "dedup", "packed"):
         assert st3[name].get("skipped") is True
