@@ -337,3 +337,70 @@ def test_mojibake_scan_matches_python_re(spark, texts):
         assert got[i]["n_moji2"] == len(re.findall(text_stats.MOJI2_RE, t))
         assert got[i]["n_moji3"] == len(re.findall(text_stats.MOJI3_RE, t))
         assert got[i]["n_replacement"] == t.count("\ufffd")
+
+
+# ----------------------------------------------------------------- dsir
+
+# token alphabet with few distinct tokens + tiny bucket space: forces
+# hash collisions, shared buckets between target and raw, and bigram
+# overlap — the regimes where the windowed-total / coalesce algebra
+# could drift from the reference
+_DSIR_TOKENS = st.lists(
+    st.sampled_from(["the", "cat", "zzq", "a", "b", "lorem", "x1"]),
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    raw_docs=st.lists(_DSIR_TOKENS, min_size=1, max_size=6),
+    tgt_docs=st.lists(_DSIR_TOKENS, min_size=0, max_size=4),
+    bigrams=st.booleans(),
+)
+def test_dsir_weights_match_python_reference(spark, raw_docs, tgt_docs, bigrams):
+    """dsir_weights == the sequential reference on adversarial corpora:
+    colliding buckets (n_buckets=8), empty targets (every tf_t = 0),
+    empty documents, and both feature modes."""
+    import hashlib
+
+    from pdf_extractors_spark.operators import sampling
+
+    n_buckets = 8
+    raw_rows = [(i, " ".join(toks)) for i, toks in enumerate(raw_docs)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(" ".join(toks),) for toks in tgt_docs] or [(None,)], "text string"
+    )
+
+    def feats(toks):
+        fs = list(toks)
+        if bigrams:
+            fs += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(f"dsir:{f}".encode()).hexdigest()[:8], 16)
+            % n_buckets
+            for f in fs
+        ]
+
+    tf_r, tf_t = {}, {}
+    for toks in raw_docs:
+        for b in feats(toks):
+            tf_r[b] = tf_r.get(b, 0) + 1
+    for toks in tgt_docs:
+        for b in feats(toks):
+            tf_t[b] = tf_t.get(b, 0) + 1
+    n_raw, n_tgt = sum(tf_r.values()), sum(tf_t.values())
+
+    def bits(total, tf):
+        return ((total + n_buckets) // (tf + 1)).bit_length() - 1
+
+    got = {
+        r["doc_id"]: (r["n_features"], r["log2_weight"])
+        for r in sampling.dsir_weights(
+            raw, target, n_buckets=n_buckets, bigrams=bigrams
+        ).collect()
+    }
+    for i, toks in enumerate(raw_docs):
+        bs = feats(toks)
+        want = sum(bits(n_raw, tf_r[b]) - bits(n_tgt, tf_t.get(b, 0)) for b in bs)
+        assert got[i] == (len(bs), want), (i, toks, bigrams)
