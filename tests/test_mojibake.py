@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from pdf_extractors_spark import plans
 from pdf_extractors_spark.operators import text_stats
 from pdf_extractors_spark.operators.text_stats import (
@@ -128,3 +130,36 @@ def test_mojibake_plan_budgets(spark):
     r = plans.plan_audit(mojibake_repair(df))
     assert r.n_exchanges == 0
     assert r.python_stages, "expected the ArrowEvalPython repair stage"
+
+
+def test_repair_before_dedup_collapses_encoding_damaged_duplicates(spark):
+    """The refinery's stage order is load-bearing: two copies of the
+    same text where one suffered CP1252 mojibake (and one NFC-decomposed
+    copy) are DIFFERENT md5 keys raw — exact dedup keeps all three.
+    After mojibake_repair + NFC normalization they collapse to one
+    representative. This is the semantic reason jobs/refinery.py runs
+    repaired/ before dedup/."""
+    import unicodedata
+
+    from pdf_extractors_spark.operators import dedup, text_stats
+
+    clean = "expos\u00e9 caf\u00e9 menu"                      # NFC form
+    moji = "expos\u00c3\u00a9 caf\u00c3\u00a9 menu"          # UTF-8 read as Latin-1
+    nfd = unicodedata.normalize("NFD", clean)                    # decomposed
+    other = "an unrelated document"
+    df = spark.createDataFrame(
+        [(1, clean), (2, moji), (3, nfd), (4, other)],
+        "doc_id long, text string",
+    )
+
+    # raw bytes: four distinct md5 keys, nothing collapses
+    assert dedup.dedup_documents(df).count() == 4
+
+    fixed = text_stats.mojibake_repair(df).select(
+        "doc_id", F.col("text_fixed").alias("text")
+    )
+    normed = text_stats.unicode_normalize(fixed).select(
+        "doc_id", F.col("text_nfc").alias("text")
+    )
+    survivors = {r["doc_id"] for r in dedup.dedup_documents(normed).collect()}
+    assert survivors == {1, 4}  # min-id keeper of the collapsed trio + other
