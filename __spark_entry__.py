@@ -4342,6 +4342,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mojibake_repair"] = q_mojibake_repair
 
+    def q_cooccurrence(spark, sf):
+        """Skip-gram co-occurrence lift (text_stats.cooccurrence_lift,
+        window=3): the word2vec/GloVe count-matrix build with in-row
+        pair generation — no positional self-join. The oracle rebuilds
+        filtered token positions with a row_number and replays the
+        bounded-offset pair join + the same integer lift formula."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        return text_stats.cooccurrence_lift(
+            _spread(docs), window=3, min_count=5
+        )
+
+    q["cooccurrence"] = q_cooccurrence
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -9607,5 +9622,35 @@ def oracle_sql() -> dict[str, str]:
                       else text end as text_fixed,
                b in (0, 1) as changed
         from (select doc_id, text, {_mj_bucket} as b from documents)
+    """
+    oracles["cooccurrence"] = r"""
+        with t as (
+          select doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') as ls
+          from documents),
+        tok0 as (
+          select doc_id, pos, w
+          from (select doc_id, unnest(range(0, len(ls))) as pos,
+                       unnest(ls) as w
+                from t)
+          where w <> ''),
+        tok as (
+          select doc_id, w,
+                 row_number() over (partition by doc_id order by pos) as rn
+          from tok0),
+        pairs as (
+          select a.w as x, b.w as y
+          from tok a join tok b
+            on a.doc_id = b.doc_id and b.rn > a.rn and b.rn <= a.rn + 3),
+        uni as (select w, count(*) as c_w from tok group by w),
+        co as (select x, y, count(*) as n from pairs
+               group by x, y having count(*) >= 5),
+        tot as (select cast(count(*) as bigint) as n_pairs from pairs)
+        select co.x, co.y, cast(co.n as bigint) as n,
+               cast(floor(10000 * n_pairs * co.n
+                          / (ux.c_w * uy.c_w)) as bigint) as lift
+        from co
+        join uni ux on ux.w = co.x
+        join uni uy on uy.w = co.y, tot
     """
     return oracles

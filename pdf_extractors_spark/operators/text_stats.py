@@ -2858,3 +2858,84 @@ def mojibake_repair(
         out.alias("text_fixed"),
         (~out.eqNullSafe(F.col(text_col))).alias("changed"),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    scale: int = 10000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence lift table — the word2vec/GloVe count
+    matrix that ``bigram_lift`` is the window=1 special case of: for
+    every token pair (x, y) where y follows x within ``window``
+    positions, the pair count and the integer-exact PMI core
+    ``floor(scale · N · c_xy / (c_x · c_y))`` (N = total emitted pairs;
+    take log offline for PMI proper). Directional by construction —
+    x strictly before y; a symmetric matrix is the union with the
+    swapped table, which callers build without re-counting.
+
+    Pair generation is IN-ROW column math (nested transform over the
+    token array, flattened) — the window is a bounded constant, so no
+    positional self-join exists anywhere in the plan; the only
+    exchanges are the two map-side-combined groupBys (unigrams, pairs)
+    and the two marginal equi-joins, exactly the bigram_lift shape with
+    ≤ window× the pair volume. ``min_count`` prunes the long tail
+    BEFORE the joins; empty tokens are dropped before pairing so
+    co-occurrence spans runs of whitespace.
+
+    Same int64 bound as bigram_lift: scale·N·c_xy must fit — shrink
+    ``scale`` or shard beyond N≈10⁹·window pairs."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    words = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    toks = df.select(words.alias("ws")).filter(F.size("ws") > 0)
+    unigrams = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c_w")
+    )
+    pair_struct = "array<struct<x:string,y:string>>"
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.transform(
+                            F.sequence(
+                                i + 1,
+                                F.least(i + F.lit(window), F.size("ws")),
+                            ),
+                            lambda j: F.struct(
+                                F.element_at("ws", i).alias("x"),
+                                F.element_at("ws", j).alias("y"),
+                            ),
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast(pair_struct))
+        ).alias("p")
+    ).select("p.x", "p.y")
+    co = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    total = pairs.groupBy().agg(F.count("*").alias("n_pairs"))
+    cx = unigrams.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))
+    cy = unigrams.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))
+    return (
+        co.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            "n",
+            F.floor(
+                (F.lit(scale) * F.col("n_pairs") * F.col("n"))
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("lift"),
+        )
+    )

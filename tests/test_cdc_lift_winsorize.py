@@ -242,3 +242,77 @@ def test_chunk_overlap_hot_chunk_guard(spark):
     n_all = text_stats.chunk_overlap_pairs(docs, min_shared=1, max_bucket=64).count()
     n_guarded = text_stats.chunk_overlap_pairs(docs, min_shared=1, max_bucket=3).count()
     assert n_all > 0 and n_guarded < n_all
+
+
+# ------------------------------------------------------- cooccurrence_lift
+
+
+def test_cooccurrence_matches_python_reference(spark):
+    """Window-3 skip-gram pairs + integer lift == a sequential
+    reference over mixed docs (repeats, whitespace runs, empties)."""
+    import math
+    import re
+    from collections import Counter
+
+    texts = [
+        "a b c a b",
+        "a  b\tc",
+        "",
+        "z",
+        "the cat the cat the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    window, scale = 3, 100
+    got = sorted(
+        (r["x"], r["y"], r["n"], r["lift"])
+        for r in text_stats.cooccurrence_lift(
+            df, window=window, min_count=1, scale=scale
+        ).collect()
+    )
+    docs = [[w for w in re.split(r"\s+", t.strip().lower()) if w] for t in texts]
+    uni = Counter(w for d in docs for w in d)
+    pairs = Counter()
+    for d in docs:
+        for i in range(len(d)):
+            for j in range(i + 1, min(i + window, len(d) - 1) + 1):
+                pairs[(d[i], d[j])] += 1
+    n_pairs = sum(pairs.values())
+    want = sorted(
+        (x, y, n, math.floor(scale * n_pairs * n / (uni[x] * uni[y])))
+        for (x, y), n in pairs.items()
+    )
+    assert got == want
+
+
+def test_cooccurrence_window1_equals_bigram_lift(spark):
+    """bigram_lift IS the window=1 special case — same counts, same
+    lift values, row for row."""
+    df = spark.createDataFrame(
+        [(1, "a b c a b a"), (2, "x y x y"), (3, "lone")],
+        "doc_id long, text string",
+    )
+    co = sorted(
+        (r["x"], r["y"], r["n"], r["lift"])
+        for r in text_stats.cooccurrence_lift(df, window=1, min_count=1).collect()
+    )
+    bi = sorted(
+        (r["x"], r["y"], r["n"], r["lift"])
+        for r in text_stats.bigram_lift(df, min_count=1).collect()
+    )
+    assert co == bi
+
+
+def test_cooccurrence_plan_has_no_join_for_pair_generation(spark):
+    """Pair generation is in-row: the only joins in the plan are the
+    two marginal lookups + the broadcast total — no positional
+    self-join of the token table, no cartesian."""
+    from pdf_extractors_spark import plans
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    a = plans.assert_plan(
+        text_stats.cooccurrence_lift(df, window=4), no_python=True
+    )
+    # exchanges: unigram groupBy, pair groupBy, 1-row total, join sides
+    assert a.n_exchanges <= 7

@@ -35,6 +35,7 @@ CARRYOVER = {
     "dsir_weights",
     "mojibake_scan",
     "mojibake_repair",
+    "cooccurrence",
     # added after this round's window was pinned; rotate in next round
     "dehyphenate",
     "strip_repeated_lines",
