@@ -232,7 +232,16 @@ def hits(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).distinct()
+    # two cached orientations: the auth half-round joins edges on src,
+    # the hub half-round on dst. A single src-partitioned cache would
+    # re-shuffle the FULL edge table by dst once per round (each round
+    # is its own job, so no ReusedExchange across rounds) — on a
+    # web-scale edge list that per-iteration edge shuffle dominates the
+    # whole computation. Cached pre-partitioned, only the (node-sized)
+    # score side moves per round; e_dst reads e's cache, so distinct()
+    # runs once.
     e = e.repartition("src").cache()
+    e_dst = e.repartition("dst").cache()
 
     def _normalize(
         raw_by_node: DataFrame,
@@ -295,7 +304,7 @@ def hits(
             if i == iters - 1:
                 auth = auth.localCheckpoint()  # final join reads it twice
             hub_raw = (
-                e.join(
+                e_dst.join(
                     auth.select(F.col("node").alias("dst"), "auth"), "dst"
                 )
                 .groupBy(F.col("src").alias("node"))
@@ -311,6 +320,7 @@ def hits(
                 c.unpersist()
         return hub.join(auth, "node").select("node", "hub", "auth")
     finally:
+        e_dst.unpersist()
         e.unpersist()
 
 
