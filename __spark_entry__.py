@@ -4357,6 +4357,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cooccurrence"] = q_cooccurrence
 
+    def q_conv_forks(spark, sf):
+        """Regeneration/fork detection (pipeline.conv_forks): the fixture
+        corpus is re-planted with one cloned branch per conversation —
+        the clone shares the head verbatim and diverges from a
+        hash-chosen turn onward (clones whose conversation is shorter
+        than the fork point stay verbatim duplicates, exercising the
+        duplicate-not-fork path). Bounded-depth prefix hashing, two
+        exchanges; same plant replayed in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        base = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        fork_at = F.pmod(
+            md5_bigint(F.concat(F.lit("fork:"), F.col("conv_id"))), F.lit(6)
+        ) + F.lit(1)
+        clone = base.select(
+            F.concat(F.col("conv_id"), F.lit("~b")).alias("conv_id"),
+            "turn_idx",
+            "role",
+            F.when(
+                F.col("turn_idx") >= fork_at,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("[alt]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return pipeline.conv_forks(base.unionByName(clone), max_depth=8)
+
+    q["conv_forks"] = q_conv_forks
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6896,6 +6927,52 @@ def oracle_sql() -> dict[str, str]:
             select tool, next_tool, cast(count(*) as bigint) as n_transitions
             from n where next_tool is not null
             group by tool, next_tool
+        """
+        _md5_fork = md5_bigint_sql("'fork:' || conv_id")
+        oracles["conv_forks"] = f"""
+            with base as (
+              select conv_id, cast(turn_idx as bigint) as turn_idx,
+                     role, text
+              from read_parquet('{tp}')),
+            clone as (
+              select conv_id || '~b' as conv_id, turn_idx, role,
+                     case when turn_idx >= (({_md5_fork}) % 6 + 1)
+                          then coalesce(text, '') || '[alt]'
+                          else text end as text
+              from base),
+            u as (select * from base union all select * from clone),
+            t as (
+              select conv_id, turn_idx,
+                     coalesce(role, '') || chr(30) || coalesce(text, '')
+                       as sig,
+                     row_number() over (partition by conv_id
+                                        order by turn_idx) as depth
+              from u),
+            c as (
+              select conv_id, depth,
+                     md5(string_agg(sig, chr(31)) over (
+                         partition by conv_id order by depth
+                         rows between unbounded preceding
+                                  and current row)) as prefix_hash
+              from t where depth <= 9),
+            n as (
+              select depth, prefix_hash,
+                     lead(prefix_hash) over (partition by conv_id
+                                             order by depth) as nh
+              from c)
+            select cast(depth as bigint) as depth, prefix_hash,
+                   cast(count(*) as bigint) as n_convs,
+                   cast(count(distinct nh) as bigint) as n_branches,
+                   cast(sum(case when nh is null then 1 else 0 end)
+                     as bigint) as n_terminal,
+                   (count(distinct nh)
+                      + (case when sum(case when nh is null
+                                            then 1 else 0 end) > 0
+                              then 1 else 0 end)) >= 2 as is_fork
+            from n
+            where depth <= 8
+            group by depth, prefix_hash
+            having count(*) >= 2
         """
         oracles["conv_pairs"] = f"""
             with w as (

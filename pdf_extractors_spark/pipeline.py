@@ -300,6 +300,98 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def conv_forks(transcripts: DataFrame, max_depth: int = 16) -> DataFrame:
+    """Regeneration/fork detection over conversation heads: group
+    conversations by identical ``(role, text)`` turn-prefixes and report,
+    for every prefix shared by ≥2 conversations, how the group continues
+    — the branch structure a chat UI's "regenerate" button leaves in a
+    transcript corpus. Branched regenerations are near-duplicate
+    training data that conversation-level MinHash misses when the
+    shared head is long and the tails diverge; the fork table is the
+    exact-prefix complement (and the attribution record: depth IS the
+    regeneration point).
+
+    Per ``(depth, prefix_hash)`` with ≥2 member conversations emits::
+
+        n_convs     conversations whose first `depth` turns hash equal
+        n_branches  distinct continuations at depth+1 among members
+        n_terminal  members whose conversation ends exactly at depth
+        is_fork     the group genuinely diverges: ≥2 outcomes among
+                    {continuation hashes} ∪ {ended-here}
+
+    ``is_fork`` false with n_convs≥2 means verbatim-duplicate heads that
+    continue identically — the plain-duplicate path, left to dedup.
+
+    Depth is capped at ``max_depth`` turns: forks live near the head
+    (a regeneration shares everything before the retried turn), and the
+    cap is what bounds the cumulative-prefix window at scale — per
+    conversation the concat work is O(max_depth² · turn_bytes) CONSTANT,
+    never a function of conversation length or corpus size. Turns past
+    ``max_depth+1`` are never read (the +1 row only disambiguates
+    continued-vs-ended at the cap boundary).
+
+    Two exchanges total: one on conv_id for the cumulative windows, one
+    for the (depth, prefix_hash) rollup. Null role/text coalesce to ''
+    inside the turn signature (0x1e/0x1f separators keep field and turn
+    boundaries unambiguous), so null-text turns compare like empty ones
+    instead of vanishing."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sig = F.concat_ws(
+        "\x1e",
+        F.coalesce(F.col("role"), F.lit("")),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    t = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            sig.alias("_sig"),
+            F.row_number().over(w).alias("depth"),
+        )
+        .filter(F.col("depth") <= max_depth + 1)
+        .select(
+            "conv_id",
+            "depth",
+            F.md5(F.concat_ws("\x1f", F.collect_list("_sig").over(
+                Window.partitionBy("conv_id").orderBy("depth").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ))).alias("prefix_hash"),
+        )
+    )
+    nxt = t.select(
+        "depth",
+        "prefix_hash",
+        F.lead("prefix_hash").over(
+            Window.partitionBy("conv_id").orderBy("depth")
+        ).alias("_next"),
+    ).filter(F.col("depth") <= max_depth)
+    # collect_set, not countDistinct: the distinct-aggregate rewrite
+    # would spend a THIRD exchange re-keying on (depth, prefix_hash,
+    # next); the set of continuations per group is bounded by the
+    # group's member count, so the single-phase hash agg is safe
+    grouped = nxt.groupBy("depth", "prefix_hash").agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.size(F.collect_set("_next")).cast("long").alias("n_branches"),
+        F.sum(F.col("_next").isNull().cast("long"))
+        .cast("long")
+        .alias("n_terminal"),
+    )
+    return grouped.filter(F.col("n_convs") >= 2).select(
+        F.col("depth").cast("long").alias("depth"),
+        "prefix_hash",
+        "n_convs",
+        "n_branches",
+        "n_terminal",
+        (
+            F.col("n_branches")
+            + (F.col("n_terminal") > 0).cast("long")
+            >= 2
+        ).alias("is_fork"),
+    )
+
+
 def conv_stitch(transcripts: DataFrame, sep: str = "\n\n") -> DataFrame:
     """Cross-turn assembly via grouped-map ``applyInPandas`` (the
     conversation-level UDF shape from SURVEY §3.2 stage B): all turns of
