@@ -4067,6 +4067,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_stats"] = q_embedding_stats
 
+    def q_centroid_shift(spark, sf):
+        """Per-group centroid drift between two embedding snapshots
+        (similarity.centroid_shift): the "new" snapshot is the
+        embeddings table with every vec_id % 5 == 0 vector shifted by
+        +0.25 per component (exact in binary floating point, so the
+        quantized integers replay bit-identically) and every
+        vec_id % 17 == 0 vector dropped (count drift). All-integer
+        outputs plus a floored basis-point centroid cosine; same plant
+        in the oracle."""
+        from pdf_extractors_spark.operators import similarity
+
+        emb = _read(spark, sf, "embeddings")
+        new = emb.filter(F.col("vec_id") % 17 != 0).select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 5 == 0,
+                F.transform(
+                    "embedding", lambda x: x.cast("double") + F.lit(0.25)
+                ),
+            )
+            .otherwise(F.col("embedding").cast("array<double>"))
+            .alias("embedding"),
+            "label",
+        )
+        return _longify(similarity.centroid_shift(emb, new))
+
+    q["centroid_shift"] = q_centroid_shift
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8936,6 +8964,80 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(list_sum(list_transform(qv,
                       x -> coalesce(x * x, 0))), 0) as bigint) as norm2_q
         from q
+    """
+    # quantize-then-sum replay of centroid_shift: the +0.25 perturbation
+    # is a power of two (exact in binary fp), so both engines quantize
+    # identical doubles to identical longs; integer-division centroids
+    # via trunc(so/n) — double division of int64s this small is exact
+    # at the trunc boundary (see centroid_shift docstring headroom)
+    _q1000 = (
+        "x -> case when x is null or isnan(x) or isinf(x) then null "
+        "else cast(floor(x * 1000) as bigint) end"
+    )
+    _cq = (
+        "(case when n_old > 0 then cast(trunc(so / n_old) as bigint) "
+        "else 0 end - case when n_new > 0 then "
+        "cast(trunc(sn / n_new) as bigint) else 0 end)"
+    )
+    oracles["centroid_shift"] = f"""
+        with oldv as (
+          select label,
+                 list_transform(embedding, x -> cast(x as double)) as emb
+          from embeddings where embedding is not null),
+        newv as (
+          select label,
+                 case when vec_id % 5 = 0
+                      then list_transform(embedding,
+                             x -> cast(x as double) + 0.25)
+                      else list_transform(embedding,
+                             x -> cast(x as double)) end as emb
+          from embeddings
+          where vec_id % 17 <> 0 and embedding is not null),
+        ex as (
+          select 0 as snap, label,
+                 unnest(range(1, len(emb) + 1)) as i,
+                 unnest(list_transform(emb, {_q1000})) as q
+          from oldv
+          union all
+          select 1, label,
+                 unnest(range(1, len(emb) + 1)),
+                 unnest(list_transform(emb, {_q1000}))
+          from newv),
+        pd as (
+          select label, i,
+                 coalesce(sum(case when snap = 0 then q end), 0) as so,
+                 coalesce(sum(case when snap = 1 then q end), 0) as sn,
+                 sum(case when snap = 0 and i = 1 then 1 else 0 end)
+                   as cnt_o,
+                 sum(case when snap = 1 and i = 1 then 1 else 0 end)
+                   as cnt_n
+          from ex group by label, i),
+        wc as (
+          select label, so, sn,
+                 sum(cnt_o) over (partition by label) as n_old,
+                 sum(cnt_n) over (partition by label) as n_new
+          from pd),
+        g as (
+          select label,
+                 max(n_old) as n_old, max(n_new) as n_new,
+                 sum(so * sn) as dot_q,
+                 sum(so * so) as norm2_old_q,
+                 sum(sn * sn) as norm2_new_q,
+                 sum({_cq} * {_cq}) as shift2_q
+          from wc group by label)
+        select cast(label as bigint) as label,
+               cast(n_old as bigint) as n_old,
+               cast(n_new as bigint) as n_new,
+               cast(dot_q as bigint) as dot_q,
+               cast(norm2_old_q as bigint) as norm2_old_q,
+               cast(norm2_new_q as bigint) as norm2_new_q,
+               case when norm2_old_q > 0 and norm2_new_q > 0
+                    then cast(floor(10000.0 * dot_q /
+                           sqrt(cast(norm2_old_q as double)
+                                * cast(norm2_new_q as double)))
+                         as bigint) end as cos_bp,
+               cast(shift2_q as bigint) as shift2_q
+        from g
     """
     oracles["filter_attrition"] = f"""
         with g as (select * from ({_GOPHER_SQL})),

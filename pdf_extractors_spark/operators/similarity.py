@@ -544,3 +544,144 @@ def embedding_stats(
         .cast("long")
         .alias("norm2_q"),
     )
+
+
+def centroid_shift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group embedding centroid drift between two corpus snapshots —
+    the monitoring scan run after a re-embedding or encoder upgrade:
+    a silently changed encoder shows up as every group's centroid
+    rotating at once, a data regression as one group drifting alone.
+
+    All arithmetic is on components quantized to ``floor(x·scale)``
+    longs BEFORE any summation (the ``embedding_stats`` /
+    ``random_projection`` idiom), so every output is summation-order-
+    free and engine-portable. The count factors cancel inside centroid
+    cosine — ``cos(Σo/n_o, Σn/n_n) == cos(Σo, Σn)`` — so the exact
+    per-dim SUM vectors are compared directly, no division until the
+    final scalar. NaN/Inf/null components null out of the quantization
+    and contribute nothing (matching ``embedding_stats``' explicit-bad
+    contract); null embedding rows contribute to no dimension and are
+    not counted.
+
+    Per group emits::
+
+        n_old, n_new   vectors with a non-null embedding per snapshot
+        dot_q          Σ_d sum_old_d · sum_new_d      (exact integer)
+        norm2_old_q    Σ_d sum_old_d²                 (exact integer)
+        norm2_new_q    Σ_d sum_new_d²                 (exact integer)
+        cos_bp         floor(10⁴·dot/√(norm2_old·norm2_new)) — basis
+                       points, null when either snapshot's sum vector
+                       is zero/absent
+        shift2_q       Σ_d (sum_old_d div n_old − sum_new_d div n_new)²
+                       — squared L2 between the integer-division
+                       centroids, in quantized units²
+
+    Integer headroom: the binding constraint is the Σ_d sum² folds —
+    with per-(group, snapshot) quantized mass ``S = n·scale·max|x|``
+    per dimension, int64 needs ``dims·S² < 2⁶³``, i.e. ``S ≲ 3·10⁸``
+    at 768 dims. Beyond that shrink ``scale`` (cos_bp and shift2_q are
+    scale-invariant up to quantization granularity). At corpus scale
+    groups are sources/shards, so per-group counts are the corpus
+    divided by thousands, not the corpus; the final scalar division
+    runs in double, on identical integers in any engine.
+
+    Two exchanges: one groupBy on (group, dim) over the posexploded
+    union (snapshots disambiguated by a tag column, map-side combined),
+    one on group for the final fold. No joins, no UDFs."""
+
+    def _q(x):
+        d = x.cast("double")
+        bad = x.isNull() | F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
+        return F.when(~bad, F.floor(d * F.lit(scale)).cast("long"))
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(group_col).alias("grp"),
+                F.lit(tag).alias("snap"),
+                F.posexplode(F.transform(F.col(vec_col), _q)).alias(
+                    "dim", "q"
+                ),
+            )
+        )
+
+    per_dim = (
+        _side(old, 0)
+        .unionByName(_side(new, 1))
+        .groupBy("grp", "dim")
+        .agg(
+            F.sum(F.when(F.col("snap") == 0, F.col("q"))).alias("so"),
+            F.sum(F.when(F.col("snap") == 1, F.col("q"))).alias("sn"),
+            F.sum(
+                F.when((F.col("snap") == 0) & (F.col("dim") == 0), 1)
+                .otherwise(0)
+            ).alias("cnt_o"),
+            F.sum(
+                F.when((F.col("snap") == 1) & (F.col("dim") == 0), 1)
+                .otherwise(0)
+            ).alias("cnt_n"),
+        )
+    )
+    # group-level vector counts ride a window over the SAME grp
+    # partitioning the final fold uses — the aggregate below reuses the
+    # window's exchange, so the count never costs a join or a third
+    # shuffle. (cnt_o/cnt_n are nonzero only on the dim-0 row, so the
+    # window sum is exactly the per-snapshot vector count.)
+    w = Window.partitionBy("grp")
+    so = F.coalesce(F.col("so"), F.lit(0).cast("long"))
+    sn = F.coalesce(F.col("sn"), F.lit(0).cast("long"))
+    with_counts = per_dim.select(
+        "grp",
+        so.alias("so"),
+        sn.alias("sn"),
+        F.sum("cnt_o").over(w).cast("long").alias("n_old"),
+        F.sum("cnt_n").over(w).cast("long").alias("n_new"),
+    )
+    # integer-division centroids: exact, engine-portable (div truncates
+    # toward negative infinity differently per engine for negatives —
+    # use floor-division semantics explicitly via `div` on both sides
+    # of the oracle; Spark's `div` truncates toward zero, DuckDB's `//`
+    # floors, so the SQL oracle mirrors Spark with trunc-division)
+    c_old = F.when(F.col("n_old") > 0, F.expr("so div n_old")).otherwise(
+        F.lit(0).cast("long")
+    )
+    c_new = F.when(F.col("n_new") > 0, F.expr("sn div n_new")).otherwise(
+        F.lit(0).cast("long")
+    )
+    per_group = with_counts.groupBy("grp").agg(
+        F.max("n_old").cast("long").alias("n_old"),
+        F.max("n_new").cast("long").alias("n_new"),
+        F.sum(F.col("so") * F.col("sn")).cast("long").alias("dot_q"),
+        F.sum(F.col("so") * F.col("so")).cast("long").alias("norm2_old_q"),
+        F.sum(F.col("sn") * F.col("sn")).cast("long").alias("norm2_new_q"),
+        F.sum((c_old - c_new) * (c_old - c_new))
+        .cast("long")
+        .alias("shift2_q"),
+    )
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        "n_old",
+        "n_new",
+        "dot_q",
+        "norm2_old_q",
+        "norm2_new_q",
+        F.when(
+            (F.col("norm2_old_q") > 0) & (F.col("norm2_new_q") > 0),
+            F.floor(
+                F.lit(10000.0)
+                * F.col("dot_q").cast("double")
+                / F.sqrt(
+                    F.col("norm2_old_q").cast("double")
+                    * F.col("norm2_new_q").cast("double")
+                )
+            ).cast("long"),
+        ).alias("cos_bp"),
+        "shift2_q",
+    )
