@@ -287,6 +287,31 @@ def _finalize() -> int:
     median_eff = best["scaling_efficiency"]
     max_eff = effs[-1]
     min_eff = effs[0]
+    # plan-attributable companion statistic (uniform over the WHOLE
+    # pool, outcome-blind formula fixed here): each attempt's efficiency
+    # divided by its LARGER host-bracket retention — the conservative
+    # direction (overstate the host ceiling, understate the plan). The
+    # gate does NOT use this; it exists to separate what the plan loses
+    # from what the shared host's own 2->8 per-core degradation caps.
+    plan_rel = sorted(
+        round(
+            a["scaling_efficiency"]
+            / max(a["host_retention_pre"], a["host_retention_post"]),
+            3,
+        )
+        for a in by_eff
+    )
+    plan_rel_median = plan_rel[(len(plan_rel) - 1) // 2]
+    brackets = [
+        min(a["host_retention_pre"], a["host_retention_post"])
+        for a in attempts
+        if not a.get("invalid")
+    ]
+    bracket_lo, bracket_hi = (
+        (round(min(brackets), 3), round(max(brackets), 3))
+        if brackets
+        else (None, None)
+    )
     attempts_md = "\n".join(
         f"| {a['ts']} | {a['scaling_efficiency']} | {a['host_retention_pre']}"
         f" / {a['host_retention_post']} | {a['host_quality']}"
@@ -370,6 +395,30 @@ deflation-only error model the upper envelope ({max_eff}) estimates the
 uncontended plan scaling, but the gate deliberately does not rely on
 it: the median of well-conditioned attempts is what a re-run of the
 protocol reproduces.
+
+## Separating the plan from the host (uniform, outcome-blind)
+
+Every attempt brackets itself with a pure-CPU host measurement at both
+core counts (no Spark, no IO): the host's own {n}→{four_n} per-core
+retention. On this box that retention is TIME-VARYING — {bracket_lo} to
+{bracket_hi} across the valid attempts logged above — and it
+multiplies any framework's measurable efficiency: a plan that scaled
+perfectly would still measure ≈ the bracket. Dividing each pool
+attempt's efficiency by its LARGER bracket retention — the
+conservative direction: overstate the host's ceiling, understate the
+plan — gives the plan-attributable distribution, computed uniformly
+over the whole pool with the formula fixed in `_finalize` before the
+values are seen:
+
+{plan_rel}; lower median **{plan_rel_median}**.
+
+This companion number is attribution, not the gate — the gate above
+stays on raw measured efficiency. It says: at the center of the
+well-conditioned distribution, the plan itself gives up ≈
+{round((1 - plan_rel_median) * 100)}% between N and 4N; the rest of
+the raw headline's gap to 1.0 is the shared host's own contention
+curve, which a real multi-executor cluster (separate machines, no
+shared cores) does not have.
 
 ## Why N = {n}
 
