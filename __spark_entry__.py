@@ -4095,6 +4095,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["centroid_shift"] = q_centroid_shift
 
+    def q_pii_echo(spark, sf):
+        """PII leakage propagation (pipeline.pii_echo): the fixture is
+        re-planted so every user turn carries a conversation-unique
+        email (plus a phone number on turn_idx%5==2) and assistant
+        turns echo the email on turn_idx%3==0 and the phone on
+        turn_idx%5==0 — echoes only count when they land AFTER the
+        first user turn carrying the value. Same plant in the
+        oracle."""
+        t = _transcripts(spark, "sf0.01")
+        email = F.concat(
+            F.lit(" reach me at u"), F.col("conv_id"), F.lit("@mail.test")
+        )
+        base = F.coalesce(F.col("text"), F.lit(""))
+        planted = t.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.when(
+                F.col("role") == "user",
+                F.concat(
+                    base,
+                    email,
+                    F.when(
+                        F.col("turn_idx") % 5 == 2, F.lit(" ph +1 555 0101")
+                    ).otherwise(F.lit("")),
+                ),
+            )
+            .when(
+                F.col("role") == "assistant",
+                F.concat(
+                    base,
+                    F.when(
+                        F.col("turn_idx") % 3 == 0,
+                        F.concat(F.lit(" noting u"), F.col("conv_id"),
+                                 F.lit("@mail.test")),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        F.col("turn_idx") % 5 == 0,
+                        F.lit(" calling +1 555 0101"),
+                    ).otherwise(F.lit("")),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        out = pipeline.pii_echo(planted)
+        # never-echoed is -1 in the driver contract: a nullable bigint
+        # column coerces to float64 in the driver's pandas bridge and
+        # value-hashes as "3.0" vs Spark's "3" (the round-1 group_count
+        # trap); the library keeps the honest null
+        return _longify(
+            out.withColumn(
+                "first_echo_turn",
+                F.coalesce("first_echo_turn", F.lit(-1).cast("long")),
+            )
+        )
+
+    q["pii_echo"] = q_pii_echo
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -6955,6 +7014,54 @@ def oracle_sql() -> dict[str, str]:
             select tool, next_tool, cast(count(*) as bigint) as n_transitions
             from n where next_tool is not null
             group by tool, next_tool
+        """
+        from pdf_extractors_spark.operators.text_stats import (
+            PII_PATTERNS as _PII_P,
+        )
+
+        _echo_matches = " union all ".join(
+            f"""select conv_id, turn_idx, role, '{kind}' as kind,
+                       unnest(regexp_extract_all(ptext, '{pat}')) as value
+                from planted"""
+            for kind, pat in _PII_P.items()
+        )
+        oracles["pii_echo"] = f"""
+            with planted as (
+              select conv_id, cast(turn_idx as bigint) as turn_idx, role,
+                     case
+                       when role = 'user' then
+                         coalesce(text, '') || ' reach me at u' || conv_id
+                           || '@mail.test'
+                           || case when turn_idx % 5 = 2
+                                   then ' ph +1 555 0101' else '' end
+                       when role = 'assistant' then
+                         coalesce(text, '')
+                           || case when turn_idx % 3 = 0
+                                   then ' noting u' || conv_id
+                                        || '@mail.test' else '' end
+                           || case when turn_idx % 5 = 0
+                                   then ' calling +1 555 0101' else '' end
+                       else text end as ptext
+              from read_parquet('{tp}')),
+            m as ({_echo_matches}),
+            uv as (
+              select conv_id, kind, value,
+                     cast(min(turn_idx) as bigint) as first_user_turn
+              from m where role = 'user'
+              group by conv_id, kind, value),
+            av as (select conv_id, kind, value, turn_idx
+                   from m where role = 'assistant')
+            select uv.conv_id, uv.kind, uv.value, uv.first_user_turn,
+                   cast(sum(case when av.turn_idx > uv.first_user_turn
+                                 then 1 else 0 end) as bigint) as n_echoes,
+                   cast(coalesce(min(case when av.turn_idx
+                                               > uv.first_user_turn
+                                          then av.turn_idx end), -1)
+                     as bigint) as first_echo_turn
+            from uv left join av
+              on uv.conv_id = av.conv_id and uv.kind = av.kind
+                 and uv.value = av.value
+            group by uv.conv_id, uv.kind, uv.value, uv.first_user_turn
         """
         _md5_fork = md5_bigint_sql("'fork:' || conv_id")
         oracles["conv_forks"] = f"""

@@ -392,6 +392,81 @@ def conv_forks(transcripts: DataFrame, max_depth: int = 16) -> DataFrame:
     )
 
 
+def pii_echo(
+    transcripts: DataFrame,
+    user_role: str = "user",
+    echo_role: str = "assistant",
+) -> DataFrame:
+    """PII leakage propagation audit: personal data a USER typed that a
+    later ASSISTANT turn repeats verbatim — the privacy hazard class a
+    per-document scrub underestimates (redacting the user turn is not
+    enough once the model's reply carries the same email; and a reply
+    that parrots PII is exactly what turn-level training filters must
+    catch). One row per (conv_id, kind, value) seen in a user turn::
+
+        first_user_turn  earliest user turn carrying the value
+        n_echoes         echo-role turns AFTER that turn whose text
+                         matches the same value (each regex match
+                         counts — two repeats in one reply are two)
+        first_echo_turn  earliest such turn (null when never echoed)
+
+    Echo = the value re-matched by the SAME ``PII_PATTERNS`` regex in
+    the echo role's text, joined by equality — never a
+    substring-containment join, so the join key is the extracted value
+    (bounded bytes) and the shuffle carries values, not transcripts.
+    Scale shape: one explode+groupBy over user-turn matches, one
+    equi-join on (conv_id, kind, value) against echo-turn matches (the
+    post-join rollup reuses the join's partitioning), all regex work
+    in codegen, no UDFs."""
+    from pdf_extractors_spark.operators.text_stats import PII_PATTERNS
+
+    def _kind_hits(kind: str, pat: str):
+        # NOTE: a `lambda v, _k=kind:` closure is NOT safe here —
+        # PySpark dispatches higher-order lambdas on arity, so the
+        # defaulted second parameter would silently become the
+        # (element, index) form and bind the match INDEX to _k
+        return F.transform(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(pat), F.lit(0)
+            ),
+            lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("value")),
+        )
+
+    def _matches(role: str) -> DataFrame:
+        hits = F.flatten(
+            F.array(
+                *[_kind_hits(kind, pat) for kind, pat in PII_PATTERNS.items()]
+            )
+        )
+        return (
+            transcripts.filter(F.col("role") == role)
+            .select("conv_id", "turn_idx", F.explode(hits).alias("h"))
+            .select("conv_id", "turn_idx", "h.kind", "h.value")
+        )
+
+    user_vals = (
+        _matches(user_role)
+        .groupBy("conv_id", "kind", "value")
+        .agg(F.min("turn_idx").cast("long").alias("first_user_turn"))
+    )
+    echo_vals = _matches(echo_role)
+    after = F.col("e.turn_idx") > F.col("first_user_turn")
+    return (
+        user_vals.join(
+            echo_vals.alias("e"), ["conv_id", "kind", "value"], "left"
+        )
+        .groupBy("conv_id", "kind", "value", "first_user_turn")
+        .agg(
+            F.sum(F.when(after, 1).otherwise(0))
+            .cast("long")
+            .alias("n_echoes"),
+            F.min(F.when(after, F.col("e.turn_idx")))
+            .cast("long")
+            .alias("first_echo_turn"),
+        )
+    )
+
+
 def conv_stitch(transcripts: DataFrame, sep: str = "\n\n") -> DataFrame:
     """Cross-turn assembly via grouped-map ``applyInPandas`` (the
     conversation-level UDF shape from SURVEY §3.2 stage B): all turns of
