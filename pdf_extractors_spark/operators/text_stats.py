@@ -2860,6 +2860,79 @@ def mojibake_repair(
     )
 
 
+# Confusable → Latin canonical map: Cyrillic and Greek letters whose
+# glyphs are (near-)identical to Latin in common fonts, plus the full
+# fullwidth ASCII block (U+FF01–U+FF5E) and the ideographic space. A
+# deliberate SPEC, not a rendering judgment — the point is a stable,
+# engine-portable 1:1 char map both Spark and DuckDB `translate`
+# reproduce byte-identically. Extend the pairs list, never reorder it.
+_HOMOGLYPH_PAIRS: tuple[tuple[str, str], ...] = (
+    # Cyrillic lowercase
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"),
+    ("с", "c"), ("у", "y"), ("х", "x"), ("і", "i"),
+    ("ѕ", "s"), ("ј", "j"),
+    # Cyrillic uppercase
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"),
+    ("М", "M"), ("Н", "H"), ("О", "O"), ("Р", "P"),
+    ("С", "C"), ("Т", "T"), ("Х", "X"), ("І", "I"),
+    ("Ѕ", "S"), ("Ј", "J"),
+    # Greek uppercase
+    ("Α", "A"), ("Β", "B"), ("Ε", "E"), ("Ζ", "Z"),
+    ("Η", "H"), ("Ι", "I"), ("Κ", "K"), ("Μ", "M"),
+    ("Ν", "N"), ("Ο", "O"), ("Ρ", "P"), ("Τ", "T"),
+    ("Υ", "Y"), ("Χ", "X"),
+    # Greek lowercase (the unambiguous lookalikes only)
+    ("ο", "o"), ("ι", "i"), ("ν", "v"),
+) + tuple(
+    # fullwidth ASCII block: ！..～ → !..~ (letters, digits, punctuation)
+    (chr(0xFF01 + i), chr(0x21 + i))
+    for i in range(0x5E)
+) + (("　", " "),)  # ideographic space
+
+HOMOGLYPH_FROM = "".join(src for src, _ in _HOMOGLYPH_PAIRS)
+HOMOGLYPH_TO = "".join(dst for _, dst in _HOMOGLYPH_PAIRS)
+
+
+def homoglyph_fold(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Homoglyph (confusable-script) normalization — the fourth member
+    of the text-repair family (``unicode_normalize`` fixes form damage,
+    ``mojibake_repair`` encoding damage, ``dehyphenate`` layout damage;
+    this fixes SCRIPT SPOOFING): map Cyrillic/Greek lookalike letters,
+    fullwidth ASCII, and the ideographic space to their Latin
+    canonicals. Exact dedup, decontamination, and blocklists all key on
+    bytes — a single Cyrillic 'о' swapped into a benchmark answer or a
+    blocked domain defeats every one of them unless the key is folded
+    first, which is exactly how adversarial corpora dodge filters.
+
+    Returns ``(id, *keep_cols, folded_text, n_folded)`` — the folded
+    text plus how many confusable chars were rewritten (0 = already
+    canonical; the flag version is ``n_folded > 0``). Nulls preserved
+    (``folded_text`` null, ``n_folded`` 0). NOT idempotency-risky:
+    folding is a fixed 1:1 char map, so applying it twice is identical
+    to once.
+
+    Pure ``translate``/``length`` column math — zero exchanges, zero
+    UDFs, linear in the turn's own bytes; composes into a corpus scan
+    for free. Both ``translate`` implementations (Spark, DuckDB) share
+    Postgres semantics, so the cross-engine value oracle is exact."""
+    t = F.col(text_col)
+    n_folded = (
+        F.length(F.coalesce(t, F.lit("")))
+        - F.length(F.translate(F.coalesce(t, F.lit("")), HOMOGLYPH_FROM, ""))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.translate(t, HOMOGLYPH_FROM, HOMOGLYPH_TO).alias("folded_text"),
+        n_folded.alias("n_folded"),
+    )
+
+
 def cooccurrence_lift(
     df: DataFrame,
     window: int = 3,

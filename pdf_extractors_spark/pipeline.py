@@ -392,6 +392,242 @@ def conv_forks(transcripts: DataFrame, max_depth: int = 16) -> DataFrame:
     )
 
 
+def retry_similarity(
+    transcripts: DataFrame, role: str | None = None
+) -> DataFrame:
+    """Edit-vs-rewrite classification for retry storms: for every pair
+    of CONSECUTIVE same-role turns in a conversation (the shape a retry
+    button or a flaky agent leaves), the distinct-token Jaccard between
+    the two texts. ``collapse_repeats`` removes exact duplicates; this
+    measures the near-miss ones — a 0.95-Jaccard retry is an edit
+    (keep one), a 0.1-Jaccard one is a genuine follow-up (keep both),
+    and the distribution is what sets that threshold per corpus.
+
+    Per consecutive same-role pair emits ``(conv_id, turn_idx,
+    prev_turn_idx, role, n_tokens, n_prev_tokens, n_common,
+    jaccard_bp)`` — the later turn's identity plus exact distinct-token
+    overlap; ``jaccard_bp = floor(10⁴·|∩|/|∪|)``, defined 10000 when
+    both token sets are empty (identical emptiness) and 0 when exactly
+    one is. Tokens are lowercased whitespace splits with empties
+    dropped — deliberately the simplest tokenizer both engines
+    reproduce byte-identically.
+
+    ``role=None`` audits every role; pass ``'assistant'`` to scope to
+    model-side retries. One conv_id window exchange, array math in
+    codegen, no UDFs; per-row cost is bounded by the two adjacent
+    turns, never the conversation."""
+    toks = F.array_remove(
+        F.array_distinct(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ),
+        "",
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", toks.alias("_toks")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "_toks",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("turn_idx").over(w).alias("prev_turn_idx"),
+        F.lag("_toks").over(w).alias("_prev_toks"),
+    )
+    pairs = t.filter(
+        F.col("_prev_role").isNotNull() & (F.col("role") == F.col("_prev_role"))
+    )
+    if role is not None:
+        pairs = pairs.filter(F.col("role") == role)
+    n_a = F.size("_toks")
+    n_b = F.size("_prev_toks")
+    n_common = F.size(F.array_intersect("_toks", "_prev_toks"))
+    n_union = F.size(F.array_union("_toks", "_prev_toks"))
+    return pairs.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("prev_turn_idx").cast("long").alias("prev_turn_idx"),
+        "role",
+        n_a.cast("long").alias("n_tokens"),
+        n_b.cast("long").alias("n_prev_tokens"),
+        n_common.cast("long").alias("n_common"),
+        F.when((n_a == 0) & (n_b == 0), F.lit(10000).cast("long"))
+        .when(n_union == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.lit(10000) * n_common / n_union).cast("long")
+        )
+        .alias("jaccard_bp"),
+    )
+
+
+def pii_linkage(
+    transcripts: DataFrame,
+    user_role: str = "user",
+    max_convs: int = 10_000,
+) -> DataFrame:
+    """Cross-conversation identity linkage: PII values typed by users in
+    TWO OR MORE conversations — the record-linkage audit behind "can
+    this corpus be re-identified across sessions" and the guard against
+    one person's data spraying across many training examples. The
+    within-conversation sibling is :func:`pii_echo`.
+
+    Per ``(kind, value)`` seen in ≥2 conversations emits ``n_convs``,
+    ``n_mentions`` (total user-turn matches), and the lexicographic
+    first/last conv_id as exemplars — never the full conversation list
+    (unbounded at scale). ``max_convs`` caps reported n_convs the same
+    way a hot-key guard caps a join: a value linking more conversations
+    than that (a support-desk phone number, a noreply@) is boilerplate,
+    not identity, and is dropped with the cap documented rather than
+    shuffled onward.
+
+    Shape: extract → one groupBy on (kind, value, conv_id), one on
+    (kind, value) — values only in the shuffle, map-side combined, no
+    joins, no UDFs."""
+    from pdf_extractors_spark.operators.text_stats import PII_PATTERNS
+
+    def _kind_hits(kind: str, pat: str):
+        return F.transform(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(pat), F.lit(0)
+            ),
+            lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("value")),
+        )
+
+    hits = F.flatten(
+        F.array(*[_kind_hits(k, p) for k, p in PII_PATTERNS.items()])
+    )
+    per_conv = (
+        transcripts.filter(F.col("role") == user_role)
+        .select("conv_id", F.explode(hits).alias("h"))
+        .select("conv_id", F.col("h.kind").alias("kind"), F.col("h.value").alias("value"))
+        .groupBy("kind", "value", "conv_id")
+        .agg(F.count("*").cast("long").alias("_mentions"))
+    )
+    return (
+        per_conv.groupBy("kind", "value")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum("_mentions").cast("long").alias("n_mentions"),
+            F.min("conv_id").alias("first_conv"),
+            F.max("conv_id").alias("last_conv"),
+        )
+        .filter(
+            (F.col("n_convs") >= 2) & (F.col("n_convs") <= max_convs)
+        )
+    )
+
+
+INJECTION_PATTERNS = (
+    r"ignore (?:all |any )?(?:previous|prior|above|earlier) "
+    r"(?:instructions|directions|messages)",
+    r"disregard (?:your|all|the|any) "
+    r"(?:instructions|system prompt|guidelines)",
+    r"new instructions:",
+    r"do not tell the user",
+    r"reveal (?:your|the) system prompt",
+)
+
+
+def injection_scan(
+    transcripts: DataFrame,
+    patterns: tuple[str, ...] = INJECTION_PATTERNS,
+    source_role: str = "tool",
+) -> DataFrame:
+    """Prompt-injection audit for agent transcripts: tool outputs are
+    ATTACKER-CONTROLLED text (fetched pages, file contents, API
+    payloads), and a corpus that trains on conversations where the
+    model followed injected instructions teaches exactly that failure.
+    Matches each ``source_role`` turn's ``lower(text)`` against a fixed
+    cue battery and, for every turn with at least one hit, checks
+    whether the IMMEDIATELY FOLLOWING turn is an assistant turn that
+    itself matches the battery — the assistant restating the injected
+    instruction is the cheapest deterministic compliance proxy (a
+    semantic judgment is a model call, not an engine operator).
+
+    Per flagged source turn emits ``(conv_id, turn_idx, n_cues,
+    next_is_assistant, assistant_echo)`` — ``n_cues`` counts every
+    match across the battery, not just distinct patterns, so a page
+    that repeats the injection ranks above one stray phrase.
+
+    One conv_id window exchange (the lead), regexes in codegen on the
+    scan; only flagged turns survive to the output."""
+    rx = "|".join(f"(?:{p})" for p in patterns)
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    n_cues = F.size(F.regexp_extract_all(low, F.lit(rx), 0))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        n_cues.alias("_n_cues"),
+        F.lead("role").over(w).alias("_next_role"),
+        F.lead(
+            F.size(F.regexp_extract_all(low, F.lit(rx), 0)) > 0
+        ).over(w).alias("_next_hit"),
+    )
+    return t.filter(
+        (F.col("role") == source_role) & (F.col("_n_cues") > 0)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("_n_cues").cast("long").alias("n_cues"),
+        F.coalesce(F.col("_next_role") == "assistant", F.lit(False)).alias(
+            "next_is_assistant"
+        ),
+        F.coalesce(
+            (F.col("_next_role") == "assistant") & F.col("_next_hit"),
+            F.lit(False),
+        ).alias("assistant_echo"),
+    )
+
+
+def truncation_scan(
+    transcripts: DataFrame, role: str = "assistant"
+) -> DataFrame:
+    """Mid-generation cutoff audit: assistant turns that stopped on a
+    token budget or stop-sequence accident leave structural artifacts —
+    an unclosed code fence, no terminal punctuation, a trailing
+    ellipsis, unbalanced brackets. Training on truncated completions
+    teaches the model to stop mid-thought, so curation wants the rate
+    and the offending turns.
+
+    Per ``role`` turn emits ``(conv_id, turn_idx, n_chars, open_fence,
+    no_terminal, ends_ellipsis, unbalanced_brackets, n_flags)`` — every
+    turn keeps a row (preserve-with-zeros: null/empty text audits
+    clean with n_chars 0), flags are independent so downstream can
+    weigh them, ``n_flags`` is their sum for cheap thresholding.
+    ``no_terminal`` accepts sentence punctuation plus closing
+    quotes/brackets/backticks as clean endings of the TRIMMED text.
+
+    Pure map — zero exchanges, zero UDFs; every expression is
+    engine-portable length/replace/regex arithmetic."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.trim(txt)
+    n_chars = F.length(txt)
+    fence_n = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("```"), F.lit(""))))
+        / 3
+    ).cast("long")
+    open_fence = F.pmod(fence_n, F.lit(2)) == 1
+    ends_clean = trimmed.rlike(r"[.!?:\x60'\")\]}…]$")
+    no_terminal = (F.length(trimmed) > 0) & ~ends_clean
+    ends_ellipsis = trimmed.rlike(r"(?:\.\.\.|…)$")
+    n_open = F.length(txt) - F.length(F.translate(txt, "([{", ""))
+    n_close = F.length(txt) - F.length(F.translate(txt, ")]}", ""))
+    unbalanced = n_open != n_close
+    flags = [open_fence, no_terminal, ends_ellipsis, unbalanced]
+    return transcripts.filter(F.col("role") == role).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        n_chars.cast("long").alias("n_chars"),
+        open_fence.alias("open_fence"),
+        no_terminal.alias("no_terminal"),
+        ends_ellipsis.alias("ends_ellipsis"),
+        unbalanced.alias("unbalanced_brackets"),
+        sum(f.cast("long") for f in flags).cast("long").alias("n_flags"),
+    )
+
+
 def pii_echo(
     transcripts: DataFrame,
     user_role: str = "user",

@@ -72,6 +72,14 @@ CARRYOVER = {
     "cdc_savings",
     "rank_agreement",
     "parrot_rate",
+    "centroid_shift",
+    "pii_echo",
+    "conv_forks",
+    "retry_similarity",
+    "pii_linkage",
+    "injection_scan",
+    "truncation_scan",
+    "homoglyph_fold",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
