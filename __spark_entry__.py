@@ -241,7 +241,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # every entry has a full DuckDB value oracle; deepest checks first.
 # queries() reorders its registry to this list and appends the rest.
 #
-# Rotation policy (95 oracled queries, 50 slots): a query that already
+# Rotation policy (200+ oracled queries, 50 slots): a query that already
 # has a green driver row in a PRIOR round's CORRECTNESS file may be
 # demoted to make room for one that has never had a driver row, so the
 # union of rounds covers every oracled query. This round demotes the 18
@@ -4366,6 +4366,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["truncation_scan"] = q_truncation_scan
 
+    def q_dialogue_acts(spark, sf):
+        """Dialogue-act histogram (pipeline.dialogue_acts): hash-chosen
+        turns get a trailing question mark, an imperative opener, or a
+        fenced code block planted, so every act occurs on a known
+        subset alongside the natural statements. Same plant in the
+        oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01")
+        mode = F.pmod(
+            md5_bigint(
+                F.concat(
+                    F.lit("act:"),
+                    F.col("conv_id"),
+                    F.lit(":"),
+                    F.col("turn_idx").cast("string"),
+                )
+            ),
+            F.lit(5),
+        )
+        base = F.coalesce(F.col("text"), F.lit(""))
+        planted = t.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.when(mode == 0, F.concat(base, F.lit(" right?")))
+            .when(mode == 1, F.concat(F.lit("fix this: "), base))
+            .when(mode == 2, F.concat(base, F.lit(" ```code```")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return pipeline.dialogue_acts(planted)
+
+    q["dialogue_acts"] = q_dialogue_acts
+
+    def q_reading_level(spark, sf):
+        """Integer Flesch–Kincaid readability (text_stats.reading_level)
+        over the documents table as-is — natural text has the word /
+        sentence / vowel-group variety the formula needs; the oracle
+        re-derives the identical IEEE-double expression in DuckDB."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.reading_level(_read(spark, sf, "documents"))
+
+    q["reading_level"] = q_reading_level
+
+    def q_response_length_drift(spark, sf):
+        """Position-bucketed assistant length stats
+        (pipeline.response_length_drift) over the transcripts as-is —
+        the fixture's power-law conversation lengths populate every
+        bucket including the capped tail."""
+        return pipeline.response_length_drift(_transcripts(spark, "sf0.01"))
+
+    q["response_length_drift"] = q_response_length_drift
+
+    def q_tool_chain_topk(spark, sf):
+        """Most common complete tool-call sequences
+        (pipeline.tool_chain_topk) over the transcripts as-is; ties at
+        equal counts break on the chain string, a total order both
+        engines replay."""
+        return pipeline.tool_chain_topk(_transcripts(spark, "sf0.01"))
+
+    q["tool_chain_topk"] = q_tool_chain_topk
+
+    def q_ts_audit(spark, sf):
+        """Timestamp-integrity audit (pipeline.ts_audit): hash-chosen
+        turns get their ts pulled back two hours (inversions) or nulled
+        (missing stamps), so every counter fires on a known subset.
+        Same plant in the oracle."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        t = _transcripts(spark, "sf0.01")
+        mode = F.pmod(
+            md5_bigint(
+                F.concat(
+                    F.lit("tsx:"),
+                    F.col("conv_id"),
+                    F.lit(":"),
+                    F.col("turn_idx").cast("string"),
+                )
+            ),
+            F.lit(7),
+        )
+        planted = t.select(
+            "conv_id",
+            "turn_idx",
+            F.when(mode == 0, F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+            .when(mode == 1, F.lit(None).cast("timestamp"))
+            .otherwise(F.col("ts"))
+            .alias("ts"),
+        )
+        return pipeline.ts_audit(planted)
+
+    q["ts_audit"] = q_ts_audit
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -7449,6 +7544,123 @@ def oracle_sql() -> dict[str, str]:
                      as bigint) as n_flags
             from fl
         """
+        from pdf_extractors_spark.pipeline import (
+            IMPERATIVE_OPENERS as _IMP_O,
+        )
+
+        _imp_list = ", ".join(f"'{w}'" for w in _IMP_O)
+        _md5_act = md5_bigint_sql(
+            "'act:' || conv_id || ':' || cast(turn_idx as varchar)"
+        )
+        oracles["dialogue_acts"] = f"""
+            with planted as (
+              select conv_id, role,
+                     case ({_md5_act}) % 5
+                       when 0 then coalesce(text, '') || ' right?'
+                       when 1 then 'fix this: ' || coalesce(text, '')
+                       when 2 then coalesce(text, '') || ' ```code```'
+                       else text end as text
+              from read_parquet('{tp}')),
+            a as (
+              select conv_id, role,
+                     coalesce(text, '') as t,
+                     trim(coalesce(text, '')) as tr
+              from planted),
+            b as (
+              select conv_id, role,
+                     cast(length(t) as bigint) as n,
+                     case
+                       when contains(t, '```') then 'code'
+                       when ends_with(tr, '?') then 'question'
+                       when regexp_extract(lower(tr), '^[a-z]+')
+                              in ({_imp_list}) then 'command'
+                       when length(tr) = 0 then 'empty'
+                       else 'statement' end as act
+              from a)
+            select conv_id, role, act,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(n) as bigint) as n_chars
+            from b
+            group by conv_id, role, act
+        """
+        oracles["response_length_drift"] = f"""
+            with a as (
+              select least(cast(floor(cast(turn_idx as bigint) / 4)
+                                as bigint), 7) as turn_bucket,
+                     cast(length(coalesce(text, '')) as bigint) as n
+              from read_parquet('{tp}') where role = 'assistant'),
+            g as (
+              select turn_bucket, cast(count(*) as bigint) as n_turns,
+                     cast(sum(n) as bigint) as total_chars,
+                     cast(max(n) as bigint) as max_chars
+              from a group by turn_bucket)
+            select turn_bucket, n_turns, total_chars, max_chars,
+                   cast(floor(100.0 * total_chars / n_turns) as bigint)
+                     as avg_chars_x100
+            from g
+        """
+        oracles["tool_chain_topk"] = f"""
+            with calls as (
+              select conv_id, cast(turn_idx as bigint) as turn_idx,
+                     coalesce(tool, '?') as tool
+              from read_parquet('{tp}') where role = 'tool'),
+            r as (
+              select conv_id, tool, turn_idx,
+                     row_number() over (partition by conv_id
+                                        order by turn_idx) as rn,
+                     count(*) over (partition by conv_id) as cnt
+              from calls),
+            per as (
+              select conv_id,
+                     string_agg(tool, '>' order by turn_idx)
+                       || case when max(cnt) > 50 then '>…' else '' end
+                       as chain
+              from r where rn <= 50 group by conv_id)
+            select chain, cast(count(*) as bigint) as n_convs
+            from per
+            group by chain
+            order by n_convs desc, chain asc
+            limit 20
+        """
+        _md5_tsx = md5_bigint_sql(
+            "'tsx:' || conv_id || ':' || cast(turn_idx as varchar)"
+        )
+        oracles["ts_audit"] = f"""
+            with planted as (
+              select conv_id, cast(turn_idx as bigint) as turn_idx,
+                     case ({_md5_tsx}) % 7
+                       when 0 then ts - interval 2 hour
+                       when 1 then null
+                       else ts end as ts
+              from read_parquet('{tp}')),
+            p as (
+              select conv_id,
+                     cast(floor(epoch(ts)) as bigint) as e,
+                     lag(cast(floor(epoch(ts)) as bigint)) over (
+                       partition by conv_id order by turn_idx) as pe
+              from planted),
+            g as (
+              select conv_id,
+                     cast(count(*) as bigint) as n_turns,
+                     cast(sum(case when e is null then 1 else 0 end)
+                       as bigint) as n_ts_null,
+                     cast(coalesce(sum(case when e is not null
+                                             and pe is not null
+                                             and e < pe
+                                            then 1 else 0 end), 0)
+                       as bigint) as n_inversions,
+                     cast(count(e) - count(distinct e) as bigint)
+                       as n_dup_ts,
+                     cast(case when count(e) >= 2
+                               then max(e) - min(e)
+                               else -1 end as bigint)
+                       as span_seconds
+              from p group by conv_id)
+            select conv_id, n_turns, n_ts_null, n_inversions, n_dup_ts,
+                   span_seconds,
+                   n_ts_null = 0 and n_inversions = 0 as ts_ok
+            from g
+        """
         _md5_fork = md5_bigint_sql("'fork:' || conv_id")
         oracles["conv_forks"] = f"""
             with base as (
@@ -7978,6 +8190,26 @@ def oracle_sql() -> dict[str, str]:
                     - length(translate(coalesce(text, ''), '{_H_FROM}', ''))
                  as bigint) as n_folded
         from planted
+    """
+    oracles["reading_level"] = """
+        with x as (
+          select doc_id, coalesce(text, '') as t from documents),
+        c as (
+          select doc_id,
+                 cast(len(regexp_extract_all(t, '\\S+')) as bigint)
+                   as n_words,
+                 greatest(cast(len(regexp_extract_all(t, '[.!?]+'))
+                   as bigint), 1) as n_sentences,
+                 cast(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+                   as bigint) as n_syllables
+          from x)
+        select doc_id, n_words, n_sentences, n_syllables,
+               case when n_words > 0 then
+                 cast(floor((39.0 * n_words) / n_sentences
+                            + (1180.0 * n_syllables) / n_words
+                            - 1559.0) as bigint)
+               end as fk_grade_x100
+        from c
     """
     oracles["partitioned_export"] = """
         select doc_id, lang, source, n_chars

@@ -581,6 +581,222 @@ def injection_scan(
     )
 
 
+def ts_audit(transcripts: DataFrame) -> DataFrame:
+    """Timestamp-integrity audit — the time-order sibling of
+    :func:`conv_validate` (which checks turn_idx/role structure): a
+    merged or clock-skewed ingest leaves conversations whose wall-clock
+    runs backwards against turn order, and every latency/session
+    operator downstream silently computes garbage on them. Run this
+    first; route ``ts_ok = false`` conversations to quarantine.
+
+    Per ``conv_id``: ``n_turns``, ``n_ts_null``, ``n_inversions``
+    (adjacent pairs by turn_idx where both timestamps exist and the
+    later turn's ts is STRICTLY earlier), ``n_dup_ts`` (non-null
+    timestamps beyond the first per instant — batch writers stamping
+    one time on a whole conversation), ``span_seconds`` (max minus min
+    non-null epoch; -1 when fewer than two stamps exist — a sentinel,
+    not null, keeping the column non-nullable int64 end to end), and
+    ``ts_ok`` (no nulls, no inversions).
+
+    Exact integer seconds (epoch difference) end to end. One hash
+    partitioning on conv_id serves both the lag window and the final
+    groupBy — a single exchange; output is one row per conversation,
+    payload text never leaves the scan."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    e = F.col("ts").cast("long")
+    per = transcripts.select(
+        "conv_id",
+        e.alias("_e"),
+        F.lag(e).over(w).alias("_pe"),
+    )
+    agg = per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.col("_e").isNull().cast("long"))
+        .cast("long")
+        .alias("n_ts_null"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_e").isNotNull()
+                    & F.col("_pe").isNotNull()
+                    & (F.col("_e") < F.col("_pe"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_inversions"),
+        (F.count("_e") - F.countDistinct("_e"))
+        .cast("long")
+        .alias("n_dup_ts"),
+        F.when(F.count("_e") >= 2, F.max("_e") - F.min("_e"))
+        .otherwise(F.lit(-1))
+        .alias("span_seconds"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_ts_null",
+        "n_inversions",
+        "n_dup_ts",
+        F.col("span_seconds").cast("long").alias("span_seconds"),
+        ((F.col("n_ts_null") == 0) & (F.col("n_inversions") == 0)).alias(
+            "ts_ok"
+        ),
+    )
+
+
+def response_length_drift(
+    transcripts: DataFrame,
+    role: str = "assistant",
+    bucket_size: int = 4,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Laziness-drift audit: does response length decay as the
+    conversation gets deeper? Assistant turns are bucketed by POSITION
+    (``turn_idx div bucket_size``, capped at ``n_buckets-1`` so the
+    long tail folds into one terminal bucket) and each bucket reports
+    exact corpus-wide length stats. A healthy corpus is roughly flat;
+    a steep decay means deep-context turns teach the model to trail
+    off, and the fix (truncate or re-weight) needs exactly this table.
+
+    Per bucket: ``(turn_bucket, n_turns, total_chars, max_chars,
+    avg_chars_x100)`` — the average in integer centi-chars
+    (``floor(100·total/n)``), null-text turns count with length 0 so
+    empty responses DRAG the average (they are the symptom being
+    audited).
+
+    One map-side-combined groupBy on a ≤``n_buckets``-key space — the
+    shuffle is ~n_buckets rows per map partition, nothing else
+    moves."""
+    n = F.length(F.coalesce(F.col("text"), F.lit("")))
+    bucket = F.least(
+        F.floor(F.col("turn_idx") / bucket_size).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    per = (
+        transcripts.filter(F.col("role") == role)
+        .select(bucket.alias("turn_bucket"), n.alias("_n"))
+        .groupBy("turn_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("_n").cast("long").alias("total_chars"),
+            F.max("_n").cast("long").alias("max_chars"),
+        )
+    )
+    return per.select(
+        "turn_bucket",
+        "n_turns",
+        "total_chars",
+        "max_chars",
+        F.floor(F.lit(100) * F.col("total_chars") / F.col("n_turns"))
+        .cast("long")
+        .alias("avg_chars_x100"),
+    )
+
+
+def tool_chain_topk(
+    transcripts: DataFrame, k: int = 20, max_calls: int = 50
+) -> DataFrame:
+    """Tool-motif mining: the most common COMPLETE tool-call sequences
+    across conversations — ``tool_bigrams`` sees transitions, this sees
+    whole workflows ("search>fetch>search>fetch" vs "search>answer"),
+    which is what an agent-data mix is actually made of. Conversations
+    whose chain is a hot motif are templated agent runs; rare chains
+    are the interesting organic ones.
+
+    Per conversation the chain is the '>'-joined tool names of its
+    tool-role turns in turn order, truncated to ``max_calls`` calls
+    (the truncation is marked with a trailing '>…' so a capped chain
+    can never collide with a genuinely-short one). Emits the top ``k``
+    chains by conversation count, ties broken by chain string — a
+    deterministic total order both engines replay.
+
+    One groupBy(conv_id) (order restored by sorting the collected
+    (turn_idx, tool) structs INSIDE the row — no window exchange), one
+    small groupBy(chain), one top-k; chains are bounded by
+    ``max_calls`` names, so the shuffled rows stay small no matter how
+    long a runaway agent loop ran."""
+    calls = transcripts.filter(F.col("role") == "tool").select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.coalesce(F.col("tool"), F.lit("?")).alias("tool"),
+        ).alias("_c"),
+    )
+    ordered = F.array_sort(F.collect_list("_c"))
+    chain = F.concat(
+        F.array_join(
+            F.transform(
+                F.slice(ordered, 1, max_calls), lambda s: s["tool"]
+            ),
+            ">",
+        ),
+        F.when(F.size(ordered) > max_calls, F.lit(">…")).otherwise(
+            F.lit("")
+        ),
+    )
+    per = (
+        calls.groupBy("conv_id")
+        .agg(chain.alias("chain"))
+    )
+    return (
+        per.groupBy("chain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+        .orderBy(F.col("n_convs").desc(), F.col("chain").asc())
+        .limit(k)
+    )
+
+
+IMPERATIVE_OPENERS = (
+    "write", "create", "fix", "explain", "list", "give", "make",
+    "show", "generate", "add", "remove", "update", "run", "find",
+    "summarize", "translate", "describe", "implement", "convert",
+    "compare",
+)
+
+
+def dialogue_acts(transcripts: DataFrame) -> DataFrame:
+    """Dialogue-act histogram — the SFT mix audit that answers "what is
+    this corpus teaching": a set dominated by bare questions trains
+    short-form QA, one dominated by imperatives trains task execution,
+    and a drift between snapshots is the first sign a source changed
+    character. Each turn is tagged with exactly one act by a fixed
+    cascade — ``code`` (contains a fenced block), else ``question``
+    (trimmed text ends with '?'), else ``command`` (first word is an
+    imperative opener from a fixed battery), else ``empty`` (no text),
+    else ``statement`` — deliberately deterministic and cheap; a
+    semantic classifier is a model call, not an engine operator.
+
+    Emits one row per ``(conv_id, role, act)`` with ``n_turns`` and
+    ``n_chars`` (total text length under that act) — per-conversation
+    so downstream can filter conversations by composition, and the
+    corpus histogram is one further groupBy away.
+
+    One map-side-combined groupBy; the cascade evaluates in codegen on
+    the scan, payloads never shuffle."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.trim(t)
+    first = F.regexp_extract(F.lower(trimmed), "^[a-z]+", 0)
+    act = (
+        F.when(t.contains("```"), F.lit("code"))
+        .when(trimmed.endswith("?"), F.lit("question"))
+        .when(first.isin(*IMPERATIVE_OPENERS), F.lit("command"))
+        .when(F.length(trimmed) == 0, F.lit("empty"))
+        .otherwise(F.lit("statement"))
+    )
+    return (
+        transcripts.select(
+            "conv_id", "role", act.alias("act"), F.length(t).alias("_n")
+        )
+        .groupBy("conv_id", "role", "act")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("_n").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def truncation_scan(
     transcripts: DataFrame, role: str = "assistant"
 ) -> DataFrame:

@@ -80,6 +80,11 @@ CARRYOVER = {
     "injection_scan",
     "truncation_scan",
     "homoglyph_fold",
+    "dialogue_acts",
+    "reading_level",
+    "response_length_drift",
+    "tool_chain_topk",
+    "ts_audit",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
