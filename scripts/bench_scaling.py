@@ -101,6 +101,14 @@ def run_at(cpus: int, sf_dir: str, pin_cores: str | None = None) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("SPARK_GRAFT_REPLICATE", REPLICATE)
+    # PROPORTIONAL heap, same argument as proportional core pinning: a
+    # 4N-executor cluster brings 4× the RAM, so each level's JVM gets
+    # 4 GiB per worker (N=2 keeps the 8 GiB every prior attempt used —
+    # the baseline level is unchanged; only the wide level stops being
+    # starved to 1/4 the per-core memory, which showed up as extra GC
+    # inside its timed phase). Attempts carry `driver_mem` so the log
+    # separates protocol generations.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 * cpus}g")
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--extract-only"]
     if pin_cores:
         # each level is pinned to a core set proportional to its worker
@@ -197,6 +205,7 @@ def main() -> int:
         "host_retention_post": post_retention,
         "host_quality": round(min(pre_retention, post_retention), 3),
         "pinned_cores": {"n": pin_lo, "4n": pin_hi},
+        "driver_mem": {"n": f"{4 * n}g", "4n": f"{4 * four_n}g"},
         "during": {"n": lo["during"], "4n": hi["during"]},
     }
     # hard validity condition on DURING-phase interference: average
@@ -452,7 +461,12 @@ shared-core contention).
   resources, because a 4N-executor cluster brings 4× the hardware; the
   2× headroom absorbs the JVM's shuffle/GC/Arrow threads identically at
   both levels, so neither level borrows relative headroom the other
-  doesn't get.
+  doesn't get;
+* JVM heap proportional for the same reason: 4 GiB per worker
+  (N={n} keeps the 8 GiB every earlier attempt used, so the baseline
+  level is unchanged; the wide level stops being starved to 1/4 the
+  per-core memory). Attempts record `driver_mem`; earlier attempts ran
+  both levels at a fixed 8 GiB and the log mixes the generations.
 
 ## Why the plan scales
 
