@@ -4461,6 +4461,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_audit"] = q_ts_audit
 
+    def q_watermark_scan(spark, sf):
+        """Green-list watermark detection (text_stats.watermark_scan)
+        over the documents table as-is — natural text scores green_bp
+        ≈ 5000 and z ≈ 0, and the oracle re-derives the identical
+        hash partition and z arithmetic, so the parity check covers
+        the whole distribution, not just planted positives."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.watermark_scan(_read(spark, sf, "documents"))
+
+    q["watermark_scan"] = q_watermark_scan
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8190,6 +8202,34 @@ def oracle_sql() -> dict[str, str]:
                     - length(translate(coalesce(text, ''), '{_H_FROM}', ''))
                  as bigint) as n_folded
         from planted
+    """
+    oracles["watermark_scan"] = """
+        with x as (
+          select doc_id,
+                 list_filter(string_split_regex(
+                   lower(coalesce(text, '')), '\\s+'),
+                   t -> t <> '') as toks
+          from documents),
+        p as (
+          select doc_id,
+                 list_transform(range(1, len(toks)),
+                   i -> 'wm:0:' || toks[i] || ':' || toks[i+1]) as pairs
+          from x),
+        c as (
+          select doc_id,
+                 cast(len(pairs) as bigint) as n,
+                 cast(len(list_filter(pairs,
+                   s -> cast(concat('0x', substr(md5(s), 1, 8)) as bigint)
+                        % 2 = 0)) as bigint) as g
+          from p)
+        select doc_id, n as n_bigrams, g as n_green,
+               cast(case when n > 0
+                         then floor((10000 * g) / n) else 0 end
+                 as bigint) as green_bp,
+               cast(case when n > 0
+                         then floor(100.0 * (2 * g - n) / sqrt(n))
+                         else 0 end as bigint) as z_x100
+        from c
     """
     oracles["reading_level"] = """
         with x as (

@@ -2976,6 +2976,76 @@ def reading_level(
     )
 
 
+def watermark_scan(
+    df: DataFrame,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Green-list watermark detector (Kirchenbauer et al. 2023,
+    context width h=1): a watermarking generator biases each token
+    toward a "green" half of the vocabulary keyed on the previous
+    token, so watermarked text shows a green fraction far above 1/2
+    and a z-score that grows with √length — the audit that keeps
+    synthetic (or self-generated) text from silently re-entering a
+    training corpus. Unwatermarked text scores z ≈ 0 by construction,
+    whatever the tokenizer.
+
+    A bigram (prev, tok) is green when the portable hash
+    ``md5('wm:<seed>:<prev>:<tok>') % 2 == 0`` — the same partition a
+    detector and generator would share; tokens are lowercased
+    whitespace splits. Per document: ``n_bigrams``, ``n_green``,
+    ``green_bp`` (basis points, 0 when no bigrams), and ``z_x100`` =
+    ``floor(100·(2g−n)/√n)`` (0 when no bigrams — "no evidence", kept
+    non-nullable). IEEE-double √ and one floor, identical in both
+    engines, so the oracle is exact.
+
+    All in-row column math (split → transform → filter → size) — zero
+    exchanges, zero UDFs; per-row cost linear in the document's own
+    tokens."""
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        "",
+    )
+    n_t = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_t - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_t - 1, F.lit(0))),
+        lambda a, b: F.concat(
+            F.lit(f"wm:{seed}:"), a, F.lit(":"), b
+        ),
+    )
+    green = F.filter(
+        pairs,
+        lambda p: F.conv(F.substring(F.md5(p), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+    )
+    n = F.size(pairs).cast("long")
+    g = F.size(green).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_bigrams"),
+        g.alias("n_green"),
+        F.when(n > 0, F.floor(F.lit(10000) * g / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("green_bp"),
+        F.when(
+            n > 0,
+            F.floor(
+                F.lit(100.0)
+                * (F.lit(2) * g - n)
+                / F.sqrt(n.cast("double"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("z_x100"),
+    )
+
+
 def cooccurrence_lift(
     df: DataFrame,
     window: int = 3,

@@ -85,6 +85,7 @@ CARRYOVER = {
     "response_length_drift",
     "tool_chain_topk",
     "ts_audit",
+    "watermark_scan",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
