@@ -4473,6 +4473,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["watermark_scan"] = q_watermark_scan
 
+    def q_amounts_extract(spark, sf):
+        """Currency-amount field extraction (text_stats.amounts_extract).
+        Fixture text has no dollar amounts, so spans covering the comma /
+        one-digit-fraction / integer / sub-dollar shapes are planted
+        deterministically (md5 bucket of doc_id); same plant in the
+        oracle."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("amt:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(4),
+        )
+        planted = docs.withColumn(
+            "text",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(bkt == 0, F.lit(" total $1,234.56 due"))
+                .when(bkt == 1, F.lit(" fee $7.5 charged"))
+                .when(bkt == 2, F.lit(" paid $10 and $0.99"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        return text_stats.amounts_extract(planted)
+
+    q["amounts_extract"] = q_amounts_extract
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8202,6 +8232,39 @@ def oracle_sql() -> dict[str, str]:
                     - length(translate(coalesce(text, ''), '{_H_FROM}', ''))
                  as bigint) as n_folded
         from planted
+    """
+    from pdf_extractors_spark.operators.text_stats import (
+        AMOUNT_RE as _AMT_RE,
+    )
+
+    _md5_amt = md5_bigint_sql("'amt:' || cast(doc_id as varchar)")
+    oracles["amounts_extract"] = f"""
+        with planted as (
+          select doc_id,
+                 coalesce(text, '') || case ({_md5_amt}) % 4
+                   when 0 then ' total $1,234.56 due'
+                   when 1 then ' fee $7.5 charged'
+                   when 2 then ' paid $10 and $0.99'
+                   else '' end as text
+          from documents),
+        m as (
+          select doc_id,
+                 regexp_extract_all(text, '{_AMT_RE}') as arr
+          from planted),
+        e as (
+          select doc_id,
+                 unnest(range(0, len(arr))) as match_idx,
+                 unnest(arr) as raw
+          from m),
+        d as (
+          select doc_id, match_idx, raw,
+                 replace(replace(raw, '$', ''), ',', '') as digits
+          from e)
+        select doc_id, cast(match_idx as bigint) as match_idx, raw,
+               cast(cast(split_part(digits, '.', 1) as bigint) * 100
+                    + cast(rpad(split_part(digits, '.', 2), 2, '0')
+                           as bigint) as bigint) as cents
+        from d
     """
     oracles["watermark_scan"] = """
         with x as (

@@ -3046,6 +3046,54 @@ def watermark_scan(
     )
 
 
+AMOUNT_RE = r"\$[0-9][0-9,]*(?:\.[0-9][0-9]?)?"
+
+
+def amounts_extract(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide currency-amount field parsing — the reference's
+    per-invoice amount extraction (`reference` nordic patterns, e.g.
+    'Total amount without VAT … NOK' at extractors/nordic.py:42)
+    generalized to every document: find dollar amounts and normalize
+    each to EXACT INTEGER CENTS, the form a downstream join or rollup
+    can actually aggregate (floats lose cents; strings don't sum).
+
+    One row per match: ``(doc_id, match_idx, raw, cents)`` —
+    ``match_idx`` is the 0-based occurrence order, ``raw`` the matched
+    span verbatim, ``cents`` = dollars·100 + the right-padded fraction
+    ('$7.5' → 750, '$1,234' → 123400). Documents with no amounts emit
+    no rows (this is an extractor, not an audit — pair with
+    ``filter_attrition`` when the drop matters). The normalization is
+    replace/split/rpad column math, never a float parse, so the DuckDB
+    oracle replays it byte-exactly.
+
+    Shape: regexp_extract_all fused into the scan, one posexplode —
+    zero exchanges, zero UDFs; output volume is bounded by matches,
+    not documents."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    matches = F.regexp_extract_all(t, F.lit(AMOUNT_RE), 0)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(matches).alias("match_idx", "raw")
+    )
+    digits = F.replace(
+        F.replace(F.col("raw"), F.lit("$"), F.lit("")),
+        F.lit(","),
+        F.lit(""),
+    )
+    dollars = F.split_part(digits, F.lit("."), F.lit(1)).cast("long")
+    # split_part yields '' when there is no fraction; rpad('', 2, '0')
+    # = '00', so the integer-cents fold needs no special case
+    frac = F.rpad(F.split_part(digits, F.lit("."), F.lit(2)), 2, "0")
+    cents = dollars * 100 + frac.cast("long")
+    return exploded.select(
+        F.col(id_col),
+        F.col("match_idx").cast("long").alias("match_idx"),
+        "raw",
+        cents.cast("long").alias("cents"),
+    )
+
+
 def cooccurrence_lift(
     df: DataFrame,
     window: int = 3,

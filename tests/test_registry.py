@@ -86,6 +86,7 @@ CARRYOVER = {
     "tool_chain_topk",
     "ts_audit",
     "watermark_scan",
+    "amounts_extract",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
