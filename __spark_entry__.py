@@ -7437,7 +7437,7 @@ def oracle_sql() -> dict[str, str]:
               select conv_id, turn_idx, role,
                      list_filter(
                        list_distinct(string_split_regex(
-                         lower(coalesce(text, '')), '\\s+')),
+                         lower(coalesce(text, '')), '[ \\t\\n\\r\\f]+')),
                        x -> x <> '') as toks
               from u),
             p as (
@@ -7571,8 +7571,8 @@ def oracle_sql() -> dict[str, str]:
                             - length(replace(t, '```', ''))) / 3
                            as bigint) % 2) = 1 as open_fence,
                      length(tr) > 0 and not regexp_matches(tr,
-                       '[.!?:`''")\\]}}…]$') as no_terminal,
-                     regexp_matches(tr, '(\\.\\.\\.|…)$') as ends_ellipsis,
+                       '[.!?:`''")\\]}}…]\\z') as no_terminal,
+                     regexp_matches(tr, '(\\.\\.\\.|…)\\z') as ends_ellipsis,
                      (length(t) - length(translate(t, '([{{', '')))
                        <> (length(t) - length(translate(t, ')]}}', '')))
                        as unbalanced_brackets
@@ -8270,7 +8270,7 @@ def oracle_sql() -> dict[str, str]:
         with x as (
           select doc_id,
                  list_filter(string_split_regex(
-                   lower(coalesce(text, '')), '\\s+'),
+                   lower(coalesce(text, '')), '[ \\t\\n\\r\\f]+'),
                    t -> t <> '') as toks
           from documents),
         p as (
@@ -8299,8 +8299,8 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, coalesce(text, '') as t from documents),
         c as (
           select doc_id,
-                 cast(len(regexp_extract_all(t, '\\S+')) as bigint)
-                   as n_words,
+                 cast(len(regexp_extract_all(t, '[^ \\t\\n\\r\\f]+'))
+                   as bigint) as n_words,
                  greatest(cast(len(regexp_extract_all(t, '[.!?]+'))
                    as bigint), 1) as n_sentences,
                  cast(len(regexp_extract_all(lower(t), '[aeiouy]+'))

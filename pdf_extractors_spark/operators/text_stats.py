@@ -2957,7 +2957,8 @@ def reading_level(
     Pure ``regexp_count`` column math — zero exchanges, zero UDFs,
     linear in the document's own bytes."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    # explicit class, never \S: Java's \s includes \x0B, RE2's does not
+    words = F.regexp_count(t, F.lit(r"[^ \t\n\r\f]+")).cast("long")
     sents = F.greatest(
         F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"), F.lit(1)
     )
@@ -3003,8 +3004,13 @@ def watermark_scan(
     All in-row column math (split → transform → filter → size) — zero
     exchanges, zero UDFs; per-row cost linear in the document's own
     tokens."""
+    # explicit whitespace class, never \s: Java's \s includes \x0B,
+    # RE2's (the DuckDB oracle) does not
     toks = F.array_remove(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        F.split(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            r"[ \t\n\r\f]+",
+        ),
         "",
     )
     n_t = F.size(toks)

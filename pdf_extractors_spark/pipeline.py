@@ -416,9 +416,14 @@ def retry_similarity(
     model-side retries. One conv_id window exchange, array math in
     codegen, no UDFs; per-row cost is bounded by the two adjacent
     turns, never the conversation."""
+    # explicit whitespace class, never \s: Java's \s includes \x0B,
+    # RE2's (the DuckDB oracle) does not — the classes must be identical
     toks = F.array_remove(
         F.array_distinct(
-            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+            F.split(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                r"[ \t\n\r\f]+",
+            )
         ),
         "",
     )
@@ -825,9 +830,11 @@ def truncation_scan(
         / 3
     ).cast("long")
     open_fence = F.pmod(fence_n, F.lit(2)) == 1
-    ends_clean = trimmed.rlike(r"[.!?:\x60'\")\]}…]$")
+    # \z (absolute end), never $: Java's $ also matches BEFORE a final
+    # newline, RE2's does not — text ending "done.\n" would diverge
+    ends_clean = trimmed.rlike(r"[.!?:\x60'\")\]}…]\z")
     no_terminal = (F.length(trimmed) > 0) & ~ends_clean
-    ends_ellipsis = trimmed.rlike(r"(?:\.\.\.|…)$")
+    ends_ellipsis = trimmed.rlike(r"(?:\.\.\.|…)\z")
     n_open = F.length(txt) - F.length(F.translate(txt, "([{", ""))
     n_close = F.length(txt) - F.length(F.translate(txt, ")]}", ""))
     unbalanced = n_open != n_close
