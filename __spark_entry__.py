@@ -4503,6 +4503,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["amounts_extract"] = q_amounts_extract
 
+    def q_kv_spans(spark, sf):
+        """Schema-free key-value span sweep (text_stats.kv_spans).
+        Labeled lines are planted deterministically (md5 bucket of
+        doc_id): an invoice-number line, a multi-word label whose key
+        normalizes with underscores, and a non-matching prose line;
+        same plant in the oracle."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("kv:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(4),
+        )
+        planted = docs.withColumn(
+            "text",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(bkt == 0, F.lit("\nInvoice Number: INV-7"))
+                .when(bkt == 1, F.lit("\nTotal Amount Due: $5.00"))
+                .when(bkt == 2, F.lit("\njust prose, no label here"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        return text_stats.kv_spans(planted)
+
+    q["kv_spans"] = q_kv_spans
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8265,6 +8295,39 @@ def oracle_sql() -> dict[str, str]:
                     + cast(rpad(split_part(digits, '.', 2), 2, '0')
                            as bigint) as bigint) as cents
         from d
+    """
+    _md5_kv = md5_bigint_sql("'kv:' || cast(doc_id as varchar)")
+    oracles["kv_spans"] = f"""
+        with planted as (
+          select doc_id,
+                 coalesce(text, '') || case ({_md5_kv}) % 4
+                   when 0 then chr(10) || 'Invoice Number: INV-7'
+                   when 1 then chr(10) || 'Total Amount Due: $5.00'
+                   when 2 then chr(10) || 'just prose, no label here'
+                   else '' end as text
+          from documents),
+        l as (
+          select doc_id,
+                 string_split_regex(text, '\\r?\\n') as arr
+          from planted),
+        e as (
+          select doc_id,
+                 unnest(range(0, len(arr))) as line_idx,
+                 unnest(arr) as line
+          from l),
+        k as (
+          select doc_id, cast(line_idx as bigint) as line_idx,
+                 regexp_extract(line,
+                   '^([A-Za-z][A-Za-z0-9 _-]{{0,38}}):', 1) as key_raw,
+                 trim(regexp_replace(line,
+                   '^([A-Za-z][A-Za-z0-9 _-]{{0,38}}):', '')) as value
+          from e)
+        select doc_id, line_idx,
+               regexp_replace(lower(trim(key_raw)), '[ \\t]+', '_', 'g')
+                 as key,
+               value
+        from k
+        where key_raw <> '' and value <> ''
     """
     oracles["watermark_scan"] = """
         with x as (

@@ -3100,6 +3100,44 @@ def amounts_extract(
     )
 
 
+def kv_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Generic labeled key-value span extraction — the corpus-wide form
+    of the reference's per-family field parsers ('Label: value' lines;
+    cf. the invoice patterns at reference extractors, e.g.
+    `nordic.py:42` 'Total amount without VAT …'): any line opening with
+    a short alphanumeric label and a colon yields one span row. The
+    family-specific extractors know their schemas; this is the
+    schema-free sweep that tells you WHICH labels a new corpus even
+    contains before anyone writes a parser.
+
+    One row per matched line: ``(doc_id, line_idx, key, value)`` —
+    ``line_idx`` 0-based over ``\\r?\\n`` splits, ``key`` normalized
+    (lowercased, trimmed, space runs → '_'), ``value`` the trimmed
+    remainder; lines whose value is empty are dropped (a bare 'Notes:'
+    is a heading, not a field). Keys are capped at 40 chars by the
+    pattern — longer "labels" are prose with a colon in it.
+
+    regexp work fuses into the scan; one posexplode; zero exchanges,
+    zero UDFs. Output volume is bounded by matching LINES, not
+    documents."""
+    key_pat = "^([A-Za-z][A-Za-z0-9 _-]{0,38}):"
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("line_idx", "_line")
+    )
+    key_raw = F.regexp_extract("_line", key_pat, 1)
+    value = F.trim(F.regexp_replace("_line", key_pat, ""))
+    key = F.regexp_replace(F.lower(F.trim(key_raw)), "[ \t]+", "_")
+    return ex.select(
+        F.col(id_col),
+        F.col("line_idx").cast("long").alias("line_idx"),
+        key.alias("key"),
+        value.alias("value"),
+    ).filter((key_raw != "") & (F.col("value") != ""))
+
+
 def cooccurrence_lift(
     df: DataFrame,
     window: int = 3,

@@ -87,6 +87,7 @@ CARRYOVER = {
     "ts_audit",
     "watermark_scan",
     "amounts_extract",
+    "kv_spans",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
