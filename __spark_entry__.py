@@ -4533,6 +4533,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kv_spans"] = q_kv_spans
 
+    def q_linear_score(spark, sf):
+        """Hashed-BoW linear classifier inference (text_stats.
+        linear_score): a deterministic integer weight table (affine in
+        the bucket id, range ±1000) stands in for a quantized trained
+        model; both engines rebuild it from range(4096) so the logits
+        replay exactly."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        weights = spark.range(4096).select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias(
+                "weight"
+            ),
+        )
+        return text_stats.linear_score(
+            docs, weights, n_buckets=4096, bias=7
+        )
+
+    q["linear_score"] = q_linear_score
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8328,6 +8349,33 @@ def oracle_sql() -> dict[str, str]:
                value
         from k
         where key_raw <> '' and value <> ''
+    """
+    _md5_tok = md5_bigint_sql("tok")
+    oracles["linear_score"] = f"""
+        with w as (
+          select range as bucket,
+                 (range * 2654435761) % 2001 - 1000 as weight
+          from range(4096)),
+        toks as (
+          select doc_id, tok
+          from (select doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                         as tok
+                from documents)
+          where tok <> ''),
+        b as (
+          select doc_id, ({_md5_tok}) % 4096 as bucket
+          from toks),
+        scored as (
+          select doc_id, count(*) as n_tokens,
+                 sum(coalesce(weight, 0)) as wsum
+          from b left join w using (bucket)
+          group by doc_id)
+        select d.doc_id,
+               cast(coalesce(s.n_tokens, 0) as bigint) as n_tokens,
+               cast(7 + coalesce(s.wsum, 0) as bigint) as logit
+        from (select doc_id from documents) d
+        left join scored s using (doc_id)
     """
     oracles["watermark_scan"] = """
         with x as (

@@ -3217,3 +3217,70 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 18,
+    bias: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier INFERENCE — the model-based
+    quality gate of CCNet / GPT-3 / fineweb-style pipelines (a trained
+    fastText or logistic-regression filter scoring every crawled page),
+    as an engine operator: the model is DATA (a ``(bucket, weight)``
+    table of integer-quantized weights — the caller quantizes the
+    trained float weights once, e.g. to 1e-4 units), inference is pure
+    column math. Training the model is a model call and stays out of
+    the engine; scoring 10^10 documents with it is a data-pipeline
+    operator and belongs here.
+
+    One row per input document: ``(doc_id, n_tokens, logit)`` with
+    ``logit = bias + Σ_t weight[md5_32(tok) mod n_buckets]`` over
+    whitespace tokens of ``lower(trim(text))`` (hashing-trick feature
+    map; unseen buckets contribute 0). Integer weights → integer logit,
+    bit-identical on any engine — thresholding into keep/drop is one
+    ``filter`` downstream, and calibration (sigmoid) is presentation,
+    not pipeline state. Null/empty documents are PRESERVED with
+    ``n_tokens 0, logit = bias`` (the unigram_lm_score contract).
+
+    Scale shape: tokens explode in-partition, the weight table rides a
+    broadcast (even a 2^22-bucket model is ~32 MB), and the only
+    exchange carries ``(doc_id, weight)`` longs into a map-side-combined
+    groupBy — document payloads never shuffle, and model size never
+    touches shuffle volume. The preserve-nulls left join re-joins on the
+    id column only."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    buckets = toks.select(
+        F.col(id_col),
+        F.pmod(md5_bigint(F.col("tok")), F.lit(n_buckets)).alias("bucket"),
+    )
+    w = weights.select(
+        F.col(bucket_col).cast("long").alias("bucket"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    scored = (
+        buckets.join(F.broadcast(w), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("weight", F.lit(0))).alias("wsum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.lit(bias) + F.coalesce("wsum", F.lit(0)))
+            .cast("long")
+            .alias("logit"),
+        )
+    )

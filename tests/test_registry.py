@@ -88,6 +88,7 @@ CARRYOVER = {
     "watermark_scan",
     "amounts_extract",
     "kv_spans",
+    "linear_score",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
