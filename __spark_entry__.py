@@ -4554,6 +4554,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linear_score"] = q_linear_score
 
+    def q_jsonl_parse(spark, sf):
+        """JSONL ingestion with quarantine (jsonl.parse_jsonl): five
+        planted line variants per md5 bucket of doc_id — valid object,
+        missing key, truncated object, non-object array, type-mismatch
+        field (partial parse + flag). The oracle reconstructs the
+        expected parse DIRECTLY from the bucket logic (it knows the
+        planted truth), so it verifies Spark's Jackson parse against an
+        independent reconstruction, not parser-vs-parser."""
+        from pdf_extractors_spark.operators import jsonl
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("jl:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(5),
+        )
+        jid = (F.col("doc_id") + 1000).cast("string")
+        jtext = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        line = (
+            F.when(
+                bkt == 0,
+                F.concat(
+                    F.lit('{"id": '), jid,
+                    F.lit(', "text": "'), jtext, F.lit('"}'),
+                ),
+            )
+            .when(bkt == 1, F.concat(F.lit('{"id": '), jid, F.lit("}")))
+            .when(
+                bkt == 2,
+                F.concat(
+                    F.lit('{"id": '), jid, F.lit(', "text": "'), jtext
+                ),
+            )
+            .when(bkt == 3, F.lit("[1,2,3]"))
+            .otherwise(
+                F.concat(
+                    F.lit('{"id": "notanint", "text": "'),
+                    jtext, F.lit('"}'),
+                )
+            )
+        )
+        lines = docs.select("doc_id", line.alias("value"))
+        parsed = jsonl.parse_jsonl(lines, "id bigint, text string")
+        # nullable bigint floats ("1234.0") through the driver's pandas
+        # conversion — compare id as a null-preserving string instead
+        return parsed.withColumn("id", F.col("id").cast("string"))
+
+    q["jsonl_parse"] = q_jsonl_parse
+
+    def q_jsonl_stats(spark, sf):
+        """Ingest health rollup over the SAME planted lines: corrupt
+        classes are buckets 2/3/4 (truncated, non-object,
+        type-mismatch), so the ppm is exact integer math both engines
+        replay."""
+        from pdf_extractors_spark.operators import jsonl
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("jl:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(5),
+        )
+        jid = (F.col("doc_id") + 1000).cast("string")
+        line = (
+            F.when(bkt <= 1, F.concat(F.lit('{"id": '), jid, F.lit("}")))
+            .when(bkt == 2, F.lit('{"id": 1'))
+            .when(bkt == 3, F.lit("[1,2,3]"))
+            .otherwise(F.lit('{"id": "x"}'))
+        )
+        lines = docs.select("doc_id", line.alias("value"))
+        return jsonl.jsonl_stats(
+            jsonl.parse_jsonl(lines, "id bigint, text string")
+        )
+
+    q["jsonl_stats"] = q_jsonl_stats
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8349,6 +8429,38 @@ def oracle_sql() -> dict[str, str]:
                value
         from k
         where key_raw <> '' and value <> ''
+    """
+    _md5_jl = md5_bigint_sql("'jl:' || cast(doc_id as varchar)")
+    oracles["jsonl_parse"] = f"""
+        with b as (
+          select doc_id, ({_md5_jl}) % 5 as bkt from documents)
+        select doc_id,
+               case when bkt in (0, 1)
+                    then cast(doc_id + 1000 as varchar) end as id,
+               case when bkt = 0 or bkt = 4
+                    then 'doc-' || cast(doc_id as varchar) end as text,
+               case
+                 when bkt = 2 then '{{"id": ' || cast(doc_id + 1000 as varchar)
+                      || ', "text": "doc-' || cast(doc_id as varchar)
+                 when bkt = 3 then '[1,2,3]'
+                 when bkt = 4 then '{{"id": "notanint", "text": "doc-'
+                      || cast(doc_id as varchar) || '"}}'
+               end as _corrupt
+        from b
+    """
+    oracles["jsonl_stats"] = f"""
+        with b as (
+          select doc_id, ({_md5_jl}) % 5 as bkt from documents),
+        c as (select count(*) as n_lines,
+                     sum(case when bkt <= 1 then 1 else 0 end) as n_clean,
+                     sum(case when bkt >= 2 then 1 else 0 end) as n_corrupt
+              from b)
+        select cast(n_lines as bigint) as n_lines,
+               cast(n_clean as bigint) as n_clean,
+               cast(n_corrupt as bigint) as n_corrupt,
+               cast(coalesce((1000000 * n_corrupt) // n_lines, 0)
+                    as bigint) as corrupt_ppm
+        from c
     """
     _md5_tok = md5_bigint_sql("tok")
     oracles["linear_score"] = f"""

@@ -89,6 +89,8 @@ CARRYOVER = {
     "amounts_extract",
     "kv_spans",
     "linear_score",
+    "jsonl_parse",
+    "jsonl_stats",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
