@@ -4634,6 +4634,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["jsonl_stats"] = q_jsonl_stats
 
+    def q_quantize_int8(spark, sf):
+        """Symmetric int8 embedding quantization
+        (similarity.quantize_int8), posexploded to (vec_id, pos, code)
+        rows plus the per-vector scale — all exact integers after one
+        floor, replayed component-for-component by the oracle."""
+        from pdf_extractors_spark.operators import similarity
+
+        emb = _read(spark, sf, "embeddings")
+        qz = similarity.quantize_int8(emb)
+        return qz.select(
+            "vec_id",
+            "dim",
+            "n_bad",
+            "scale_q",
+            F.posexplode("codes").alias("pos", "code"),
+        ).select(
+            "vec_id",
+            "dim",
+            "n_bad",
+            "scale_q",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("code").cast("long").alias("code"),
+        )
+
+    q["quantize_int8"] = q_quantize_int8
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8460,6 +8486,37 @@ def oracle_sql() -> dict[str, str]:
                cast(n_corrupt as bigint) as n_corrupt,
                cast(coalesce((1000000 * n_corrupt) // n_lines, 0)
                     as bigint) as corrupt_ppm
+        from c
+    """
+    oracles["quantize_int8"] = """
+        with q as (
+          select vec_id,
+                 cast(len(embedding) as bigint) as dim,
+                 list_transform(embedding, x ->
+                   case when x is null or isnan(x) or isinf(x) then null
+                        else cast(floor(cast(x as double) * 1000000)
+                                  as bigint) end) as quant
+          from embeddings),
+        s as (
+          select vec_id, dim,
+                 cast(len(list_filter(quant, v -> v is null)) as bigint)
+                   as n_bad,
+                 cast(coalesce(list_max(list_transform(
+                        list_filter(quant, v -> v is not null),
+                        v -> abs(v))), 0) as bigint) as scale_q,
+                 quant
+          from q),
+        c as (
+          select vec_id, dim, n_bad, scale_q,
+                 list_transform(quant, v ->
+                   case when v is null then null
+                        else cast(sign(v) as bigint)
+                             * ((abs(v) * 127) // greatest(scale_q, 1))
+                   end) as codes
+          from s)
+        select vec_id, dim, n_bad, scale_q,
+               unnest(range(0, len(codes))) as pos,
+               unnest(codes) as code
         from c
     """
     _md5_tok = md5_bigint_sql("tok")

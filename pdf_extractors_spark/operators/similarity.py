@@ -685,3 +685,65 @@ def centroid_shift(
         ).alias("cos_bp"),
         "shift2_q",
     )
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage
+    path for a 100-TB vector store: 4x less scan IO than float32 and
+    integer dot products downstream, at a recall cost the pytest recall
+    gate pins. Per vector: components quantize to micro-units
+    (``floor(x·scale)``, the embedding_stats idiom — one floor, then
+    integer math only, so every output is engine-portable and
+    summation-order-free), the max |micro-unit| becomes the per-vector
+    scale, and each code is ``sign(q)·(|q|·127 div m)`` — positive
+    operands on both sides of the division, because Spark ``div``
+    truncates while DuckDB ``//`` floors and they disagree below zero.
+    (The division runs in double and truncates; with |q|·127 ≤ ~1e11 a
+    non-integer rational a/b with b ≤ 1e9 sits ≥ 1/b ≫ ulp away from
+    any integer, so the truncated double equals exact integer division
+    — same argument as the quality_score half-up divisions.)
+
+    Emits ``(vec_id, dim, n_bad, scale_q, codes array<int> in
+    [-127,127])``. NaN/Inf/null components become NULL codes and count
+    in ``n_bad`` — nulled loudly, never laundered into a plausible 0
+    (the embedding_stats stance); screen with ``n_bad = 0`` before
+    ANN. The all-zero vector keeps scale_q 0 and all-zero codes.
+
+    Pure higher-order-function column math: zero UDFs, zero exchanges,
+    fuses into the scan. Dequantization is ``code · scale_q / 127``
+    per component; int8 cosine is exact integer Σ ca·cb over two
+    codes arrays."""
+    vec = F.col(vec_col)
+
+    def _q(x):
+        d = x.cast("double")
+        bad = x.isNull() | F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
+        return F.when(~bad, F.floor(d * F.lit(scale)).cast("long"))
+
+    quant = F.transform(vec, _q)
+    m = F.coalesce(
+        F.array_max(F.transform(quant, lambda q: F.abs(q))), F.lit(0)
+    )
+    safe_m = F.greatest(m, F.lit(1))
+    return vectors.select(
+        F.col(id_col),
+        F.coalesce(F.size(vec), F.lit(0)).cast("long").alias("dim"),
+        F.coalesce(
+            F.size(F.filter(quant, lambda q: q.isNull())), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_bad"),
+        m.cast("long").alias("scale_q"),
+        F.transform(
+            quant,
+            lambda q: F.when(q.isNotNull(), (
+                F.signum(q).cast("long")
+                * ((F.abs(q) * F.lit(127)) / safe_m).cast("long")
+            ).cast("int")),
+        ).alias("codes"),
+    )

@@ -91,6 +91,7 @@ CARRYOVER = {
     "linear_score",
     "jsonl_parse",
     "jsonl_stats",
+    "quantize_int8",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
