@@ -4660,6 +4660,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantize_int8"] = q_quantize_int8
 
+    def q_sn_pairs(spark, sf):
+        """Sorted-neighborhood blocking (joins.
+        sorted_neighborhood_pairs) over an alphanumeric-normalized
+        16-char blocking key: window 3, 2-char buckets — candidate
+        pairs for fuzzy ER without a single-partition global sort."""
+        from pdf_extractors_spark.operators import joins
+
+        docs = _read(spark, sf, "documents")
+        keyed = docs.select(
+            "doc_id",
+            F.substring(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+                1,
+                16,
+            ).alias("block_key"),
+        )
+        return joins.sorted_neighborhood_pairs(
+            keyed, key_col="block_key", id_col="doc_id",
+            window=3, bucket_len=2,
+        )
+
+    q["sn_pairs"] = q_sn_pairs
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8487,6 +8510,38 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce((1000000 * n_corrupt) // n_lines, 0)
                     as bigint) as corrupt_ppm
         from c
+    """
+    oracles["sn_pairs"] = """
+        with s as (
+          select doc_id as id,
+                 substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                        1, 16) as key
+          from documents
+          where text is not null),
+        r as (
+          select id, key, substr(key, 1, 2) as b,
+                 row_number() over (partition by substr(key, 1, 2)
+                                    order by key, id) as rn,
+                 count(*) over (partition by substr(key, 1, 2)) as cnt
+          from s),
+        within as (
+          select a.id as id_a, h.id as id_b, a.key as key_a,
+                 h.key as key_b, cast(h.rn - a.rn as bigint) as gap
+          from r a join r h on a.b = h.b
+          where h.rn - a.rn between 1 and 2),
+        bs as (
+          select b, lead(b) over (order by b) as b_next
+          from (select distinct b from r)),
+        across as (
+          select a.id as id_a, h.id as id_b, a.key as key_a,
+                 h.key as key_b,
+                 cast((a.cnt - a.rn) + h.rn as bigint) as gap
+          from r a
+          join bs on a.b = bs.b
+          join r h on h.b = bs.b_next
+          where a.rn > a.cnt - 2 and h.rn <= 2
+            and (a.cnt - a.rn) + h.rn <= 2)
+        select * from within union all select * from across
     """
     oracles["quantize_int8"] = """
         with q as (

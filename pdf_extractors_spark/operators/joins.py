@@ -392,3 +392,116 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 3,
+    bucket_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): sort the
+    corpus by a blocking key and emit every pair of rows within
+    ``window``-1 positions of each other — the candidate generator for
+    corpus-scale fuzzy entity resolution (the generic form of the
+    census extractors' per-household name matching, which gets its
+    candidates from the household grouping instead;
+    cf. `roman-census/persons.py:348` name-match join). Feed the pairs
+    to an exact verifier (``dedup.edit_distance_verify``) exactly like
+    the LSH candidate paths.
+
+    The naive Spark formulation — ``row_number`` over a global
+    ``orderBy`` — funnels the corpus through ONE partition. Instead the
+    sort key's ``bucket_len``-char prefix becomes a partition bucket
+    (order-compatible with the key by construction: prefixes sort the
+    same way as keys): within-bucket neighbors come from ``lead`` over
+    per-bucket windows (ONE exchange, all window-1 leads share it), and
+    boundary pairs come from joining each bucket's last ``window``-1
+    rows to the NEXT non-empty bucket's first ``window``-1 rows, with
+    the cross-boundary distance condition applied. The bucket
+    successor table is #buckets rows — its single-partition window is
+    over bucket NAMES, never data (the corpus-totals idiom).
+
+    Semantics (deterministic, what the oracle replays): global order is
+    ``(key, id)``; a pair is emitted iff positional distance ≤
+    window-1 AND the rows share a bucket or sit in ORDER-ADJACENT
+    non-empty buckets. When every bucket holds ≥ window-1 rows this is
+    exactly sorted-neighborhood; sparser buckets drop the
+    multi-boundary tail pairs — blocking is approximate by design, and
+    a shorter ``bucket_len`` trades skew headroom for exactness.
+
+    Output: ``(id_a, id_b, key_a, key_b, gap)`` with ``id_a``
+    preceding ``id_b`` in the global order, ``gap`` the positional
+    distance (1..window-1). Null keys are dropped (no block). Shuffle
+    volume is (id, key) pairs — payloads never move."""
+    if window < 2:
+        raise ValueError("window must be >= 2 (w-1 neighbors)")
+    s = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_key")
+    ).filter(F.col(key_col).isNotNull())
+    s = s.withColumn("_b", F.substring("_key", 1, bucket_len))
+    w = Window.partitionBy("_b").orderBy("_key", "_id")
+    wcnt = Window.partitionBy("_b")
+    ranked = (
+        s.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wcnt))
+    )
+    # within-bucket: all window-1 leads ride the same sort
+    lead_structs = F.array(
+        *[
+            F.struct(
+                F.lead("_id", i).over(w).alias("nid"),
+                F.lead("_key", i).over(w).alias("nkey"),
+                F.lit(i).alias("gap"),
+            )
+            for i in range(1, window)
+        ]
+    )
+    within = (
+        ranked.withColumn("_n", lead_structs)
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_key").alias("key_a"),
+            F.explode("_n").alias("p"),
+        )
+        .filter(F.col("p.nid").isNotNull())
+        .select(
+            "id_a",
+            F.col("p.nid").alias("id_b"),
+            "key_a",
+            F.col("p.nkey").alias("key_b"),
+            F.col("p.gap").cast("long").alias("gap"),
+        )
+    )
+    # order-adjacent non-empty buckets: tiny table, names only
+    buckets = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    succ = buckets.select(
+        "_b",
+        F.lead("_b", 1).over(Window.orderBy("_b")).alias("_b_next"),
+    ).filter(F.col("_b_next").isNotNull())
+    tails = ranked.filter(F.col("_rn") > F.col("_cnt") - (window - 1)).select(
+        F.col("_b"),
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        (F.col("_cnt") - F.col("_rn")).alias("_d_end"),
+    )
+    heads = ranked.filter(F.col("_rn") <= window - 1).select(
+        F.col("_b").alias("_b_next"),
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_rn").alias("_d_start"),
+    )
+    across = (
+        tails.join(F.broadcast(succ), "_b")
+        .join(heads, "_b_next")
+        .filter(F.col("_d_end") + F.col("_d_start") <= window - 1)
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            (F.col("_d_end") + F.col("_d_start")).cast("long").alias("gap"),
+        )
+    )
+    return within.unionByName(across)

@@ -92,6 +92,7 @@ CARRYOVER = {
     "jsonl_parse",
     "jsonl_stats",
     "quantize_int8",
+    "sn_pairs",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
