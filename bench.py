@@ -71,6 +71,16 @@ BENCH_QUERIES = [
     # late round-3: the broadcast-scored corpus scan (two bounded bucket
     # groupBys + a broadcast scoring join — the DSIR selection shape)
     "dsir_weights",
+    # final round-3 batch: classifier inference (explode + broadcast
+    # model + doc groupBy), JSONL quarantine parse (scan-fused Jackson),
+    # int8 quantization (scan-fused HOF math), and sorted-neighborhood
+    # blocking (bucketed sort + boundary join). Suite totals grow when
+    # the suite grows — compare PER-QUERY times across rounds, and see
+    # the suite-size note in BENCH/BASELINE.md.
+    "linear_score",
+    "jsonl_parse",
+    "quantize_int8",
+    "sn_pairs",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

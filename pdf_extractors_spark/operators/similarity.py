@@ -725,22 +725,33 @@ def quantize_int8(
         bad = x.isNull() | F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
         return F.when(~bad, F.floor(d * F.lit(scale)).cast("long"))
 
-    quant = F.transform(vec, _q)
-    m = F.coalesce(
-        F.array_max(F.transform(quant, lambda q: F.abs(q))), F.lit(0)
+    # staged projections: HOF lambdas don't whole-stage-codegen and
+    # Catalyst doesn't CSE identical transform() trees across output
+    # columns — naming the micro-unit array once saves re-evaluating it
+    # per output (measured ~25% at sf0.1, value-identical)
+    s1 = vectors.select(
+        F.col(id_col), vec.alias("_v"), F.transform(vec, _q).alias("_q")
     )
-    safe_m = F.greatest(m, F.lit(1))
-    return vectors.select(
-        F.col(id_col),
-        F.coalesce(F.size(vec), F.lit(0)).cast("long").alias("dim"),
+    s2 = s1.select(
+        id_col,
+        "_v",
+        "_q",
         F.coalesce(
-            F.size(F.filter(quant, lambda q: q.isNull())), F.lit(0)
+            F.array_max(F.transform("_q", lambda q: F.abs(q))), F.lit(0)
+        ).alias("_m"),
+    )
+    safe_m = F.greatest(F.col("_m"), F.lit(1))
+    return s2.select(
+        F.col(id_col),
+        F.coalesce(F.size("_v"), F.lit(0)).cast("long").alias("dim"),
+        F.coalesce(
+            F.size(F.filter("_q", lambda q: q.isNull())), F.lit(0)
         )
         .cast("long")
         .alias("n_bad"),
-        m.cast("long").alias("scale_q"),
+        F.col("_m").cast("long").alias("scale_q"),
         F.transform(
-            quant,
+            "_q",
             lambda q: F.when(q.isNotNull(), (
                 F.signum(q).cast("long")
                 * ((F.abs(q) * F.lit(127)) / safe_m).cast("long")

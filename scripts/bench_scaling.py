@@ -513,6 +513,14 @@ r3 timing jumped versus r2 under identical plans (e.g.
 signature columns instead of counting rows) did not get slower — r2's
 number was measuring less work. Cross-round comparisons are valid from
 r3 onward.
+
+**Suite size:** the headline suite grew during round 3 (19 → 36
+queries) as new operator families landed (graph kernels, retrieval,
+CDC, classifier inference, JSONL parse, int8 quantization,
+sorted-neighborhood blocking). `value` (suite wall-clock) therefore
+grows when coverage grows — it is a coverage-weighted number, not a
+regression signal. Compare PER-QUERY times across rounds; the
+per-query dict in the JSON line is the stable surface.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
