@@ -4683,6 +4683,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sn_pairs"] = q_sn_pairs
 
+    def q_seeded_shuffle(spark, sf):
+        """Deterministic global shuffle rank (sampling.seeded_shuffle):
+        the reproducible epoch order, computed per-bucket over the
+        hash's own order-compatible ranges — the oracle replays it with
+        one global row_number over the same md5 hash."""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        return sampling.seeded_shuffle(docs, seed="epoch1")
+
+    q["seeded_shuffle"] = q_seeded_shuffle
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8510,6 +8522,14 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce((1000000 * n_corrupt) // n_lines, 0)
                     as bigint) as corrupt_ppm
         from c
+    """
+    _md5_shuf = md5_bigint_sql("'epoch1:' || cast(doc_id as varchar)")
+    oracles["seeded_shuffle"] = f"""
+        select doc_id,
+               cast(row_number() over (order by ({_md5_shuf}), doc_id)
+                    - 1 as bigint) as rank
+        from documents
+        where doc_id is not null
     """
     oracles["sn_pairs"] = """
         with s as (

@@ -624,3 +624,66 @@ def dsir_weights(
             F.coalesce("log2_weight", F.lit(0)).cast("long").alias("log2_weight"),
         )
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    seed: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global shuffle rank — the reproducible training
+    order: ``(id, rank)`` where rank is the 0-based position of
+    ``md5_32(seed || ':' || id)`` in ascending ``(hash, id)`` order.
+    Same seed → same order on any cluster, any partitioning, any day;
+    a different seed is a fresh epoch permutation. This is what makes
+    "resume epoch 2 at step 41,000" meaningful when the corpus lives
+    in a distributed store: the order is a FUNCTION of the data, not
+    of the job that read it.
+
+    The naive ``row_number`` over a global ``orderBy`` funnels the
+    corpus through one partition. The hash's own value range is the
+    escape: ``bucket = h div ceil(2^32 / n_buckets)`` is
+    ORDER-COMPATIBLE with h (hash ranges are contiguous), so
+    ``row_number`` runs per-bucket (one exchange), bucket offsets are a
+    running sum over the n_buckets-row count table (the corpus-totals
+    idiom — the SinglePartition window touches bucket COUNTS, never
+    data), and the global rank is ``offset[bucket] + rn - 1``. The md5
+    hash is uniform, so buckets are balanced by construction — no skew
+    handling needed, unlike key-derived buckets.
+
+    Shuffle volume: (id, 8-byte hash) pairs, payloads never move. Rows
+    with null id are dropped (no stable identity → no stable order)."""
+    h = md5_bigint(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+        )
+    )
+    span = (1 << 32) // n_buckets + 1
+    s = (
+        df.select(F.col(id_col))
+        .filter(F.col(id_col).isNotNull())
+        .withColumn("_h", h)
+        .withColumn("_b", (F.col("_h") / F.lit(span)).cast("long"))
+    )
+    w = Window.partitionBy("_b").orderBy("_h", id_col)
+    ranked = s.withColumn("_rn", F.row_number().over(w))
+    counts = s.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.select(
+        "_b",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .select(
+            F.col(id_col),
+            (F.col("_off") + F.col("_rn") - 1).cast("long").alias("rank"),
+        )
+    )

@@ -93,6 +93,7 @@ CARRYOVER = {
     "jsonl_stats",
     "quantize_int8",
     "sn_pairs",
+    "seeded_shuffle",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
