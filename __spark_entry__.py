@@ -4695,6 +4695,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seeded_shuffle"] = q_seeded_shuffle
 
+    def q_rank_auc(spark, sf):
+        """Exact-integer Mann-Whitney AUC (text_stats.rank_auc):
+        coarse length-bucket scores (heavy ties) against an md5-bucket
+        pseudo-label — exercises the average-rank tie path; both
+        engines replay the same integers."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        scored = docs.select(
+            (F.length(F.coalesce(F.col("text"), F.lit(""))) / 16)
+            .cast("long")
+            .alias("score"),
+            (
+                F.pmod(
+                    md5_bigint(
+                        F.concat(
+                            F.lit("auc:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0
+            ).alias("label"),
+        )
+        return text_stats.rank_auc(scored, "score", "label")
+
+    q["rank_auc"] = q_rank_auc
+
+    def q_url_frontier(spark, sf):
+        """Politeness-wave crawl scheduling (urls.url_frontier):
+        deterministic planted URLs across 7 hosts with md5-derived
+        priorities; cap 20 waves per host — the oracle replays the
+        same per-host row_number."""
+        from pdf_extractors_spark.operators import urls as urls_op
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        cands = docs.select(
+            F.concat(
+                F.lit("https://site-"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.pmod(
+                md5_bigint(
+                    F.concat(F.lit("pri:"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(5),
+            ).alias("priority"),
+        )
+        return urls_op.url_frontier(cands, per_host_cap=20)
+
+    q["url_frontier"] = q_url_frontier
+
     def q_ann_recall(spark, sf):
         """IVF recall against the exact baseline (lsh_eval's ANN
         sibling): per query, how many of brute-force cosine top-5 the
@@ -8522,6 +8578,58 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce((1000000 * n_corrupt) // n_lines, 0)
                     as bigint) as corrupt_ppm
         from c
+    """
+    _md5_pri = md5_bigint_sql("'pri:' || cast(doc_id as varchar)")
+    oracles["url_frontier"] = f"""
+        with c as (
+          select 'https://site-' || cast(doc_id % 7 as varchar)
+                 || '.example.org/page/' || cast(doc_id as varchar)
+                   as url,
+                 ({_md5_pri}) % 5 as priority
+          from documents),
+        h as (
+          select url, cast(priority as bigint) as priority,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) as host
+          from c),
+        r as (
+          select url, host, priority,
+                 cast(row_number() over (partition by host
+                   order by priority desc, url) as bigint) as wave
+          from h where host <> '')
+        select url, host, wave, priority
+        from r where wave <= 20
+    """
+    _md5_auc = md5_bigint_sql("'auc:' || cast(doc_id as varchar)")
+    oracles["rank_auc"] = f"""
+        with s as (
+          select cast(length(coalesce(text, '')) // 16 as bigint) as s,
+                 ({_md5_auc}) % 2 = 0 as y
+          from documents),
+        g as (
+          select s,
+                 sum(case when y then 1 else 0 end) as np,
+                 sum(case when y then 0 else 1 end) as nn
+          from s group by s),
+        c as (
+          select np, nn,
+                 coalesce(sum(nn) over (order by s
+                   rows between unbounded preceding and 1 preceding),
+                   0) as cb
+          from g),
+        a as (
+          select coalesce(sum(np), 0) as n_pos,
+                 coalesce(sum(nn), 0) as n_neg,
+                 coalesce(sum(np * (2 * cb + nn)), 0) as u2
+          from c)
+        select cast(n_pos as bigint) as n_pos,
+               cast(n_neg as bigint) as n_neg,
+               cast(u2 as bigint) as u2,
+               case when n_pos > 0 and n_neg > 0 then
+                 cast((1000000 * cast(u2 as hugeint))
+                      // (2 * cast(n_pos as hugeint) * n_neg) as bigint)
+               end as auc_ppm
+        from a
     """
     _md5_shuf = md5_bigint_sql("'epoch1:' || cast(doc_id as varchar)")
     oracles["seeded_shuffle"] = f"""

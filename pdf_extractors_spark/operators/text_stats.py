@@ -3284,3 +3284,76 @@ def linear_score(
             .alias("logit"),
         )
     )
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact-integer Mann-Whitney AUC of an integer score against a
+    boolean label — the corpus-scale answer to "does this quality
+    signal actually separate the classes" (a trained filter vs held-out
+    judgments, a cheap heuristic vs an expensive one), run before
+    anyone gates 10^10 documents on the signal. Complements
+    rank_agreement (two signals vs each other) with signal-vs-truth.
+
+    One output row: ``(n_pos, n_neg, u2, auc_ppm)``. ``u2`` is twice
+    the Mann-Whitney U with average-rank tie handling — each
+    (pos, neg) pair contributes 2 when the positive scores higher, 1 on
+    a tie, 0 otherwise — so it stays an exact integer (no 0.5 terms),
+    and ``auc_ppm = (10^6 · u2) div (2 · n_pos · n_neg)``, computed in
+    decimal(38) so the product cannot overflow int64 at 10^10-row
+    class sizes (DuckDB replays it in HUGEINT — same integers).
+
+    Scores must already be integers (linear_score logits, quality_bp,
+    length buckets …): quantization is what makes the statistic
+    engine-portable, and ppm resolution is the quantization floor
+    anyway. Rows with a null score or label are dropped.
+
+    Scale shape: one groupBy collapses the corpus to DISTINCT scores
+    (per-score pos/neg counts); the running negative-count sum is a
+    SinglePartition window over that DISTINCT-SCORE table — bounded by
+    score cardinality, never rows (the corpus-totals idiom; integer
+    scores keep it small by construction). Degenerate inputs (a class
+    absent) yield ``auc_ppm`` null rather than a fake 0.5."""
+    s = df.select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    g = s.groupBy("_s").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_nn"),
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "_np",
+        "_nn",
+        F.coalesce(F.sum("_nn").over(w), F.lit(0)).alias("_cb"),
+    )
+    a = c.agg(
+        F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("_nn"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(
+            F.sum(
+                F.col("_np") * (F.lit(2) * F.col("_cb") + F.col("_nn"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return a.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * u2) div "
+                "(2 * cast(n_pos as decimal(38,0)) * n_neg) as long)"
+            ),
+        ).alias("auc_ppm"),
+    )

@@ -184,3 +184,52 @@ def domain_quality(
             (mean_bp < block_below_bp).alias("blocked"),
         )
     )
+
+
+def url_frontier(
+    candidates: DataFrame,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    per_host_cap: int | None = None,
+) -> DataFrame:
+    """Politeness-scheduled crawl frontier: assign every candidate URL
+    a ``wave`` — the fetch round in which a crawler that takes at most
+    ONE URL per host per round (the RFC-politeness contract) reaches
+    it. Fetchers drain wave 1 across all hosts in parallel, then wave
+    2, …: host-level politeness holds by construction while cross-host
+    parallelism stays maximal, and the wave number is a pure function
+    of the data — two schedulers over the same frontier agree.
+
+    Within a host, order is ``(priority DESC, url)`` — integer
+    priorities (a PageRank bucket, a quality tier), url as the total
+    tiebreak. ``per_host_cap`` drops everything past the first N waves
+    of a host (crawl-budget enforcement); null urls are dropped, null
+    priorities sort last (priority of a URL nobody scored is lowest).
+
+    Output: ``(url, host, wave, priority)``, one row per kept URL.
+
+    Scale shape: ONE window partitioned by host — politeness is
+    per-host by definition, so the window key is the natural partition
+    key and no global funnel exists. Host skew (a 10^8-URL host) is
+    real but bounded by ``per_host_cap``: enforcing the budget inside
+    the window keeps the skewed host's tail from ever leaving its
+    partition. Shuffle volume is (url, host, priority) — no payloads."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    s = (
+        candidates.select(
+            F.col(url_col).alias("url"),
+            F.col(priority_col).cast("long").alias("priority"),
+        )
+        .filter(F.col("url").isNotNull())
+        .withColumn("host", host)
+        .filter(F.col("host") != "")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc_nulls_last(), F.col("url")
+    )
+    ranked = s.withColumn("wave", F.row_number().over(w).cast("long"))
+    if per_host_cap is not None:
+        ranked = ranked.filter(F.col("wave") <= per_host_cap)
+    return ranked.select("url", "host", "wave", "priority")

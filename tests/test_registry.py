@@ -94,6 +94,8 @@ CARRYOVER = {
     "quantize_int8",
     "sn_pairs",
     "seeded_shuffle",
+    "rank_auc",
+    "url_frontier",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
