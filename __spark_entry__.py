@@ -5072,6 +5072,157 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_forks"] = q_conv_forks
 
+    def q_preference_bias(spark, sf):
+        """RLHF preference-pair structural audit
+        (preference.preference_bias): pairs synthesized from documents
+        by doc_id%5 — exact dup, case-only dup (mislabeled tie),
+        shorter rejected, longer rejected, equal-length reverse — so
+        every counter is exercised; the oracle replays the same plant
+        and the same exact-integer aggregate."""
+        from pdf_extractors_spark.operators import preference
+
+        docs = _read(spark, sf, "documents")
+        m = F.col("doc_id") % 5
+        pairs = docs.select(
+            F.col("text").alias("chosen_text"),
+            F.when(m == 0, F.col("text"))
+            .when(m == 1, F.upper(F.col("text")))
+            .when(
+                m == 2,
+                F.expr(
+                    "substr(text, 1, greatest(cast(n_chars div 2 as int), 1))"
+                ),
+            )
+            .when(
+                m == 3,
+                F.concat(F.col("text"), F.lit(" and a longer rejected tail")),
+            )
+            .otherwise(F.reverse(F.col("text")))
+            .alias("rejected_text"),
+        )
+        return preference.preference_bias(pairs)
+
+    q["preference_bias"] = q_preference_bias
+
+    def _calibration_input(spark, sf):
+        """Shared plant for the calibration queries: score is a uniform
+        md5 ppm in [0, 10^6]; the label fires when an independent md5
+        draw lands below the score — so P(label | score) = score/10^6
+        and the signal is calibrated by construction."""
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        s = F.pmod(
+            md5_bigint(F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))),
+            F.lit(1000001),
+        )
+        y = (
+            F.pmod(
+                md5_bigint(
+                    F.concat(F.lit("lab:"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(1000000),
+            )
+            < s
+        )
+        return docs.select(s.alias("score"), y.alias("label"))
+
+    def q_score_label_bins(spark, sf):
+        """Reliability table (text_stats.score_label_bins) over the
+        calibrated md5 plant — per-bin counts, mean score and positive
+        rate, all exact integers replayed by the oracle."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.score_label_bins(
+            _calibration_input(spark, sf), "score", "label"
+        )
+
+    q["score_label_bins"] = q_score_label_bins
+
+    def q_ece_ppm(spark, sf):
+        """Expected calibration error (text_stats.ece_ppm) of the same
+        calibrated plant — small by construction, never exactly zero;
+        the oracle replays the bin table and the weighted reduce."""
+        from pdf_extractors_spark.operators import text_stats
+
+        return text_stats.ece_ppm(_calibration_input(spark, sf), "score", "label")
+
+    q["ece_ppm"] = q_ece_ppm
+
+    def q_invisible_chars(spark, sf):
+        """Invisible-character audit (text_stats.invisible_chars) with
+        zero-widths / a bidi override pair / a soft hyphen planted by
+        doc_id%4 — the oracle appends the identical codepoints and
+        strips the identical character classes."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        m = F.col("doc_id") % 4
+        plant = (
+            F.when(m == 1, F.lit("​‍"))
+            .when(m == 2, F.lit("‮x⁩"))
+            .when(m == 3, F.lit("­"))
+            .otherwise(F.lit(""))
+        )
+        planted = docs.select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), plant).alias("text"),
+        )
+        return text_stats.invisible_chars(planted)
+
+    q["invisible_chars"] = q_invisible_chars
+
+    def q_license_scan(spark, sf):
+        """License detection (text_stats.license_scan) with the six
+        cascade branches planted by doc_id%7 (branch 0 plants nothing —
+        the no-license row); the oracle replays the same cascade with
+        the same RE2-safe patterns."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        m = F.col("doc_id") % 7
+        plant = (
+            F.when(m == 1, F.lit(" SPDX-License-Identifier: Apache-2.0"))
+            .when(
+                m == 2, F.lit(" Licensed under the Apache License, Version 2.0")
+            )
+            .when(m == 3, F.lit(" Released under the MIT License."))
+            .when(
+                m == 4,
+                F.lit(" under the terms of the GNU General Public License"),
+            )
+            .when(m == 5, F.lit(" Distributed under the BSD 3-Clause license"))
+            .when(m == 6, F.lit(" Subject to the Mozilla Public License, Version 2.0"))
+            .otherwise(F.lit(""))
+        )
+        planted = docs.select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), plant).alias("text"),
+        )
+        return text_stats.license_scan(planted)
+
+    q["license_scan"] = q_license_scan
+
+    def q_mixture_plan(spark, sf):
+        """Token-budget mixture solver (sampling.mixture_plan): 3:2:1
+        weights over src0/src1/src2 against a 120k-token budget — at
+        sf0.01 the two over-asked domains cap at 4 epochs and report
+        shortfalls; every column is exact-integer in both engines.
+        (The missing-domain loud-shortfall path is pytest-covered: its
+        epochs_ppm is honestly null, which the driver's pandas bridge
+        cannot carry for int columns.)"""
+        from pdf_extractors_spark.operators import sampling
+
+        docs = _read(spark, sf, "documents")
+        avail = docs.groupBy("source").agg(
+            F.sum("n_chars").cast("long").alias("tokens")
+        )
+        return sampling.mixture_plan(
+            avail, {"src0": 3, "src1": 2, "src2": 1}, budget_tokens=120000
+        )
+
+    q["mixture_plan"] = q_mixture_plan
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -11147,5 +11298,170 @@ def oracle_sql() -> dict[str, str]:
         from co
         join uni ux on ux.w = co.x
         join uni uy on uy.w = co.y, tot
+    """
+    oracles["preference_bias"] = """
+        with p as (
+          select text as c,
+                 case when doc_id % 5 = 0 then text
+                      when doc_id % 5 = 1 then upper(text)
+                      when doc_id % 5 = 2 then
+                        substr(text, 1, greatest(cast(n_chars // 2 as int), 1))
+                      when doc_id % 5 = 3 then
+                        text || ' and a longer rejected tail'
+                      else reverse(text) end as r
+          from documents),
+        f as (select c, r from p where c is not null and r is not null),
+        s as (select
+                case when length(c) > length(r) then 1 else 0 end as cl,
+                case when length(c) < length(r) then 1 else 0 end as rl,
+                case when length(c) = length(r) then 1 else 0 end as lt,
+                case when c = r then 1 else 0 end as ed,
+                case when c <> r and
+                     trim(regexp_replace(lower(c), '\\s+', ' ', 'g')) =
+                     trim(regexp_replace(lower(r), '\\s+', ' ', 'g'))
+                     then 1 else 0 end as nd,
+                length(c) - length(r) as gap
+              from f),
+        a as (select count(*) as n_pairs,
+                     coalesce(sum(cl), 0) as chosen_longer,
+                     coalesce(sum(rl), 0) as rejected_longer,
+                     coalesce(sum(lt), 0) as len_ties,
+                     coalesce(sum(ed), 0) as exact_dup,
+                     coalesce(sum(nd), 0) as norm_dup,
+                     coalesce(sum(gap), 0) as len_gap_sum
+              from s)
+        select cast(n_pairs as bigint) as n_pairs,
+               cast(chosen_longer as bigint) as chosen_longer,
+               cast(rejected_longer as bigint) as rejected_longer,
+               cast(len_ties as bigint) as len_ties,
+               cast(exact_dup as bigint) as exact_dup,
+               cast(norm_dup as bigint) as norm_dup,
+               cast((1000000 * cast(chosen_longer as hugeint))
+                    // (chosen_longer + rejected_longer) as bigint)
+                 as chosen_longer_ppm,
+               cast(len_gap_sum as bigint) as len_gap_sum
+        from a
+    """
+    _md5_cal = md5_bigint_sql("'cal:' || cast(doc_id as varchar)")
+    _md5_lab = md5_bigint_sql("'lab:' || cast(doc_id as varchar)")
+    _cal_input = f"""
+        select ({_md5_cal}) % 1000001 as s,
+               (({_md5_lab}) % 1000000) < (({_md5_cal}) % 1000001) as y
+        from documents"""
+    _cal_bins = f"""
+        with s as ({_cal_input}),
+        b as (select (s * 20) // 1000001 as bin,
+                     count(*) as n,
+                     sum(case when y then 1 else 0 end) as n_pos,
+                     sum(s) // count(*) as mean_score_ppm
+              from s group by 1)
+        select cast(bin as bigint) as bin,
+               cast(n as bigint) as n,
+               cast(n_pos as bigint) as n_pos,
+               cast(mean_score_ppm as bigint) as mean_score_ppm,
+               cast((1000000 * cast(n_pos as hugeint)) // n as bigint)
+                 as pos_rate_ppm
+        from b"""
+    oracles["score_label_bins"] = _cal_bins
+    oracles["ece_ppm"] = f"""
+        with bins as ({_cal_bins})
+        select cast(coalesce(sum(n), 0) as bigint) as n,
+               cast(coalesce(sum(n * abs(mean_score_ppm - pos_rate_ppm)), 0)
+                    // greatest(sum(n), 1) as bigint) as ece_ppm
+        from bins
+    """
+    _zw_cls = text_stats.ZERO_WIDTH_CHARS
+    _bidi_cls = text_stats.BIDI_CONTROL_CHARS
+    _shy_cls = text_stats.SOFT_HYPHEN
+    oracles["invisible_chars"] = f"""
+        with d as (
+          select doc_id,
+                 coalesce(text, '') ||
+                 case when doc_id % 4 = 1 then '​‍'
+                      when doc_id % 4 = 2 then '‮x⁩'
+                      when doc_id % 4 = 3 then '­'
+                      else '' end as t
+          from documents),
+        c as (
+          select doc_id,
+                 length(t) - length(regexp_replace(t, '[{_zw_cls}]', '', 'g'))
+                   as zw_count,
+                 length(t) - length(regexp_replace(t, '[{_bidi_cls}]', '', 'g'))
+                   as bidi_count,
+                 length(t) - length(regexp_replace(t, '[{_shy_cls}]', '', 'g'))
+                   as shy_count,
+                 length(t) as len
+          from d)
+        select doc_id,
+               cast(zw_count as bigint) as zw_count,
+               cast(bidi_count as bigint) as bidi_count,
+               cast(shy_count as bigint) as shy_count,
+               cast((1000000 * (zw_count + bidi_count + shy_count))
+                    // greatest(len, 1) as bigint) as invisible_ppm,
+               bidi_count > 0 as bidi_flag
+        from c
+    """
+    oracles["license_scan"] = """
+        with d as (
+          select doc_id,
+                 coalesce(text, '') ||
+                 case when doc_id % 7 = 1
+                        then ' SPDX-License-Identifier: Apache-2.0'
+                      when doc_id % 7 = 2
+                        then ' Licensed under the Apache License, Version 2.0'
+                      when doc_id % 7 = 3
+                        then ' Released under the MIT License.'
+                      when doc_id % 7 = 4
+                        then ' under the terms of the GNU General Public License'
+                      when doc_id % 7 = 5
+                        then ' Distributed under the BSD 3-Clause license'
+                      when doc_id % 7 = 6
+                        then ' Subject to the Mozilla Public License, Version 2.0'
+                      else '' end as t
+          from documents),
+        e as (select doc_id, t,
+                     regexp_extract(t,
+                       'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
+                       as spdx
+              from d)
+        select doc_id,
+               case when spdx <> '' then 'spdx:' || spdx
+                    when regexp_matches(t, '(?i)Apache License,? Version 2\\.0')
+                      then 'apache-2.0'
+                    when regexp_matches(t, '(?i)MIT License') then 'mit'
+                    when regexp_matches(t,
+                      '(?i)GNU (Lesser |Affero )?General Public License')
+                      then 'gpl'
+                    when regexp_matches(t, '(?i)BSD [1-4]-Clause') then 'bsd'
+                    when regexp_matches(t,
+                      '(?i)Mozilla Public License,? (Version |v\\.? ?)2\\.0')
+                      then 'mpl-2.0'
+               end as license,
+               case when spdx <> '' then spdx end as spdx_id
+        from e
+    """
+    oracles["mixture_plan"] = """
+        with avail as (
+          select source, cast(sum(n_chars) as bigint) as avail_tokens
+          from documents group by 1),
+        w(source, weight) as (values ('src0', 3), ('src1', 2), ('src2', 1)),
+        j as (select w.source, cast(w.weight as bigint) as weight,
+                     coalesce(a.avail_tokens, 0) as avail_tokens
+              from w left join avail a using (source)),
+        t as (select *, (120000 * weight) // 6 as target_tokens from j),
+        u as (select *,
+                     least(target_tokens,
+                           cast((cast(avail_tokens as hugeint) * 4000000)
+                                // 1000000 as bigint)) as alloc_tokens
+              from t)
+        select source, avail_tokens, weight,
+               cast(target_tokens as bigint) as target_tokens,
+               cast(alloc_tokens as bigint) as alloc_tokens,
+               cast((cast(1000000 as hugeint) * target_tokens)
+                    // avail_tokens as bigint) as epochs_ppm,
+               (avail_tokens = 0 or alloc_tokens < target_tokens) as capped,
+               cast(target_tokens - alloc_tokens as bigint)
+                 as shortfall_tokens
+        from u
     """
     return oracles

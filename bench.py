@@ -183,7 +183,15 @@ def main() -> int:
     # brackets each attempt with host-health checks — 3 reps keeps an
     # attempt inside its timeout.
     n_reps = 3
-    extract_reps = 3 if extract_only else 5
+    # SPARK_GRAFT_EXTRACT_REPS=1 is the scaling driver's interleaved
+    # mode: one timed rep per JVM, pairing adjacent N/4N runs in time so
+    # minute-scale host drift cancels inside each pair instead of
+    # accumulating across an 8-minute phase gap
+    extract_reps = int(
+        os.environ.get(
+            "SPARK_GRAFT_EXTRACT_REPS", "3" if extract_only else "5"
+        )
+    )
     runs = [_one_extract_run() for _ in range(extract_reps)]
     runs.sort(key=lambda r: r[0])
     extract_secs, agg = runs[len(runs) // 2]

@@ -687,3 +687,89 @@ def seeded_shuffle(
             (F.col("_off") + F.col("_rn") - 1).cast("long").alias("rank"),
         )
     )
+
+
+def mixture_plan(
+    avail: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    max_epochs_ppm: int = 4_000_000,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Token-budget mixture solver: given per-domain available token
+    counts and target mixture weights, compute what each domain must
+    contribute to a ``budget_tokens`` training run — and say LOUDLY
+    which domains cannot deliver it. This is the planning step every
+    pretraining run does between "we counted the corpus" and "we set
+    sampling rates": weights express the target distribution; epochs
+    express how many times a domain must repeat to meet it; the epoch
+    cap (default 4×, the common repeat-tolerance ceiling) turns
+    over-asked domains into explicit shortfalls instead of silent
+    40-epoch repeats.
+
+    ``weights``: {domain: weight} in arbitrary integer parts (need not
+    sum to 100). Domains in ``weights`` but missing from ``avail`` get
+    0 available tokens (capped, full shortfall) — a typo'd domain name
+    surfaces as a loud all-shortfall row, never a silent drop. Domains
+    in ``avail`` but not in ``weights`` are excluded by construction
+    (weight 0 means "not in the mix").
+
+    Output, one row per weighted domain: ``(group, avail_tokens,
+    weight, target_tokens, alloc_tokens, epochs_ppm, capped,
+    shortfall_tokens)`` with ``target = budget·w div Σw``, ``alloc =
+    min(target, avail·max_epochs_ppm div 10^6)``, ``epochs_ppm =
+    10^6·target div avail``. All exact integer arithmetic; the two
+    products that can exceed int64 at 10^13-token budgets run in
+    decimal(38) (DuckDB: HUGEINT) and land back in longs.
+
+    Scale shape: ``avail`` is already the tiny per-domain rollup (one
+    row per domain), so this is a broadcast join + column math — the
+    corpus itself never enters; zero wide operations.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture weights must sum to a positive integer")
+    spark = avail.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights.items()], f"{group_col} string, weight long"
+    )
+    a = avail.select(
+        F.col(group_col), F.col(tokens_col).cast("long").alias("avail_tokens")
+    )
+    j = (
+        wdf.join(F.broadcast(a), group_col, "left")
+        .withColumn("avail_tokens", F.coalesce(F.col("avail_tokens"), F.lit(0)))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"({int(budget_tokens)}L * weight) div {int(total_w)}L"),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.expr(
+                "least(target_tokens, cast((cast(avail_tokens as decimal(38,0))"
+                f" * {int(max_epochs_ppm)}) div 1000000 as long))"
+            ),
+        )
+    )
+    return j.select(
+        group_col,
+        "avail_tokens",
+        "weight",
+        "target_tokens",
+        "alloc_tokens",
+        F.when(
+            F.col("avail_tokens") > 0,
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * target_tokens) "
+                "div avail_tokens as long)"
+            ),
+        ).alias("epochs_ppm"),
+        (
+            (F.col("avail_tokens") == 0)
+            | (F.col("alloc_tokens") < F.col("target_tokens"))
+        ).alias("capped"),
+        (F.col("target_tokens") - F.col("alloc_tokens")).alias(
+            "shortfall_tokens"
+        ),
+    )

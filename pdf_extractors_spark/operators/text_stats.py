@@ -3357,3 +3357,189 @@ def rank_auc(
             ),
         ).alias("auc_ppm"),
     )
+
+
+def score_label_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Reliability table of a ppm-scale score against a boolean label —
+    the calibration companion to ``rank_auc`` (AUC says the signal
+    RANKS; this says whether its VALUES mean what they claim before
+    anyone treats "quality 0.9" as a probability and thresholds 10^10
+    documents on it).
+
+    Scores must already be ppm integers in [0, 10^6] (quality_ensemble,
+    linear_score logits pushed through a ppm sigmoid, a classifier's
+    probability × 10^6). Out-of-range scores clamp to the edge bins;
+    null score/label rows are dropped. ``bin = clamped · n_bins div
+    (10^6 + 1)`` so both endpoints land inside [0, n_bins).
+
+    Output, one row per non-empty bin: ``(bin, n, n_pos,
+    mean_score_ppm, pos_rate_ppm)`` — plot pos_rate against mean_score
+    and a calibrated signal hugs the diagonal.
+
+    Scale shape: ONE groupBy on the bin id (≤ n_bins groups, map-side
+    combined) — the corpus collapses to per-bin longs; nothing else
+    moves. Exact integers throughout (DuckDB replays bit-for-bit).
+    """
+    clamped = F.greatest(
+        F.lit(0), F.least(F.lit(1000000), F.col(score_col).cast("long"))
+    )
+    s = df.select(
+        clamped.alias("_s"), F.col(label_col).cast("boolean").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    return (
+        s.groupBy(
+            F.expr(f"(_s * {int(n_bins)}L) div 1000001").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.expr("sum(_s) div count(1)").alias("mean_score_ppm"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "mean_score_ppm",
+            F.expr("(1000000L * n_pos) div n").alias("pos_rate_ppm"),
+        )
+    )
+
+
+def ece_ppm(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Expected calibration error of a ppm score, in ppm: the
+    bin-size-weighted mean |mean_score − pos_rate| over the
+    ``score_label_bins`` table. One row: ``(n, ece_ppm)``. A perfectly
+    calibrated ppm score reads 0; a constant score reads its distance
+    from the base rate. Same exact-integer contract as the bin table;
+    the final reduce runs over ≤ n_bins rows."""
+    bins = score_label_bins(df, score_col, label_col, n_bins=n_bins)
+    return bins.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.expr(
+            "coalesce(sum(n * abs(mean_score_ppm - pos_rate_ppm)), 0) "
+            "div greatest(sum(n), 1)"
+        ).alias("ece_ppm"),
+    )
+
+
+# Invisible/format characters that survive copy-paste and fool both
+# humans and string equality: zero-widths (also homoglyph-adjacent spam
+# padding), explicit bidi overrides (the Trojan-Source vector — code
+# that renders differently than it parses), and soft hyphens. Shared
+# constants so audits and tests plant with the same codepoints.
+ZERO_WIDTH_CHARS = "​‌‍⁠﻿"
+BIDI_CONTROL_CHARS = "؜‎‏‪‫‬‭‮⁦⁧⁨⁩"
+SOFT_HYPHEN = "­"
+
+
+def invisible_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document invisible-character audit: zero-width characters,
+    explicit bidirectional control characters, and soft hyphens.
+
+    Why corpus-scale: zero-widths are the classic token-stuffing /
+    dedup-evasion padding (two "identical" spam pages that hash apart);
+    bidi overrides are the Trojan-Source class — in a CODE corpus a
+    U+202E can make ``// check`` render as executable text, so a
+    pretraining pipeline wants ``bidi_flag`` rows quarantined before
+    the model learns to emit them; soft hyphens silently split tokens.
+
+    Output: ``(id, zw_count, bidi_count, shy_count, invisible_ppm,
+    bidi_flag)`` — counts are exact (length minus length-after-strip),
+    ``invisible_ppm`` is per-character density over the raw length,
+    null-text rows yield zero counts (preserve-with-zeros contract).
+
+    Scale shape: zero shuffles — three regexp_replace + length columns
+    fused into the scan; the regexes are fixed char classes (RE2-safe,
+    no backtracking).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _count(cls: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, f"[{cls}]", ""))
+        ).cast("long")
+
+    zw = _count(ZERO_WIDTH_CHARS)
+    bidi = _count(BIDI_CONTROL_CHARS)
+    shy = _count(SOFT_HYPHEN)
+    return df.select(
+        F.col(id_col),
+        zw.alias("zw_count"),
+        bidi.alias("bidi_count"),
+        shy.alias("shy_count"),
+        F.length(t).alias("_len"),
+    ).select(
+        id_col,
+        "zw_count",
+        "bidi_count",
+        "shy_count",
+        # integer div, never double: exact and engine-portable
+        F.expr(
+            "(1000000L * (zw_count + bidi_count + shy_count)) "
+            "div greatest(_len, 1)"
+        ).alias("invisible_ppm"),
+        (F.col("bidi_count") > 0).alias("bidi_flag"),
+    )
+
+
+def license_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document license detection for code/document corpora: an
+    SPDX identifier if present, else a cascade of the big license-header
+    phrases. Code corpora are legally FILTERED on exactly this signal
+    (permissive in, copyleft out), so it has to run corpus-wide before
+    any code text enters a training mix.
+
+    Cascade (first hit wins): ``SPDX-License-Identifier: <id>`` (the
+    machine-readable tag — returned verbatim in ``spdx_id``) →
+    Apache-2.0 → MIT → GPL (any version phrase) → BSD (clause form) →
+    MPL-2.0 → null (no recognized marker — "no license found", which a
+    compliance pipeline treats as *exclude*, never as permissive).
+
+    Output: ``(id, license, spdx_id)``; ``license`` is the normalized
+    family tag (``spdx:`` prefix when it came from the tag), null text
+    yields a null-license row (preserve-with-zeros contract).
+
+    Scale shape: zero shuffles — fixed alternation-free regexes fused
+    into the scan (RE2-safe); case-insensitive via ``(?i)`` so both
+    engines apply the same folding.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    spdx = F.regexp_extract(
+        t, r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)", 1
+    )
+    apache = t.rlike(r"(?i)Apache License,? Version 2\.0")
+    mit = t.rlike(r"(?i)MIT License")
+    gpl = t.rlike(r"(?i)GNU (Lesser |Affero )?General Public License")
+    bsd = t.rlike(r"(?i)BSD [1-4]-Clause")
+    mpl = t.rlike(r"(?i)Mozilla Public License,? (Version |v\.? ?)2\.0")
+    return df.select(
+        F.col(id_col),
+        F.when(spdx != "", F.concat(F.lit("spdx:"), spdx))
+        .when(apache, F.lit("apache-2.0"))
+        .when(mit, F.lit("mit"))
+        .when(gpl, F.lit("gpl"))
+        .when(bsd, F.lit("bsd"))
+        .when(mpl, F.lit("mpl-2.0"))
+        .alias("license"),
+        F.when(spdx != "", spdx).alias("spdx_id"),
+    )

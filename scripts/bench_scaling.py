@@ -96,11 +96,18 @@ def _cpu_counters(cores: set[int]) -> tuple[float, float]:
     return busy, steal
 
 
-def run_at(cpus: int, sf_dir: str, pin_cores: str | None = None) -> dict:
+def run_at(
+    cpus: int,
+    sf_dir: str,
+    pin_cores: str | None = None,
+    reps: int | None = None,
+) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("SPARK_GRAFT_REPLICATE", REPLICATE)
+    if reps is not None:
+        env["SPARK_GRAFT_EXTRACT_REPS"] = str(reps)
     # PROPORTIONAL heap, same argument as proportional core pinning: a
     # 4N-executor cluster brings 4× the RAM, so each level's JVM gets
     # 4 GiB per worker (N=2 keeps the 8 GiB every prior attempt used —
@@ -182,14 +189,42 @@ def main() -> int:
     have_taskset = os.path.exists("/usr/bin/taskset")
     pin_lo = f"0-{2 * n - 1}" if have_taskset else None
     pin_hi = f"0-{2 * four_n - 1}" if have_taskset else None
-    lo = run_at(n, sf_dir, pin_cores=pin_lo)
-    hi = run_at(four_n, sf_dir, pin_cores=pin_hi)
+    # INTERLEAVED-PAIR protocol (3rd generation, outcome-blind, fixed
+    # before any of its outcomes were seen): the earlier phase design
+    # ran all N reps then all 4N reps, so the two sides of the ratio
+    # sampled host weather ~8 minutes apart — on a VM whose per-core
+    # throughput drifts ±30% on minute timescales, that gap IS the
+    # attempt-to-attempt noise (logged attempts range 0.55–1.03 while
+    # the during-phase instrument reads quiet). Here the levels
+    # alternate N,4N,N,4N,N,4N — one timed rep per JVM — and the
+    # attempt's efficiency is the MEDIAN of the three adjacent-pair
+    # ratios: each pair's sides run ~2 minutes apart, so slow drift
+    # cancels inside the pair, and the median discards one bad minute.
+    # Same estimand, same gate statistic downstream; attempts carry
+    # protocol="interleaved3" so the log separates generations.
+    pairs = []
+    lo_runs, hi_runs = [], []
+    for _ in range(3):
+        lo_i = run_at(n, sf_dir, pin_cores=pin_lo, reps=1)
+        hi_i = run_at(four_n, sf_dir, pin_cores=pin_hi, reps=1)
+        lo_runs.append(lo_i)
+        hi_runs.append(hi_i)
+        pairs.append(
+            (
+                hi_i["extraction"]["turns_per_sec"]
+                / lo_i["extraction"]["turns_per_sec"]
+            )
+            / (four_n / n)
+        )
     post_retention = round(
         host_per_core_rate(four_n) / host_per_core_rate(n), 3
     )
+    # representative per-level numbers for the report table: median rep
+    lo = sorted(lo_runs, key=lambda r: r["extraction"]["secs"])[1]
+    hi = sorted(hi_runs, key=lambda r: r["extraction"]["secs"])[1]
     tps_lo = lo["extraction"]["turns_per_sec"]
     tps_hi = hi["extraction"]["turns_per_sec"]
-    efficiency = (tps_hi / tps_lo) / (four_n / n)
+    efficiency = sorted(pairs)[1]
     attempt = {
         "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
         "n_cores": n,
@@ -207,16 +242,18 @@ def main() -> int:
         "pinned_cores": {"n": pin_lo, "4n": pin_hi},
         "driver_mem": {"n": f"{4 * n}g", "4n": f"{4 * four_n}g"},
         "during": {"n": lo["during"], "4n": hi["during"]},
+        "protocol": "interleaved3",
+        "pair_efficiencies": [round(p, 3) for p in pairs],
     }
     # hard validity condition on DURING-phase interference: average
-    # foreign-busy + steal above 1 core across either timed phase means
-    # someone else was computing inside the window — the measurement is
-    # of the neighbors, not the plan. Threshold chosen above the
-    # harness's own idle footprint (~0.1 core) and below the ~2+ cores
-    # a real contender burns; recorded either way.
+    # foreign-busy + steal above 1 core across ANY of the six timed
+    # phases means someone else was computing inside the window — the
+    # measurement is of the neighbors, not the plan. Threshold chosen
+    # above the harness's own idle footprint (~0.1 core) and below the
+    # ~2+ cores a real contender burns; recorded either way.
     interference = max(
-        (p["foreign_busy_cores"] or 0.0) + p["steal_cores"]
-        for p in (lo["during"], hi["during"])
+        (r["during"]["foreign_busy_cores"] or 0.0) + r["during"]["steal_cores"]
+        for r in lo_runs + hi_runs
     )
     attempt["during_interference_cores"] = round(interference, 2)
     if interference > 1.0:
@@ -455,7 +492,16 @@ shared-core contention).
   scheduling, final collect) vanish from the ratio; at 8× (~20 s jobs)
   those constants alone deflated measured efficiency to 0.70-0.75;
 * Python worker pool warmed (one task per core) before timing;
-* wall-clock = median of 3 runs per level, separate JVM per level;
+* wall-clock: one JVM per timed run. Attempts tagged
+  `protocol=interleaved3` alternate the levels N,4N,N,4N,N,4N (one
+  timed rep per JVM) and take the MEDIAN of the three adjacent-pair
+  ratios — each pair's sides sample host weather ~2 minutes apart
+  instead of across an 8-minute phase gap, so slow drift cancels
+  inside the pair (the dominant attempt-to-attempt noise in the log
+  below: efficiencies ranged 0.55–1.03 while the during-phase
+  instrument read quiet). Earlier attempts ran all 3 reps per level
+  back-to-back and took the ratio of per-level medians; the pool mixes
+  the generations and each attempt records which protocol produced it;
 * each level pinned to 2× its own worker count
   (`taskset -c {pin_lo}` / `taskset -c {pin_hi}`) — PROPORTIONAL
   resources, because a 4N-executor cluster brings 4× the hardware; the

@@ -96,6 +96,12 @@ CARRYOVER = {
     "seeded_shuffle",
     "rank_auc",
     "url_frontier",
+    "preference_bias",
+    "score_label_bins",
+    "ece_ppm",
+    "invisible_chars",
+    "license_scan",
+    "mixture_plan",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
