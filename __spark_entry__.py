@@ -5223,6 +5223,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_plan"] = q_mixture_plan
 
+    def q_render_chat(spark, sf):
+        """SFT chat-template rendering (chat.render_chat) over the
+        pinned transcripts with a 2000-char suffix budget — exercises
+        the truncation window and the never-empty guard; the oracle
+        replays the identical template, suffix running sum, and
+        string_agg order."""
+        from pdf_extractors_spark.operators import chat
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        return chat.render_chat(t, max_chars=2000)
+
+    q["render_chat"] = q_render_chat
+
+    def q_loss_mask_spans(spark, sf):
+        """Loss-mask char spans (chat.loss_mask_spans) of assistant
+        turns inside the untruncated rendering — exact running-length
+        integers the oracle re-derives with the same window."""
+        from pdf_extractors_spark.operators import chat
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        return chat.loss_mask_spans(t)
+
+    q["loss_mask_spans"] = q_loss_mask_spans
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -11440,6 +11468,49 @@ def oracle_sql() -> dict[str, str]:
                case when spdx <> '' then spdx end as spdx_id
         from e
     """
+    if tp is not None:
+        oracles["render_chat"] = f"""
+            with t as (
+              select conv_id, cast(turn_idx as bigint) as idx,
+                     '<|' || role || '|>' || chr(10) ||
+                     coalesce(text, '') || chr(10) ||
+                     '<|end|>' || chr(10) as seg
+              from read_parquet('{tp}')),
+            r as (select *,
+                         sum(length(seg)) over (
+                           partition by conv_id order by idx desc
+                           rows between unbounded preceding and current row)
+                           as tail,
+                         row_number() over (
+                           partition by conv_id order by idx desc) as rn
+                  from t),
+            k as (select * from r where tail <= 2000 or rn = 1)
+            select conv_id,
+                   string_agg(seg, '' order by idx) as rendered,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(length(string_agg(seg, '' order by idx)) as bigint)
+                     as n_chars
+            from k group by conv_id
+        """
+        oracles["loss_mask_spans"] = f"""
+            with t as (
+              select conv_id, cast(turn_idx as bigint) as turn_idx, role,
+                     5 + length(role) as hdr,
+                     length(coalesce(text, '')) as txt,
+                     5 + length(role) + length(coalesce(text, '')) + 9
+                       as seg_len
+              from read_parquet('{tp}')),
+            b as (select *,
+                         coalesce(sum(seg_len) over (
+                           partition by conv_id order by turn_idx
+                           rows between unbounded preceding and 1 preceding),
+                           0) as prior
+                  from t)
+            select conv_id, turn_idx,
+                   cast(prior + hdr as bigint) as span_start,
+                   cast(prior + hdr + txt as bigint) as span_end
+            from b where role = 'assistant'
+        """
     oracles["mixture_plan"] = """
         with avail as (
           select source, cast(sum(n_chars) as bigint) as avail_tokens

@@ -102,6 +102,8 @@ CARRYOVER = {
     "invisible_chars",
     "license_scan",
     "mixture_plan",
+    "render_chat",
+    "loss_mask_spans",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
