@@ -81,6 +81,16 @@ BENCH_QUERIES = [
     "jsonl_parse",
     "quantize_int8",
     "sn_pairs",
+    # continuation batch: signal evaluation (distinct-score collapse +
+    # running sum), calibration binning, the host-partitioned politeness
+    # window, and three scan-fused audits + the pair audit — the new
+    # documents-scaled shapes
+    "rank_auc",
+    "score_label_bins",
+    "url_frontier",
+    "preference_bias",
+    "invisible_chars",
+    "license_scan",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

@@ -560,10 +560,11 @@ signature columns instead of counting rows) did not get slower — r2's
 number was measuring less work. Cross-round comparisons are valid from
 r3 onward.
 
-**Suite size:** the headline suite grew during round 3 (19 → 36
+**Suite size:** the headline suite grew during round 3 (19 → 42
 queries) as new operator families landed (graph kernels, retrieval,
 CDC, classifier inference, JSONL parse, int8 quantization,
-sorted-neighborhood blocking). `value` (suite wall-clock) therefore
+sorted-neighborhood blocking, signal evaluation/calibration, crawl
+politeness, preference and provenance audits). `value` therefore
 grows when coverage grows — it is a coverage-weighted number, not a
 regression signal. Compare PER-QUERY times across rounds; the
 per-query dict in the JSON line is the stable surface.
