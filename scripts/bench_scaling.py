@@ -348,6 +348,24 @@ def _finalize() -> int:
         for a in by_eff
     )
     plan_rel_median = plan_rel[(len(plan_rel) - 1) // 2]
+    # per-generation breakdown (information, not the gate — declared
+    # while the gen-3 sample was 4 attempts and kept regardless of
+    # where it lands): the interleaved-pair protocol is the
+    # lower-variance instrument, so its own lower-median is what a
+    # re-run of the CURRENT protocol reproduces; the gate above stays
+    # on the full mixed-generation pool.
+    gen3 = sorted(
+        a["scaling_efficiency"]
+        for a in pool
+        if a.get("protocol") == "interleaved3"
+    )
+    gen3_median = gen3[(len(gen3) - 1) // 2] if gen3 else None
+    gen3_line = (
+        f"Interleaved-pair (gen-3) attempts only: {len(gen3)} in pool, "
+        f"efficiencies {gen3}, lower median **{gen3_median}**. "
+        if gen3
+        else ""
+    )
     brackets = [
         min(a["host_retention_pre"], a["host_retention_post"])
         for a in attempts
@@ -408,6 +426,13 @@ member. Pool ({pool_mode}): {len(pool)} of {len(attempts)} attempts; efficiencie
 {effs}; min {min_eff}, median {median_eff}, max {max_eff}. (An earlier
 protocol revision selected the single max-quality attempt; it passed 2
 of 11 — the envelope, not the center — and was replaced by this gate.)
+
+{gen3_line}Per-generation context, not the gate: the interleaved-pair
+protocol cancels the minute-scale host drift that dominated
+phase-protocol spread (its per-attempt pair ratios are published in
+`BENCH/attempts.jsonl`), so its sub-distribution is what a re-run of
+the CURRENT protocol reproduces; the gate stays on the full
+mixed-generation pool above.
 
 The pre/post bracket cannot see contention that arrives MID-phase (one
 logged attempt measured 0.548 inside a 0.905-quality bracket while its
