@@ -5251,6 +5251,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["loss_mask_spans"] = q_loss_mask_spans
 
+    def q_bigram_lm_score(spark, sf):
+        """Bigram-LM quality scoring (CCNet-style, corpus-own model):
+        per-position floor-bit surprisal under the add-one-smoothed
+        corpus bigram conditional — the word-ORDER companion to the
+        unigram `lm_score` (word-salad spam scores high here while
+        staying low there); integer-exact, no float log anywhere."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        return text_stats.bigram_lm_score(_spread(docs))
+
+    q["bigram_lm_score"] = q_bigram_lm_score
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6775,6 +6788,45 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.total_bits, 0) as total_bits,
                    coalesce(cast((2 * 10000 * s.total_bits + s.n_tokens)
                                  // (2 * s.n_tokens) as bigint), 0) as mean_bits_bp
+            from (select doc_id from documents) d
+            left join scored s using (doc_id)
+        """,
+        "bigram_lm_score": r"""
+            with toks as (
+              select doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') as w
+              from documents
+            ),
+            bgs as (
+              select doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i+1])) as bg
+              from toks where len(w) >= 2
+            ),
+            counts as (select bg, count(*) as c from bgs group by bg),
+            ctx as (select string_split(bg, ' ')[1] as w1,
+                           cast(sum(c) as bigint) as ctx
+                    from counts group by 1),
+            vocab as (
+              select cast(count(distinct tok) as bigint) as vocab
+              from (select unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+                    from documents)
+              where tok <> ''
+            ),
+            scored as (
+              select doc_id,
+                     cast(count(*) as bigint) as n_bigrams,
+                     cast(sum(length(bin((ctx + vocab) // (c + 1))) - 1)
+                          as bigint) as total_bits
+              from bgs
+                join counts using (bg)
+                join ctx on string_split(bg, ' ')[1] = w1, vocab
+              group by doc_id)
+            select d.doc_id,
+                   coalesce(s.n_bigrams, 0) as n_bigrams,
+                   coalesce(s.total_bits, 0) as total_bits,
+                   coalesce(cast((2 * 10000 * s.total_bits + s.n_bigrams)
+                                 // (2 * s.n_bigrams) as bigint), 0) as mean_bits_bp
             from (select doc_id from documents) d
             left join scored s using (doc_id)
         """,

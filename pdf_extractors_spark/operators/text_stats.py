@@ -3543,3 +3543,96 @@ def license_scan(
         .alias("license"),
         F.when(spdx != "", spdx).alias("spdx_id"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality signal, bigram order: per-position
+    surprisal of each token under the corpus's OWN add-one-smoothed
+    bigram conditional ``P(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V)``, in
+    integer floor-bits — ``bit_length((ctx+V) div (c+1)) - 1`` computed
+    exactly via binary-string length, the same no-float-log basis as
+    ``unigram_lm_score`` (float log2 + double summation rounds
+    differently across engines and partition orders). ``ctx(w1)`` is the
+    bigram-context count (number of corpus bigrams starting with ``w1``,
+    i.e. ``sum_w2 c(w1 w2)``) so the conditional is self-consistent, and
+    ``V`` is the corpus unigram vocabulary (the add-one event space of
+    possible next tokens).
+
+    Versus the unigram score: a document of individually-common tokens
+    in implausible ORDER (shuffled text, keyword stuffing, word-salad
+    spam) scores near-uniform surprisal here while unigram surprisal
+    stays low — the pair is the cheap two-feature approximation of the
+    CCNet perplexity bucketing, and both columns are exact integers so
+    an interpolated gate (``a*uni + b*bi``) stays engine-portable
+    downstream.
+
+    Output per document: ``n_bigrams`` (= max(n_tokens-1, 0)),
+    ``total_bits`` (exact sum), ``mean_bits_bp`` (half-up integer basis
+    points). Documents with fewer than two tokens are PRESERVED with
+    zeros (left join back to the input id set), never dropped.
+
+    Plan: one explode of per-document bigram strings, bigram counts via
+    map-side-combined groupBy, context counts as a second rollup OF THE
+    COUNTS (vocab-sized, not corpus-sized), the 1-row (vocab) scalar
+    broadcast back in, bigrams ⋈ counts on the bigram key, per-document
+    sum, left join to the id set. No UDF; replayable in ANSI SQL. At
+    100 TB the join key should be the 8-byte hash of the bigram rather
+    than the string (the ``ngram_jaccard_pairs`` trick); kept as the
+    raw string here for cross-engine value parity with the oracle.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+            ),
+            # an empty token only arises from all-whitespace/empty text
+            # (split of trimmed text), where size==1 anyway; guard the
+            # single-token-with-empty edge for belt and braces
+            lambda g: ~g.startswith(" ") & ~g.endswith(" "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgs = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    counts = bgs.groupBy("bg").agg(F.count("*").alias("c"))
+    ctx = counts.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c").alias("ctx"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+    bits = (
+        F.length(F.conv(F.expr("(ctx + vocab) div (c + 1)").cast("string"), 10, 2))
+        - 1
+    ).cast("long")
+    scored = (
+        bgs.join(counts, "bg")
+        .join(ctx, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(bits).alias("total_bits"),
+        )
+        .withColumn(
+            "mean_bits_bp",
+            F.expr(
+                "(2 * 10000 * total_bits + n_bigrams) div (2 * n_bigrams)"
+            ).cast("long"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("total_bits", F.lit(0)).cast("long").alias("total_bits"),
+            F.coalesce("mean_bits_bp", F.lit(0)).cast("long").alias("mean_bits_bp"),
+        )
+    )

@@ -589,6 +589,47 @@ def test_unigram_lm_score_surprisal_orders_common_vs_rare(spark):
     assert got[2][2] > got[1][2]
 
 
+def test_bigram_lm_score_hand_computed_and_zero_preserving(spark):
+    """Exact integer values on a hand-computable corpus, plus the
+    preserve-with-zeros contract for <2-token / empty / null docs.
+
+    Corpus bigrams: 'a b'x1, 'b a'x2; ctx(a)=1, ctx(b)=2; V=3 (a,b,x).
+    bits('a b') = bit_length((1+3) div 2) - 1 = 1
+    bits('b a') = bit_length((2+3) div 3) - 1 = 0
+    """
+    rows = [
+        (1, "a b a"),   # bigrams: 'a b', 'b a' -> 1 + 0 bits
+        (2, "b a"),     # bigram:  'b a'        -> 0 bits
+        (3, "x"),       # single token: zeros
+        (4, ""),        # empty: zeros
+        (5, None),      # null: zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["total_bits"], r["mean_bits_bp"])
+           for r in text_stats.bigram_lm_score(df).collect()}
+    assert got[1] == (2, 1, 5000)  # mean 0.5 bits -> 5000 bp (half-up)
+    assert got[2] == (1, 0, 0)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (0, 0, 0)
+    assert got[5] == (0, 0, 0)
+    assert len(got) == 5
+
+
+def test_bigram_lm_score_detects_word_salad_unigram_cannot(spark):
+    """Shuffling word order leaves the unigram score identical but
+    raises the bigram score — the pair separates word-salad spam."""
+    natural = "the cat sat on the mat " * 4
+    salad = "the the cat on mat sat the on cat sat mat the " * 2
+    rows = [(1, natural.strip()), (2, salad.strip())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["doc_id"]: r["mean_bits_bp"]
+           for r in text_stats.unigram_lm_score(df).collect()}
+    bi = {r["doc_id"]: r["mean_bits_bp"]
+          for r in text_stats.bigram_lm_score(df).collect()}
+    assert uni[1] == uni[2]       # same bag of words
+    assert bi[2] > bi[1]          # order scrambled -> higher surprisal
+
+
 def test_stratified_sample_deterministic_and_proportional(spark, documents):
     bp = {"en": 10000, "de": 0}
     s1 = sampling.stratified_sample(documents, bp).select("doc_id").collect()

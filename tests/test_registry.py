@@ -104,6 +104,7 @@ CARRYOVER = {
     "mixture_plan",
     "render_chat",
     "loss_mask_spans",
+    "bigram_lm_score",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
