@@ -5264,6 +5264,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bigram_lm_score"] = q_bigram_lm_score
 
+    def q_char_entropy(spark, sf):
+        """Character-distribution entropy in integer floor-bits —
+        the SQL-replayable gibberish/base64-blob detector beside the
+        zlib `compression_ratio` (which is no_oracle by nature):
+        uniform-alphabet blobs pin near the ceiling, natural text
+        sits low, single-char spam at zero."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        return text_stats.char_entropy(_spread(docs))
+
+    q["char_entropy"] = q_char_entropy
+
+    def q_tokenizer_fertility(spark, sf):
+        """Per-language tokenizer fertility (BPE tokens per word, bytes
+        per token) — the multilingual tokenizer-suitability rollup;
+        one map-side-combined groupBy on lang, integer-exact ratios."""
+        from pdf_extractors_spark.operators import text_stats
+
+        docs = _read(spark, sf, "documents")
+        return text_stats.tokenizer_fertility(_spread(docs))
+
+    q["tokenizer_fertility"] = q_tokenizer_fertility
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -6829,6 +6853,69 @@ def oracle_sql() -> dict[str, str]:
                                  // (2 * s.n_bigrams) as bigint), 0) as mean_bits_bp
             from (select doc_id from documents) d
             left join scored s using (doc_id)
+        """,
+        "char_entropy": r"""
+            with chars as (
+              select doc_id, unnest(string_split(text, '')) as c
+              from documents
+              where text is not null and text <> ''
+            ),
+            counts as (
+              select doc_id, c, cast(count(*) as bigint) as n
+              from chars where c <> '' group by 1, 2
+            ),
+            tot as (
+              select doc_id,
+                     cast(sum(n) as bigint) as n_chars,
+                     cast(count(*) as bigint) as distinct_chars
+              from counts group by doc_id
+            ),
+            scored as (
+              select counts.doc_id, t.n_chars, t.distinct_chars,
+                     cast(sum(n * (length(bin(t.n_chars // n)) - 1))
+                          as bigint) as total_bits
+              from counts join tot t using (doc_id)
+              group by counts.doc_id, t.n_chars, t.distinct_chars
+            )
+            select d.doc_id,
+                   coalesce(s.n_chars, 0) as n_chars,
+                   coalesce(s.distinct_chars, 0) as distinct_chars,
+                   coalesce(s.total_bits, 0) as total_bits,
+                   coalesce(cast((2 * 10000 * s.total_bits + s.n_chars)
+                                 // (2 * s.n_chars) as bigint), 0)
+                     as mean_bits_bp
+            from (select doc_id from documents) d
+            left join scored s using (doc_id)
+        """,
+        "tokenizer_fertility": r"""
+            with per_doc as (
+              select lang,
+                     cast(len(list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t <> '')) as bigint) as ws,
+                     cast(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as bigint) as bpe,
+                     cast(coalesce(octet_length(encode(text)), 0) as bigint) as b
+              from documents
+            ),
+            agg as (
+              select lang,
+                     cast(count(*) as bigint) as n_docs,
+                     cast(coalesce(sum(ws), 0) as bigint) as ws_tokens,
+                     cast(coalesce(sum(bpe), 0) as bigint) as bpe_tokens,
+                     cast(coalesce(sum(b), 0) as bigint) as n_bytes
+              from per_doc group by lang
+            )
+            select lang, n_docs, ws_tokens, bpe_tokens, n_bytes,
+                   cast(case when ws_tokens > 0
+                        then (2 * 10000 * bpe_tokens + ws_tokens)
+                             // (2 * ws_tokens) else 0 end as bigint)
+                     as fertility_bp,
+                   cast(case when bpe_tokens > 0
+                        then (2 * 10000 * n_bytes + bpe_tokens)
+                             // (2 * bpe_tokens) else 0 end as bigint)
+                     as bytes_per_token_bp
+            from agg
         """,
         "domain_counts": r"""
             select domain, count(*) as n_urls

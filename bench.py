@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "preference_bias",
     "invisible_chars",
     "license_scan",
+    # word-order LM surprisal (bigram join), per-char entropy (alphabet
+    # shuffle), per-lang fertility rollup — this session's new shapes
+    "bigram_lm_score",
+    "char_entropy",
+    "tokenizer_fertility",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

@@ -3636,3 +3636,140 @@ def bigram_lm_score(
             F.coalesce("mean_bits_bp", F.lit(0)).cast("long").alias("mean_bits_bp"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level empirical entropy per document, in integer
+    floor-bits: each character class ``c`` with count ``n_c`` of ``N``
+    total contributes ``n_c * (bit_length(N div n_c) - 1)`` bits —
+    exact integer arithmetic on the same no-float-log basis as
+    ``unigram_lm_score`` / ``bigram_lm_score``, so the DuckDB value
+    oracle replays it bit-identically.
+
+    What it catches that ``compression_ratio`` (zlib, pandas UDF,
+    ``no_oracle``) also catches — but as a pure-column, SQL-replayable
+    signal: base64/hex blobs and random gibberish sit near the uniform
+    ceiling (6+ floor-bits/char over their alphabet), natural language
+    sits far below it (floor-bit mean ~2-3), and single-character spam
+    pins to 0. The two are complementary detectors: zlib additionally
+    sees ORDER (repeated phrases), this sees only the char distribution,
+    and only this one is driver-value-oracled.
+
+    Output per document: ``n_chars``, ``distinct_chars``,
+    ``total_bits``, ``mean_bits_bp`` (half-up basis points of
+    floor-bits/char). Null/empty documents are PRESERVED with zeros.
+
+    Plan: per-char explode, map-side-combined count per (doc, char) —
+    the shuffle after partial aggregation carries one row per document
+    per DISTINCT character (~alphabet-sized, not text-sized), then one
+    exchange on the id for the per-document window totals and final
+    rollup. No UDF, no join. Unicode note: Spark splits on UTF-16 code
+    points while DuckDB splits grapheme-aware, so supplementary-plane
+    characters (emoji) count differently across engines; the oracle
+    holds on BMP text (the fixture corpus is ASCII), and the Spark-side
+    semantics are pinned by pytest either way.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy(id_col, "c").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(id_col)
+    # NOT named "N"/"K": Spark resolves columns case-insensitively by
+    # default, so withColumn("N", ...) would silently REPLACE "n"
+    bits = (
+        F.length(F.conv(F.expr("tot div n").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    scored = (
+        counts.withColumn("tot", F.sum("n").over(w).cast("long"))
+        .withColumn("kinds", F.count("*").over(w).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.first("tot").alias("n_chars"),
+            F.first("kinds").alias("distinct_chars"),
+            F.sum(F.col("n") * bits).cast("long").alias("total_bits"),
+        )
+        .withColumn(
+            "mean_bits_bp",
+            F.expr(
+                "(2 * 10000 * total_bits + n_chars) div (2 * n_chars)"
+            ).cast("long"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("distinct_chars", F.lit(0)).cast("long").alias("distinct_chars"),
+            F.coalesce("total_bits", F.lit(0)).cast("long").alias("total_bits"),
+            F.coalesce("mean_bits_bp", F.lit(0)).cast("long").alias("mean_bits_bp"),
+        )
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language tokenizer-fertility rollup: BPE-ish tokens per
+    whitespace word and bytes per token — the standard suitability
+    metric when one tokenizer must serve a multilingual corpus (high
+    fertility = the language is being shredded into short subwords and
+    effectively pays more sequence length per word of content).
+
+    Columns per language: ``n_docs``, ``ws_tokens`` (whitespace words,
+    empty-string artifacts filtered so empty/null text counts zero),
+    ``bpe_tokens`` (the same ``BPE_TOKEN_RE`` basis as ``token_count``),
+    ``n_bytes`` (UTF-8 octets), ``fertility_bp`` (half-up basis points
+    of bpe_tokens/ws_tokens), ``bytes_per_token_bp`` (octets per BPE
+    token, same rounding). Zero-denominator groups report 0 rather than
+    dividing.
+
+    Plan: pure column math per row, then ONE map-side-combined groupBy
+    on the language key — the shuffle carries one partial row per
+    (task, lang), never text. Integer-exact end to end, so the DuckDB
+    oracle replays it bit-identically.
+    """
+    ws = F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        F.greatest(ws, F.lit(0)).cast("long").alias("ws"),
+        F.greatest(bpe, F.lit(0)).cast("long").alias("bpe"),
+        F.coalesce(F.octet_length(text_col), F.lit(0)).cast("long").alias("b"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("b").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_bytes",
+            F.when(
+                F.col("ws_tokens") > 0,
+                F.expr("(2 * 10000 * bpe_tokens + ws_tokens) div (2 * ws_tokens)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fertility_bp"),
+            F.when(
+                F.col("bpe_tokens") > 0,
+                F.expr("(2 * 10000 * n_bytes + bpe_tokens) div (2 * bpe_tokens)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bytes_per_token_bp"),
+        )
+    )

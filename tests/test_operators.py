@@ -630,6 +630,71 @@ def test_bigram_lm_score_detects_word_salad_unigram_cannot(spark):
     assert bi[2] > bi[1]          # order scrambled -> higher surprisal
 
 
+def test_char_entropy_hand_computed_and_zero_preserving(spark):
+    """Exact integer floor-bit values on hand-computable strings, and
+    the preserve-with-zeros contract for empty/null text.
+
+    'aab': N=3; bits(a)=bl(3 div 2)-1=0, bits(b)=bl(3)-1=1 -> total 1
+    'abcd': N=4; every char bl(4)-1=2 -> total 8, mean 2 bits
+    """
+    rows = [
+        (1, "aab"),
+        (2, "aaaa"),   # single char class: zero entropy
+        (3, "abcd"),   # uniform alphabet: 2 floor-bits/char
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chars"], r["distinct_chars"],
+                      r["total_bits"], r["mean_bits_bp"])
+        for r in text_stats.char_entropy(df).collect()
+    }
+    assert got[1] == (3, 2, 1, 3333)   # 1/3 bit -> 3333 bp (half-up)
+    assert got[2] == (4, 1, 0, 0)
+    assert got[3] == (4, 4, 8, 20000)
+    assert got[4] == (0, 0, 0, 0)
+    assert got[5] == (0, 0, 0, 0)
+    assert len(got) == 5
+
+
+def test_char_entropy_separates_blob_from_natural_text(spark):
+    """A base64-ish uniform-alphabet blob scores far above repeated
+    natural English of the same length — the gibberish detector that,
+    unlike compression_ratio, is pure columns and SQL-oracled."""
+    import string
+
+    blob = (string.ascii_letters + string.digits + "+/") * 4
+    natural = ("the cat sat on the mat and the dog sat too " * 6)[: len(blob)]
+    rows = [(1, blob), (2, natural)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_bits_bp"]
+           for r in text_stats.char_entropy(df).collect()}
+    assert got[1] >= 50000          # uniform 64-char alphabet: 5 floor-bits
+    assert got[2] <= 30000          # natural text sits far lower
+    assert got[1] > got[2]
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """Exact per-language rollup: 'don't stop' is 2 words / 4 BPE-ish
+    tokens (don, ', t, stop) = fertility 2.0; empty and null text count
+    zero tokens and zero bytes but still count as documents."""
+    rows = [
+        (1, "en", "don't stop"),   # ws 2, bpe 4, bytes 10
+        (2, "en", ""),             # ws 0, bpe 0, bytes 0
+        (3, "de", "ab cd"),        # ws 2, bpe 2, bytes 5
+        (4, "de", None),           # ws 0, bpe 0, bytes 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: (r["n_docs"], r["ws_tokens"], r["bpe_tokens"],
+                    r["n_bytes"], r["fertility_bp"], r["bytes_per_token_bp"])
+        for r in text_stats.tokenizer_fertility(df).collect()
+    }
+    assert got["en"] == (2, 2, 4, 10, 20000, 25000)
+    assert got["de"] == (2, 2, 2, 5, 10000, 25000)
+
+
 def test_stratified_sample_deterministic_and_proportional(spark, documents):
     bp = {"en": 10000, "de": 0}
     s1 = sampling.stratified_sample(documents, bp).select("doc_id").collect()

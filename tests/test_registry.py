@@ -105,6 +105,8 @@ CARRYOVER = {
     "render_chat",
     "loss_mask_spans",
     "bigram_lm_score",
+    "char_entropy",
+    "tokenizer_fertility",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
