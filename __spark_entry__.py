@@ -5288,6 +5288,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tokenizer_fertility"] = q_tokenizer_fertility
 
+    def q_dates_extract(spark, sf):
+        """Date field extraction + ISO normalization (text_stats.
+        dates_extract). Fixture text has no dates, so spans covering
+        all four formats — nordic dd.mm.yyyy (two per doc, the
+        reference's invoice shape), ISO, US slash, month-name — plus
+        one bounds-invalid mention are planted deterministically (md5
+        bucket of doc_id); same plant in the oracle."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("dt:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(5),
+        )
+        planted = docs.withColumn(
+            "text",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(
+                    bkt == 0,
+                    F.lit(" Invoice Date: 25.03.2022 Due Date: 08.04.2022"),
+                )
+                .when(bkt == 1, F.lit(" updated 2024-07-01 end"))
+                .when(bkt == 2, F.lit(" filed 3/14/2015 ok"))
+                .when(
+                    bkt == 3,
+                    F.lit(" signed March 5, 1999 and Dec 31, 2024"),
+                )
+                .otherwise(F.lit(" broken 45.13.2022 tail")),
+            ),
+        )
+        return text_stats.dates_extract(planted)
+
+    q["dates_extract"] = q_dates_extract
+
+    def q_html_tables(spark, sf):
+        """HTML <table> cell extraction (text_stats.html_tables).
+        Fixture text has no markup, so tables covering the header/data
+        split, multiple tables per doc, attribute-carrying and
+        uppercase tags, and nested inline tags are planted
+        deterministically (md5 bucket of doc_id); same plant in the
+        oracle."""
+        from pdf_extractors_spark.operators import text_stats
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        bkt = F.pmod(
+            md5_bigint(
+                F.concat(F.lit("ht:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(4),
+        )
+        planted = docs.withColumn(
+            "text",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(
+                    bkt == 0,
+                    F.lit(
+                        " <table><tr><th>h1</th><th>h2</th></tr>"
+                        "<tr><td>a</td><td>b</td></tr></table>"
+                    ),
+                )
+                .when(
+                    bkt == 1,
+                    F.lit(
+                        ' <table class="x"><tr><td> spaced  text </td></tr>'
+                        "</table> then <table><tr><td>2nd</td></tr></table>"
+                    ),
+                )
+                .when(
+                    bkt == 2,
+                    F.lit(
+                        " <TABLE><TR><TD>UPPER<b>bold</b></TD></TR></TABLE>"
+                    ),
+                )
+                .otherwise(F.lit("")),
+            ),
+        )
+        return text_stats.html_tables(planted)
+
+    q["html_tables"] = q_html_tables
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -11673,5 +11759,126 @@ def oracle_sql() -> dict[str, str]:
                cast(target_tokens - alloc_tokens as bigint)
                  as shortfall_tokens
         from u
+    """
+    from pdf_extractors_spark.operators.text_stats import DATE_RE as _DT_RE
+
+    _md5_dt = md5_bigint_sql("'dt:' || cast(doc_id as varchar)")
+    oracles["dates_extract"] = f"""
+        with planted as (
+          select doc_id,
+                 coalesce(text, '') || case ({_md5_dt}) % 5
+                   when 0 then ' Invoice Date: 25.03.2022 Due Date: 08.04.2022'
+                   when 1 then ' updated 2024-07-01 end'
+                   when 2 then ' filed 3/14/2015 ok'
+                   when 3 then ' signed March 5, 1999 and Dec 31, 2024'
+                   else ' broken 45.13.2022 tail' end as text
+          from documents),
+        m as (
+          select doc_id, regexp_extract_all(text, '{_DT_RE}') as arr
+          from planted),
+        e as (
+          select doc_id,
+                 unnest(range(0, len(arr))) as match_idx,
+                 unnest(arr) as raw
+          from m),
+        c as (
+          select doc_id, cast(match_idx as bigint) as match_idx, raw,
+                 case when regexp_matches(raw, '^\\d{{4}}-') then 'iso'
+                      when regexp_matches(raw, '^\\d{{2}}\\.') then 'dmy_dot'
+                      when regexp_matches(raw, '^[0-9]{{1,2}}/')
+                        then 'mdy_slash'
+                      else 'month_name' end as fmt
+          from e),
+        p as (
+          select doc_id, match_idx, raw, fmt,
+                 cast(case fmt
+                      when 'iso' then split_part(raw, '-', 1)
+                      when 'dmy_dot' then split_part(raw, '.', 3)
+                      when 'mdy_slash' then split_part(raw, '/', 3)
+                      else regexp_extract(raw, ', (\\d{{4}})$', 1)
+                      end as bigint) as y,
+                 case fmt
+                 when 'iso' then cast(split_part(raw, '-', 2) as bigint)
+                 when 'dmy_dot' then cast(split_part(raw, '.', 2) as bigint)
+                 when 'mdy_slash' then cast(split_part(raw, '/', 1) as bigint)
+                 else case lower(substr(raw, 1, 3))
+                      when 'jan' then 1 when 'feb' then 2 when 'mar' then 3
+                      when 'apr' then 4 when 'may' then 5 when 'jun' then 6
+                      when 'jul' then 7 when 'aug' then 8 when 'sep' then 9
+                      when 'oct' then 10 when 'nov' then 11 else 12 end
+                 end as mo,
+                 cast(case fmt
+                      when 'iso' then split_part(raw, '-', 3)
+                      when 'dmy_dot' then split_part(raw, '.', 1)
+                      when 'mdy_slash' then split_part(raw, '/', 2)
+                      else regexp_extract(raw, ' (\\d{{1,2}}),', 1)
+                      end as bigint) as d
+          from c)
+        select doc_id, match_idx, raw, fmt,
+               (mo between 1 and 12 and d between 1 and 31) as valid,
+               case when mo between 1 and 12 and d between 1 and 31
+                    then cast(y as varchar) || '-'
+                         || lpad(cast(mo as varchar), 2, '0') || '-'
+                         || lpad(cast(d as varchar), 2, '0')
+                    else null end as iso
+        from p
+    """
+    from pdf_extractors_spark.operators.text_stats import (
+        HTML_TABLE_RE as _HTBL_RE,
+        _HTML_TR_RE as _HTR_RE,
+        _HTML_CELL_RE as _HCELL_RE,
+    )
+
+    _md5_ht = md5_bigint_sql("'ht:' || cast(doc_id as varchar)")
+    oracles["html_tables"] = f"""
+        with planted as (
+          select doc_id,
+                 coalesce(text, '') || case ({_md5_ht}) % 4
+                   when 0 then ' <table><tr><th>h1</th><th>h2</th></tr>'
+                               || '<tr><td>a</td><td>b</td></tr></table>'
+                   when 1 then ' <table class="x"><tr><td> spaced  text '
+                               || '</td></tr></table> then '
+                               || '<table><tr><td>2nd</td></tr></table>'
+                   when 2 then ' <TABLE><TR><TD>UPPER<b>bold</b>'
+                               || '</TD></TR></TABLE>'
+                   else '' end as text
+          from documents),
+        t as (
+          select doc_id,
+                 regexp_extract_all(text, '{_HTBL_RE}') as arr
+          from planted),
+        te as (
+          select doc_id,
+                 unnest(range(0, len(arr))) as table_idx,
+                 unnest(arr) as tbl
+          from t),
+        r as (
+          select doc_id, table_idx,
+                 regexp_extract_all(tbl, '{_HTR_RE}') as arr
+          from te),
+        re as (
+          select doc_id, table_idx,
+                 unnest(range(0, len(arr))) as row_idx,
+                 unnest(arr) as rw
+          from r),
+        c as (
+          select doc_id, table_idx, row_idx,
+                 regexp_extract_all(rw, '{_HCELL_RE}') as arr
+          from re),
+        ce as (
+          select doc_id, table_idx, row_idx,
+                 unnest(range(0, len(arr))) as col_idx,
+                 unnest(arr) as cell_raw
+          from c)
+        select doc_id,
+               cast(table_idx as bigint) as table_idx,
+               cast(row_idx as bigint) as row_idx,
+               cast(col_idx as bigint) as col_idx,
+               regexp_matches(cell_raw, '(?i)^<th') as is_header,
+               trim(regexp_replace(regexp_replace(
+                 regexp_replace(cell_raw,
+                   '(?is)^<t[dh][^>]*>|</t[dh]>$', '', 'g'),
+                 '(?s)<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) as cell
+        from ce
     """
     return oracles

@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "bigram_lm_score",
     "char_entropy",
     "tokenizer_fertility",
+    # field parsers over markup/mentions — both zero-exchange explodes
+    "dates_extract",
+    "html_tables",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

@@ -3773,3 +3773,188 @@ def tokenizer_fertility(
             .alias("bytes_per_token_bp"),
         )
     )
+
+
+# Combined date-mention pattern: dd.mm.yyyy (the reference's nordic
+# invoice format — 'Invoice Date: 25.03.2022', reference
+# extractors/nordic.py date fields), ISO yyyy-mm-dd, US m/d/yyyy, and
+# English month-name dates ('March 5, 1999'). Longest-first inside the
+# month alternation; no lookarounds (RE2-safe, so the DuckDB oracle
+# runs the identical pattern).
+DATE_RE = (
+    r"\b(?:\d{2}\.\d{2}\.\d{4}"
+    r"|\d{4}-\d{2}-\d{2}"
+    r"|\d{1,2}/\d{1,2}/\d{4}"
+    r"|(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May"
+    r"|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?"
+    r"|Nov(?:ember)?|Dec(?:ember)?) \d{1,2}, \d{4})\b"
+)
+
+_MONTH_NUM = {
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
+    "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
+}
+
+
+def dates_extract(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide date field parsing — the reference's per-invoice date
+    extraction ('Invoice Date: 25.03.2022' / 'Delivery date' fields in
+    the nordic patterns, reference extractors/nordic.py) generalized to
+    every document and every common written form, normalized to one
+    canonical ISO string a downstream join or range predicate can
+    actually use (raw date strings don't sort; four formats don't
+    equi-join).
+
+    One row per match: ``(doc_id, match_idx, raw, fmt, valid, iso)`` —
+    ``match_idx`` the 0-based occurrence order over the combined
+    pattern, ``fmt`` one of ``dmy_dot`` (dd.mm.yyyy, European/nordic),
+    ``iso`` (yyyy-mm-dd), ``mdy_slash`` (m/d/yyyy, US convention —
+    slash dates are AMBIGUOUS between US and European reading; this
+    operator documents its choice rather than guessing per-row),
+    ``month_name`` ('March 5, 1999', full or 3-letter month). ``valid``
+    is the simple bounds check month∈[1,12] ∧ day∈[1,31] (a calendar
+    check — Feb 30, leap years — is deliberately out of scope: the
+    signal wanted at corpus scale is "parseable date mention", and the
+    simple rule replays exactly in SQL); invalid matches keep their row
+    with ``iso`` null, so the extractor never silently drops what the
+    pattern matched. Documents with no dates emit no rows (pair with
+    ``filter_attrition`` when the drop matters, exactly like
+    ``amounts_extract``).
+
+    Shape: one ``regexp_extract_all`` fused into the scan, one
+    posexplode, then pure classify/split/lpad column math — zero
+    exchanges, zero UDFs, zero joins; output volume is bounded by
+    matches, not documents. The DuckDB oracle replays the same pattern
+    and the same arithmetic byte-exactly."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(t, F.lit(DATE_RE), 0)).alias(
+            "match_idx", "raw"
+        ),
+    )
+    raw = F.col("raw")
+    fmt = (
+        F.when(raw.rlike(r"^\d{4}-"), F.lit("iso"))
+        .when(raw.rlike(r"^\d{2}\."), F.lit("dmy_dot"))
+        .when(raw.rlike("^[0-9]{1,2}/"), F.lit("mdy_slash"))
+        .otherwise(F.lit("month_name"))
+    )
+    mon_name = F.lower(F.substring(raw, 1, 3))
+    mon_map = F.lit(None).cast("long")
+    for name, num in _MONTH_NUM.items():
+        mon_map = F.when(mon_name == name, F.lit(num)).otherwise(mon_map)
+    year = (
+        F.when(fmt == "iso", F.split_part(raw, F.lit("-"), F.lit(1)))
+        .when(fmt == "dmy_dot", F.split_part(raw, F.lit("."), F.lit(3)))
+        .when(fmt == "mdy_slash", F.split_part(raw, F.lit("/"), F.lit(3)))
+        .otherwise(F.regexp_extract(raw, r", (\d{4})$", 1))
+        .cast("long")
+    )
+    month = (
+        F.when(fmt == "iso", F.split_part(raw, F.lit("-"), F.lit(2)).cast("long"))
+        .when(fmt == "dmy_dot", F.split_part(raw, F.lit("."), F.lit(2)).cast("long"))
+        .when(
+            fmt == "mdy_slash",
+            F.split_part(raw, F.lit("/"), F.lit(1)).cast("long"),
+        )
+        .otherwise(mon_map)
+    )
+    day = (
+        F.when(fmt == "iso", F.split_part(raw, F.lit("-"), F.lit(3)))
+        .when(fmt == "dmy_dot", F.split_part(raw, F.lit("."), F.lit(1)))
+        .when(fmt == "mdy_slash", F.split_part(raw, F.lit("/"), F.lit(2)))
+        .otherwise(F.regexp_extract(raw, r" (\d{1,2}),", 1))
+        .cast("long")
+    )
+    valid = month.between(1, 12) & day.between(1, 31)
+    iso = F.concat(
+        year.cast("string"),
+        F.lit("-"),
+        F.lpad(month.cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(day.cast("string"), 2, "0"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("match_idx").cast("long").alias("match_idx"),
+        "raw",
+        fmt.alias("fmt"),
+        valid.alias("valid"),
+        F.when(valid, iso).otherwise(F.lit(None).cast("string")).alias("iso"),
+    )
+
+
+# (?is): case-insensitive + DOTALL, inline so the SAME pattern string
+# runs on Java regex (Spark) and RE2 (DuckDB); non-greedy spans keep
+# sibling elements separate. No lookarounds (RE2-safe).
+HTML_TABLE_RE = r"(?is)<table[^>]*>.*?</table>"
+_HTML_TR_RE = r"(?is)<tr[^>]*>.*?</tr>"
+_HTML_CELL_RE = r"(?is)<t[dh][^>]*>.*?</t[dh]>"
+
+
+def html_tables(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML ``<table>`` extraction — the markup-side sibling of
+    ``markdown_tables`` and the HTML analogue of the reference's core
+    table recovery (lattice/ruled scans, reference extractors ruled.py):
+    every cell of every ``<table>`` lands as its own typed row, ready
+    for the same downstream joins/rollups the PDF-derived tables feed.
+
+    Emits ``(id, table_idx, row_idx, col_idx, is_header, cell)``:
+    indices 0-based in document order (tables within the document, rows
+    within the table, cells left-to-right within the row);
+    ``is_header`` marks ``<th>`` cells; ``cell`` is the inner text with
+    nested tags stripped and whitespace collapsed/trimmed. Documents
+    without tables emit nothing (pair with ``filter_attrition`` when
+    the drop matters). Malformed markup contract: an unclosed element
+    simply never matches its non-greedy span — the extractor emits what
+    is well-formed and nothing else, it never guesses at repair (the
+    corpus-repair pass is ``corpus_clean``'s job, not a side effect
+    here). Nested tables are counted once, flattened into the outer
+    table's span (the inner ``</table>`` closes the non-greedy outer
+    match; cell-tag sweep then sees both layers' cells) — fine for the
+    layout-table HTML this targets, documented so nobody expects a DOM.
+
+    Shape: three chained ``regexp_extract_all`` + ``posexplode`` hops —
+    document → tables → rows → cells — all narrow: zero exchanges, zero
+    UDFs, zero joins; output volume is bounded by cells, not documents.
+    The DuckDB oracle replays the identical patterns (inline ``(?is)``
+    flags, so one pattern string serves both engines)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tables = df.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(t, F.lit(HTML_TABLE_RE), 0)).alias(
+            "table_idx", "_tbl"
+        ),
+    )
+    rows = tables.select(
+        F.col(id_col),
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_tbl"), F.lit(_HTML_TR_RE), 0)
+        ).alias("row_idx", "_row"),
+    )
+    cells = rows.select(
+        F.col(id_col),
+        "table_idx",
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_row"), F.lit(_HTML_CELL_RE), 0)
+        ).alias("col_idx", "_cell"),
+    )
+    inner = F.regexp_replace(
+        F.col("_cell"), r"(?is)^<t[dh][^>]*>|</t[dh]>$", ""
+    )
+    text = F.trim(F.regexp_replace(F.regexp_replace(inner, r"(?s)<[^>]*>", ""), r"\s+", " "))
+    return cells.select(
+        F.col(id_col),
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        F.col("_cell").rlike("(?i)^<th").alias("is_header"),
+        text.alias("cell"),
+    )

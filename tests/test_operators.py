@@ -675,6 +675,63 @@ def test_char_entropy_separates_blob_from_natural_text(spark):
     assert got[1] > got[2]
 
 
+def test_dates_extract_all_formats_and_validity(spark):
+    """Every supported written form normalizes to the same ISO string;
+    a bounds-invalid mention keeps its row with iso null; match order
+    follows document position across mixed formats."""
+    rows = [
+        (1, "Invoice Date: 25.03.2022 Due Date: 08.04.2022"),
+        (2, "updated 2024-07-01 and filed 3/14/2015"),
+        (3, "signed March 5, 1999 then Dec 31, 2024"),
+        (4, "broken 45.13.2022 tail"),
+        (5, "no dates here"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["match_idx"]): (r["raw"], r["fmt"], r["valid"], r["iso"])
+        for r in text_stats.dates_extract(df).collect()
+    }
+    assert got[(1, 0)] == ("25.03.2022", "dmy_dot", True, "2022-03-25")
+    assert got[(1, 1)] == ("08.04.2022", "dmy_dot", True, "2022-04-08")
+    assert got[(2, 0)] == ("2024-07-01", "iso", True, "2024-07-01")
+    assert got[(2, 1)] == ("3/14/2015", "mdy_slash", True, "2015-03-14")
+    assert got[(3, 0)] == ("March 5, 1999", "month_name", True, "1999-03-05")
+    assert got[(3, 1)] == ("Dec 31, 2024", "month_name", True, "2024-12-31")
+    assert got[(4, 0)] == ("45.13.2022", "dmy_dot", False, None)
+    assert len(got) == 7          # docs 5 and 6 emit no rows
+
+
+def test_html_tables_structure_headers_and_tag_strip(spark):
+    """Header flags, multi-table indexing, whitespace collapse, nested
+    inline-tag strip, uppercase tags, and the malformed-markup contract
+    (unclosed cell emits nothing)."""
+    rows = [
+        (1, "<table><tr><th>h1</th><th>h2</th></tr>"
+            "<tr><td>a</td><td>b</td></tr></table>"),
+        (2, '<table class="x"><tr><td> spaced  text </td></tr></table>'
+            " then <table><tr><td>2nd</td></tr></table>"),
+        (3, "<TABLE><TR><TD>UPPER<b>bold</b></TD></TR></TABLE>"),
+        (4, "<table><tr><td>never closed"),
+        (5, "no markup"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["table_idx"], r["row_idx"], r["col_idx"]):
+            (r["is_header"], r["cell"])
+        for r in text_stats.html_tables(df).collect()
+    }
+    assert got[(1, 0, 0, 0)] == (True, "h1")
+    assert got[(1, 0, 0, 1)] == (True, "h2")
+    assert got[(1, 0, 1, 0)] == (False, "a")
+    assert got[(1, 0, 1, 1)] == (False, "b")
+    assert got[(2, 0, 0, 0)] == (False, "spaced text")
+    assert got[(2, 1, 0, 0)] == (False, "2nd")
+    assert got[(3, 0, 0, 0)] == (False, "UPPERbold")
+    assert len(got) == 7          # docs 4-6 emit nothing
+
+
 def test_tokenizer_fertility_hand_computed(spark):
     """Exact per-language rollup: 'don't stop' is 2 words / 4 BPE-ish
     tokens (don, ', t, stop) = fertility 2.0; empty and null text count

@@ -107,6 +107,8 @@ CARRYOVER = {
     "bigram_lm_score",
     "char_entropy",
     "tokenizer_fertility",
+    "dates_extract",
+    "html_tables",
     "prompt_dedup",
     "code_detect",
     "markdown_strip",
