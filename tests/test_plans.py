@@ -1349,3 +1349,63 @@ def test_refusal_scan_plan_budget(spark):
         no_python=True,
         shuffle_keys={"conv_id"},
     )
+
+
+def test_dates_extract_no_exchange(spark):
+    """Date field extraction is regexp-fused scan + one posexplode +
+    pure classify/split column math — zero shuffles."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "due 25.03.2022"), (2, "on 2024-07-01")],
+        "doc_id long, text string",
+    )
+    plan = _plan(text_stats.dates_extract(df))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_html_tables_no_exchange(spark):
+    """The three chained regexp_extract_all + posexplode hops
+    (document -> tables -> rows -> cells) are all narrow — zero
+    shuffles, zero UDFs."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "<table><tr><td>a</td></tr></table>")],
+        "doc_id long, text string",
+    )
+    plan = _plan(text_stats.html_tables(df))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_char_entropy_bounded_exchanges_no_text_shuffle(spark):
+    """The per-char explode collapses map-side: what shuffles is one
+    row per (doc, distinct char) — partial_count before the exchange —
+    plus the id-keyed window/rollup and the preserve-nulls re-join.
+    No Python UDF anywhere."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "aab"), (2, None)], "doc_id long, text string"
+    )
+    plan = _plan(text_stats.char_entropy(df))
+    assert "partial_count" in plan, plan   # explode crushed map-side
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_tokenizer_fertility_single_lang_exchange(spark):
+    """Per-row token math fuses into the scan; ONE map-side-combined
+    groupBy on lang is the only exchange."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "de", "x")],
+        "doc_id long, lang string, text string",
+    )
+    plan = _plan(text_stats.tokenizer_fertility(df))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan
