@@ -5374,6 +5374,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["html_tables"] = q_html_tables
 
+    def q_ndcg_eval(spark, sf):
+        """Exact-integer NDCG@10 per query (retrieval.ndcg_at_k) —
+        the graded-relevance ranking gate beside rank_auc (binary) and
+        ann_recall (set overlap). Scores and judgments are planted
+        deterministically from md5 buckets of event_id so rankings are
+        identical in both engines; the id tiebreak makes the
+        permutation total."""
+        from pdf_extractors_spark.operators import retrieval
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        ev = _read(spark, sf, "events")
+        judged = ev.select(
+            F.col("user_id").alias("query_id"),
+            F.col("event_id"),
+            F.pmod(
+                md5_bigint(
+                    F.concat(F.lit("nds:"), F.col("event_id").cast("string"))
+                ),
+                F.lit(1000),
+            ).alias("score"),
+            F.pmod(
+                md5_bigint(
+                    F.concat(F.lit("ndr:"), F.col("event_id").cast("string"))
+                ),
+                F.lit(4),
+            ).alias("rel"),
+        )
+        return retrieval.ndcg_at_k(
+            judged, "query_id", "event_id", "score", "rel", k=10
+        )
+
+    q["ndcg_eval"] = q_ndcg_eval
+
+    def q_response_rouge(spark, sf):
+        """ROUGE-2 extractiveness of each assistant response against
+        the user prompt immediately before it (text_stats.
+        rouge_n_pairs over the transcripts fixture): clipped-count
+        bigram precision/recall/F1 in exact basis points — precision
+        high means the model is quoting its input. Pairing is a lag
+        window per conversation; only (user → assistant) adjacencies
+        score."""
+        from pyspark.sql import Window
+
+        from pdf_extractors_spark.operators import text_stats
+
+        t = _transcripts(spark, "sf0.01").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        pairs = (
+            t.withColumn("_prev_text", F.lag("text").over(w))
+            .withColumn("_prev_role", F.lag("role").over(w))
+            .filter(
+                (F.col("role") == "assistant")
+                & (F.col("_prev_role") == "user")
+            )
+        )
+        return text_stats.rouge_n_pairs(
+            pairs, "text", "_prev_text", ("conv_id", "turn_idx"), n=2
+        )
+
+    q["response_rouge"] = q_response_rouge
+
+    def q_warc_parse(spark, sf):
+        """WARC-style container → typed records (operators/warc.py):
+        documents are rendered into multi-record crawl containers
+        (8-ish records each, CRLF framing, octet Content-Length) and
+        parsed back with the columnar splitter; one md5 bucket of
+        records is written with a WRONG declared length so the
+        length_ok quarantine flag is exercised. The oracle emits the
+        expected rows straight from the documents table — the query
+        passes only if render → parse is an exact round-trip."""
+        from pdf_extractors_spark.operators import warc
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        docs = _read(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        body = F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), "\r", ""
+        )
+        bad = (
+            F.pmod(md5_bigint(F.concat(F.lit("wb:"), did)), F.lit(7)) == 0
+        )
+        rec = warc.warc_render(
+            F.element_at(
+                F.array(
+                    F.lit("response"), F.lit("request"), F.lit("metadata")
+                ),
+                (
+                    F.pmod(
+                        md5_bigint(F.concat(F.lit("wt:"), did)), F.lit(3)
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/doc/"),
+                did,
+            ),
+            F.concat(
+                F.lit("<urn:uuid:"),
+                F.md5(F.concat(F.lit("wr:"), did)),
+                F.lit(">"),
+            ),
+            body,
+            declared_length=F.octet_length(body)
+            + F.when(bad, F.lit(1)).otherwise(F.lit(0)),
+        )
+        containers = (
+            docs.select(
+                (F.col("doc_id") % 50).alias("container_id"),
+                F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+            )
+            .groupBy("container_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")),
+                        lambda s: s["rec"],
+                    ),
+                    "",
+                ).alias("container")
+            )
+        )
+        return warc.warc_records(containers, "container", "container_id")
+
+    q["warc_parse"] = q_warc_parse
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -11880,5 +12010,138 @@ def oracle_sql() -> dict[str, str]:
                    '(?is)^<t[dh][^>]*>|</t[dh]>$', '', 'g'),
                  '(?s)<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) as cell
         from ce
+    """
+    from pdf_extractors_spark.operators.retrieval import ndcg_discounts
+
+    _ndcg_w = "[" + ", ".join(str(w) for w in ndcg_discounts(10)) + "]"
+    _md5_nds = md5_bigint_sql("concat('nds:', event_id)")
+    _md5_ndr = md5_bigint_sql("concat('ndr:', event_id)")
+    oracles["ndcg_eval"] = f"""
+        with j as (
+          select user_id as query, event_id as id,
+                 ({_md5_nds}) % 1000 as s,
+                 ({_md5_ndr}) % 4 as r
+          from events),
+        ranked as (
+          select query,
+                 (cast(1 as bigint) << cast(r as int)) - 1 as g,
+                 row_number() over (partition by query
+                                    order by s desc, id asc) as p,
+                 row_number() over (partition by query
+                                    order by r desc, id asc) as ip
+          from j),
+        agg as (
+          select query,
+                 cast(count(*) as bigint) as n_items,
+                 cast(coalesce(sum(case when p <= 10
+                   then g * ({_ndcg_w})[cast(p as int)] end), 0)
+                   as bigint) as dcg_scaled,
+                 cast(coalesce(sum(case when ip <= 10
+                   then g * ({_ndcg_w})[cast(ip as int)] end), 0)
+                   as bigint) as idcg_scaled
+          from ranked group by query)
+        select query, n_items, dcg_scaled, idcg_scaled,
+               case when idcg_scaled > 0
+                    then cast((cast(1000000 as hugeint) * dcg_scaled)
+                              // idcg_scaled as bigint)
+               end as ndcg_ppm
+        from agg
+    """
+    if tp:
+        oracles["response_rouge"] = rf"""
+            with base as (
+              select conv_id, turn_idx, role, text,
+                     lag(text) over (partition by conv_id
+                                     order by turn_idx) as prev_text,
+                     lag(role) over (partition by conv_id
+                                     order by turn_idx) as prev_role
+              from read_parquet('{tp}')),
+            p as (
+              select conv_id, turn_idx, text as cand, prev_text as ref
+              from base
+              where role = 'assistant' and prev_role = 'user'),
+            w as (
+              select conv_id, turn_idx,
+                     list_filter(string_split_regex(
+                       trim(lower(cand)), '\s+'), t -> t <> '') as cw,
+                     list_filter(string_split_regex(
+                       trim(lower(ref)), '\s+'), t -> t <> '') as rw
+              from p),
+            g as (
+              select conv_id, turn_idx,
+                     (case when len(cw) >= 2
+                       then list_transform(range(0, len(cw) - 1),
+                              i -> cw[i + 1] || ' ' || cw[i + 2])
+                       else [] end) as cg,
+                     (case when len(rw) >= 2
+                       then list_transform(range(0, len(rw) - 1),
+                              i -> rw[i + 1] || ' ' || rw[i + 2])
+                       else [] end) as rg
+              from w),
+            cc as (
+              select conv_id, turn_idx, unnest(cg) as g,
+                     cast(1 as bigint) as c, cast(0 as bigint) as r
+              from g),
+            rc as (
+              select conv_id, turn_idx, unnest(rg) as g,
+                     cast(0 as bigint) as c, cast(1 as bigint) as r
+              from g),
+            pg as (
+              select conv_id, turn_idx, g,
+                     sum(c) as c, sum(r) as r
+              from (select * from cc union all select * from rc)
+              group by 1, 2, 3),
+            m as (
+              select conv_id, turn_idx,
+                     sum(least(c, r)) as overlap,
+                     sum(c) as cand_grams,
+                     sum(r) as ref_grams
+              from pg group by 1, 2)
+            select p.conv_id, p.turn_idx,
+                   cast(coalesce(m.overlap, 0) as bigint) as overlap,
+                   cast(coalesce(m.cand_grams, 0) as bigint) as cand_grams,
+                   cast(coalesce(m.ref_grams, 0) as bigint) as ref_grams,
+                   cast(case when coalesce(m.ref_grams, 0) > 0
+                     then (2 * 10000 * m.overlap + m.ref_grams)
+                          // (2 * m.ref_grams) end as bigint) as recall_bp,
+                   cast(case when coalesce(m.cand_grams, 0) > 0
+                     then (2 * 10000 * m.overlap + m.cand_grams)
+                          // (2 * m.cand_grams) end as bigint)
+                     as precision_bp,
+                   cast(case when coalesce(m.cand_grams, 0)
+                               + coalesce(m.ref_grams, 0) > 0
+                     then (2 * 10000 * 2 * m.overlap
+                           + (m.cand_grams + m.ref_grams))
+                          // (2 * (m.cand_grams + m.ref_grams))
+                     end as bigint) as f1_bp
+            from p left join m
+              on p.conv_id = m.conv_id and p.turn_idx = m.turn_idx
+        """
+    _md5_wt = md5_bigint_sql("concat('wt:', doc_id)")
+    _md5_wb = md5_bigint_sql("concat('wb:', doc_id)")
+    oracles["warc_parse"] = f"""
+        with d as (
+          select doc_id,
+                 doc_id % 50 as container_id,
+                 regexp_replace(coalesce(text, ''), chr(13), '', 'g')
+                   as body,
+                 (['response', 'request', 'metadata'])[
+                   cast(({_md5_wt}) % 3 as int) + 1] as warc_type,
+                 'https://' || source || '.example.com/doc/' || doc_id
+                   as target_uri,
+                 '<urn:uuid:' || md5(concat('wr:', doc_id)) || '>'
+                   as record_id,
+                 case when ({_md5_wb}) % 7 = 0 then 1 else 0 end as badlen
+          from documents)
+        select container_id,
+               cast(row_number() over (partition by container_id
+                                       order by doc_id) - 1 as bigint)
+                 as rec_idx,
+               warc_type, target_uri, record_id,
+               cast(strlen(body) + badlen as bigint)
+                 as content_length,
+               body,
+               (badlen = 0) as length_ok
+        from d
     """
     return oracles

@@ -99,6 +99,13 @@ BENCH_QUERIES = [
     # field parsers over markup/mentions — both zero-exchange explodes
     "dates_extract",
     "html_tables",
+    # round-3h: graded ranking eval (one query-keyed exchange) and the
+    # WARC container round-trip (render agg + zero-exchange parse);
+    # response_rouge is excluded — it reads the PINNED sf0.01
+    # transcripts fixture (oracle-tier contract), so its timing would
+    # not scale with sf_dir
+    "ndcg_eval",
+    "warc_parse",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

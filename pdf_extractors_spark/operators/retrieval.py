@@ -254,3 +254,137 @@ def sparse_cosine_pairs(
             "cos2_bp",
         )
     )
+
+
+# ------------------------------------------------------------- ndcg_at_k
+
+
+def ndcg_discounts(k: int) -> list[int]:
+    """Integer rank-discount table for :func:`ndcg_at_k`:
+    ``W[p] = round(2^32 / log2(p + 1))`` for positions ``1..k``. The
+    scale is fixed (2^32) and the table is computed once from the same
+    formula in every engine's driver, so DCG becomes an exact integer
+    dot product — the float ``log2`` lives only in this constant table,
+    never in per-row engine math (the no-float oracle rule, same move
+    as bm25_topk's rational k1/b)."""
+    import math
+
+    return [int(round(2**32 / math.log2(p + 1))) for p in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    max_rel: int = 20,
+) -> DataFrame:
+    """Exact-integer NDCG@k per query — the graded-relevance companion
+    to ``rank_auc`` (binary, corpus-level) and ``ann_recall`` (set
+    overlap): given a retrieval system's integer scores and graded
+    judgments, how close is each query's ranking to its ideal one?
+    This is the gate a pipeline runs on a reranker or embedding model
+    before letting it mine hard negatives / quality sets from 10^10
+    candidates.
+
+    Semantics (one row per query):
+
+    * ranking = order by (score desc, id asc) — the id tiebreak makes
+      the permutation TOTAL, so the statistic is engine-portable even
+      with duplicate scores (an arbitrary-tiebreak NDCG is not a
+      well-defined number at all);
+    * ``gain = 2^rel - 1`` with ``rel`` clamped to ``[0, max_rel]``
+      (bit-shift, exact; max_rel=20 with k ≤ 1000 keeps the scaled
+      DCG sum < 2^62 — both bounds enforced);
+    * ``dcg_scaled = Σ_{p ≤ k} gain · W[p]`` over the realized ranking
+      and ``idcg_scaled`` over the ideal (rel-desc) one, with ``W``
+      from :func:`ndcg_discounts`;
+    * ``ndcg_ppm = (10^6 · dcg) div idcg`` in decimal(38); a query
+      whose judged items are all rel=0 has idcg=0 and yields null
+      (not a fake 1.0).
+
+    Null query/id/score/rel rows are dropped (a null judgment is not a
+    zero judgment).
+
+    Scale shape: ONE exchange on the query key; both the realized and
+    the ideal rank are windows over that same partitioning (two sorts,
+    one shuffle), then a map-side-combined groupBy on the key the data
+    is already partitioned by. Bytes moved = (query, id, score, rel)
+    tuples — never payloads. Skew bound: a query's cost is its
+    candidate-list length; cap candidate generation upstream (top-N
+    per query) rather than here.
+    """
+    if not 1 <= k <= 1000:
+        raise ValueError(f"k must be in [1, 1000], got {k}")
+    if not 0 <= max_rel <= 20:
+        raise ValueError(f"max_rel must be in [0, 20], got {max_rel}")
+    w_arr = F.array(*[F.lit(w) for w in ndcg_discounts(k)])
+    s = df.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("long").alias("_s"),
+        F.greatest(
+            F.lit(0), F.least(F.lit(max_rel), F.col(rel_col).cast("long"))
+        ).alias("_r"),
+    ).filter(
+        F.col("query").isNotNull()
+        & F.col("_id").isNotNull()
+        & F.col("_s").isNotNull()
+        & F.col(rel_col).isNotNull()
+    )
+    w_rank = Window.partitionBy("query").orderBy(
+        F.desc("_s"), F.asc("_id")
+    )
+    w_ideal = Window.partitionBy("query").orderBy(
+        F.desc("_r"), F.asc("_id")
+    )
+    # shiftleft's PySpark wrapper only takes a literal bit count; the
+    # SQL form accepts a column
+    gain = F.expr("shiftleft(cast(1 as bigint), cast(_r as int))") - 1
+    ranked = s.select(
+        "query",
+        gain.alias("_g"),
+        F.row_number().over(w_rank).alias("_p"),
+        F.row_number().over(w_ideal).alias("_ip"),
+    )
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_p") <= k,
+                    F.col("_g") * F.element_at(w_arr, F.col("_p").cast("int")),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dcg_scaled"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_ip") <= k,
+                    F.col("_g")
+                    * F.element_at(w_arr, F.col("_ip").cast("int")),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("idcg_scaled"),
+    )
+    return agg.select(
+        "query",
+        "n_items",
+        "dcg_scaled",
+        "idcg_scaled",
+        F.when(
+            F.col("idcg_scaled") > 0,
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * dcg_scaled)"
+                " div idcg_scaled as long)"
+            ),
+        ).alias("ndcg_ppm"),
+    )

@@ -5,6 +5,8 @@ codegen, no UDF — and all replayable in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -3958,3 +3960,116 @@ def html_tables(
         F.col("_cell").rlike("(?i)^<th").alias("is_header"),
         text.alias("cell"),
     )
+
+
+def rouge_n_pairs(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N with clipped (multiset) counts between a candidate and a
+    reference text per row, in exact integer basis points — the
+    summarization/extractiveness measure the Jaccard family cannot
+    express: ``retry_similarity``/``ngram_jaccard`` score DISTINCT
+    shingle overlap, but ROUGE's clipped counts know that a candidate
+    repeating one reference phrase ten times earns credit once per
+    reference occurrence. The pipeline uses: response-vs-prompt
+    extractiveness (is the model quoting its input?), retry-vs-retry
+    drift, distillation-output-vs-teacher fidelity.
+
+    Per row: tokenize both sides (trim/lower/whitespace — the
+    ``tokens()`` convention), form word n-grams, and with multiset
+    counts ``c_g`` (candidate) and ``r_g`` (reference):
+
+        overlap   = Σ_g min(c_g, r_g)                 (clipped match)
+        recall_bp    = half-up bp of overlap / Σ r_g
+        precision_bp = half-up bp of overlap / Σ c_g
+        f1_bp        = half-up bp of 2·overlap / (Σ c_g + Σ r_g)
+
+    (the F1 identity 2PR/(P+R) = 2·overlap/(c+r) keeps it one exact
+    division, no float P and R). A side with < n tokens has zero
+    grams; its ratio is null (undefined), and ``f1_bp`` is null only
+    when BOTH sides are empty. Null text = zero grams (the row is
+    preserved — preserve-with-nulls contract).
+
+    Scale shape: one explode of tagged grams, then two groupBys keyed
+    by (row id, gram) → (row id) — each a superset of the row key, so
+    at scale this is per-pair work that never crosses rows (same
+    justification as dedup_paragraphs); bytes moved = gram tokens of
+    each pair, never whole corpora. The clipped-count merge is LINEAR
+    in gram count — the in-row higher-order-function form would be
+    O(distinct·total) per row and is exactly what this shape avoids.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    id_cols = list(id_cols)
+
+    def grams(col):
+        words = tokens(F.col(col))
+        words = F.filter(words, lambda t: t != "")
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = df.select(
+        *id_cols,
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    grams(cand_col),
+                    lambda g: F.struct(
+                        g.alias("g"), F.lit(1).alias("c"), F.lit(0).alias("r")
+                    ),
+                ),
+                F.transform(
+                    grams(ref_col),
+                    lambda g: F.struct(
+                        g.alias("g"), F.lit(0).alias("c"), F.lit(1).alias("r")
+                    ),
+                ),
+            )
+        ).alias("t"),
+    )
+    per_gram = tagged.groupBy(*id_cols, F.col("t.g").alias("_g")).agg(
+        F.sum(F.coalesce(F.col("t.c"), F.lit(0))).alias("_c"),
+        F.sum(F.coalesce(F.col("t.r"), F.lit(0))).alias("_r"),
+    )
+    per_row = per_gram.groupBy(*id_cols).agg(
+        F.sum(F.least(F.col("_c"), F.col("_r"))).cast("long").alias("overlap"),
+        F.sum("_c").cast("long").alias("cand_grams"),
+        F.sum("_r").cast("long").alias("ref_grams"),
+    )
+    # explode_outer of an all-empty concat yields one null-struct row per
+    # input row, whose sums count zero grams — row preserved, g null
+    per_row = per_row.select(
+        *id_cols,
+        "overlap",
+        "cand_grams",
+        "ref_grams",
+        F.when(
+            F.col("ref_grams") > 0,
+            F.expr(
+                "(2 * 10000 * overlap + ref_grams) div (2 * ref_grams)"
+            ),
+        ).cast("long").alias("recall_bp"),
+        F.when(
+            F.col("cand_grams") > 0,
+            F.expr(
+                "(2 * 10000 * overlap + cand_grams) div (2 * cand_grams)"
+            ),
+        ).cast("long").alias("precision_bp"),
+        F.when(
+            F.col("cand_grams") + F.col("ref_grams") > 0,
+            F.expr(
+                "(2 * 10000 * 2 * overlap + (cand_grams + ref_grams))"
+                " div (2 * (cand_grams + ref_grams))"
+            ),
+        ).cast("long").alias("f1_bp"),
+    )
+    return per_row

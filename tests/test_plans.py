@@ -1409,3 +1409,53 @@ def test_tokenizer_fertility_single_lang_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ndcg_single_query_exchange(spark):
+    """Both the realized and the ideal rank are windows over the SAME
+    query partitioning, and the final groupBy is on that key too — one
+    Exchange total; no Python."""
+    from pdf_extractors_spark.operators import retrieval
+
+    df = spark.createDataFrame(
+        [("q", "a", 3, 1), ("q", "b", 2, 0)],
+        "q string, id string, s long, r long",
+    )
+    plan = _plan(retrieval.ndcg_at_k(df, "q", "id", "s", "r", k=5))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rouge_pairs_row_keyed_exchanges_only(spark):
+    """One explode of tagged grams, then two groupBys keyed by
+    supersets of the row id — per-pair work that never crosses rows;
+    the gram merge collapses map-side (partial aggregation). No
+    Python, no SinglePartition."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [("c", 0, "a b c", "a b")],
+        "conv_id string, turn_idx int, cand string, ref string",
+    )
+    plan = _plan(
+        text_stats.rouge_n_pairs(df, "cand", "ref", ("conv_id", "turn_idx"))
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_warc_records_no_exchange(spark):
+    """Container -> records is one posexplode + per-row string math —
+    zero shuffles, zero Python; parallelism is upstream file splits."""
+    from pdf_extractors_spark.operators import warc
+
+    df = spark.createDataFrame(
+        [(1, "WARC/1.0\r\nWARC-Type: t\r\nContent-Length: 1\r\n\r\nx\r\n\r\n")],
+        "container_id long, container string",
+    )
+    plan = _plan(warc.warc_records(df))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan

@@ -37,6 +37,9 @@ CARRYOVER = {
     "mojibake_repair",
     "cooccurrence",
     # added after this round's window was pinned; rotate in next round
+    "ndcg_eval",
+    "response_rouge",
+    "warc_parse",
     "dehyphenate",
     "strip_repeated_lines",
     "bag_dedup",
