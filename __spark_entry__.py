@@ -5504,6 +5504,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_parse"] = q_warc_parse
 
+    def q_hll_distinct(spark, sf):
+        """Per-language vocabulary size via integer-exact HyperLogLog
+        (operators/sketches.py): the MERGEABLE-register sibling of
+        kmv_distinct on the same token frame — registers collapse
+        map-side to ≤ 256 rows per (lang, partition) and merge under
+        max across shards/days without rescans. Large languages
+        exercise the raw-estimator path, rare ones the
+        linear-counting branch; the estimator replays bit-for-bit in
+        DuckDB."""
+        from pdf_extractors_spark.operators import sketches
+
+        docs = _read(spark, sf, "documents")
+        toks = docs.select(
+            "lang", F.explode(text_stats.tokens(F.col("text"))).alias("tok")
+        )
+        return sketches.hll_distinct(toks, "tok", ["lang"], p=8)
+
+    q["hll_distinct"] = q_hll_distinct
+
+    def q_hard_negatives(spark, sf):
+        """Top-3 hardest negatives per query (retrieval.
+        hard_negatives): planted integer scores and a planted positive
+        label over events; the anti-join drops positives and the
+        two-phase top-k keeps one query's candidates from funneling
+        into one reducer. The mined set is total-order deterministic
+        (score desc, id asc) so both engines agree exactly."""
+        from pdf_extractors_spark.operators import retrieval
+        from pdf_extractors_spark.operators.hashing import md5_bigint
+
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id").cast("string")
+        scored = ev.select(
+            F.col("user_id").alias("query_id"),
+            F.col("event_id").alias("doc_id"),
+            F.pmod(
+                md5_bigint(F.concat(F.lit("hns:"), eid)), F.lit(100000)
+            ).alias("score"),
+        )
+        pos = ev.filter(
+            F.pmod(md5_bigint(F.concat(F.lit("hnp:"), eid)), F.lit(5)) == 0
+        ).select(
+            F.col("user_id").alias("query_id"),
+            F.col("event_id").alias("doc_id"),
+        )
+        return retrieval.hard_negatives(scored, pos, k=3)
+
+    q["hard_negatives"] = q_hard_negatives
+
+    def q_context_cost(spark, sf):
+        """Quadratic context-window token accounting per conversation
+        (chat.context_cost): sum of prefix sums — the true compute
+        bill of multi-turn data, surfacing marathon conversations a
+        flat token total hides. One conv-keyed exchange; exact
+        integers."""
+        from pdf_extractors_spark.operators import chat
+
+        return chat.context_cost(
+            _transcripts(spark, "sf0.01").select(
+                "conv_id", "turn_idx", "text"
+            )
+        )
+
+    q["context_cost"] = q_context_cost
+
     # reorder to the gate-window contract (see _GATE_ORDER above): the
     # driver records the first _GATE_WINDOW entries, so the value-oracled
     # queries go first; everything else keeps its relative order after
@@ -12116,6 +12180,65 @@ def oracle_sql() -> dict[str, str]:
                      end as bigint) as f1_bp
             from p left join m
               on p.conv_id = m.conv_id and p.turn_idx = m.turn_idx
+        """
+    from pdf_extractors_spark.operators.sketches import hll_distinct_sql
+
+    oracles["hll_distinct"] = hll_distinct_sql(
+        r"(select lang, unnest(string_split_regex(trim(lower(text)), '\s+'))"
+        r" as tok from documents) toked",
+        "tok",
+        ["lang"],
+        p=8,
+    )
+    _md5_hns = md5_bigint_sql("concat('hns:', event_id)")
+    _md5_hnp = md5_bigint_sql("concat('hnp:', event_id)")
+    oracles["hard_negatives"] = f"""
+        with scored as (
+          select user_id as query_id, event_id as doc_id,
+                 ({_md5_hns}) % 100000 as score
+          from events),
+        pos as (
+          select user_id as query_id, event_id as doc_id
+          from events
+          where ({_md5_hnp}) % 5 = 0),
+        negs as (
+          select s.query_id, s.doc_id, s.score
+          from scored s
+          anti join pos p
+            on s.query_id = p.query_id and s.doc_id = p.doc_id),
+        ranked as (
+          select query_id, doc_id, cast(score as bigint) as score,
+                 cast(row_number() over (partition by query_id
+                      order by score desc, doc_id asc) as bigint)
+                   as neg_rank
+          from negs)
+        select query_id, doc_id, score, neg_rank
+        from ranked where neg_rank <= 3
+    """
+    if tp:
+        oracles["context_cost"] = rf"""
+            with per_turn as (
+              select conv_id, turn_idx,
+                     cast(len(list_filter(string_split_regex(
+                       trim(lower(text)), '\s+'), t -> t <> ''))
+                       as bigint) as n
+              from read_parquet('{tp}')),
+            pref as (
+              select conv_id,
+                     coalesce(n, 0) as n,
+                     sum(coalesce(n, 0)) over (partition by conv_id
+                       order by turn_idx
+                       rows between unbounded preceding and current row)
+                       as p
+              from per_turn)
+            select conv_id,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(n) as bigint) as total_tokens,
+                   cast(sum(p) as bigint) as context_tokens,
+                   cast(case when sum(n) > 0
+                     then (2 * 10000 * sum(p) + sum(n)) // (2 * sum(n))
+                     end as bigint) as cost_ratio_bp
+            from pref group by conv_id
         """
     _md5_wt = md5_bigint_sql("concat('wt:', doc_id)")
     _md5_wb = md5_bigint_sql("concat('wb:', doc_id)")

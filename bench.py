@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     # not scale with sf_dir
     "ndcg_eval",
     "warc_parse",
+    # mergeable-register distinct sketch over the exploded token frame
+    # (same input as kmv_distinct — the two sketches bench side-by-side)
+    "hll_distinct",
+    # contrastive-mining anti-join + WindowGroupLimit top-k over events
+    "hard_negatives",
 ]
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}

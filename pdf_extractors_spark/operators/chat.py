@@ -162,3 +162,68 @@ def loss_mask_spans(
         (F.col("_before") + F.col("_hdr")).alias("span_start"),
         (F.col("_before") + F.col("_hdr") + F.col("_txt")).alias("span_end"),
     )
+
+
+def context_cost(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quadratic context-window accounting per conversation — the
+    inference/training-economics audit: generating (or teacher-forcing)
+    turn i re-processes every token of turns 0..i, so a conversation's
+    true compute bill is the SUM OF PREFIX SUMS, not its token count.
+    A corpus whose token total looks flat can hide a 40× context
+    multiplier concentrated in a few marathon conversations — exactly
+    the rows a packing/truncation policy (conv_truncate, chunk_windows)
+    should see first.
+
+    Per conversation: ``(conv_id, n_turns, total_tokens,
+    context_tokens, cost_ratio_bp)`` where ``context_tokens =
+    Σ_i prefix_tokens(i)`` (inclusive — turn i's own tokens are
+    processed while generating it), and ``cost_ratio_bp`` is the
+    half-up basis-point context multiplier ``context/total`` (10000 =
+    single-turn, no re-processing; grows ~linearly in turn count for
+    evenly-sized turns). Whitespace tokens (the ``tokens()``
+    convention); null text counts zero tokens but the turn still
+    counts in ``n_turns`` (it still occupies a context slot).
+
+    Scale shape: ONE exchange on conv_id — the running prefix sum is a
+    window over (conv, turn order) and the rollup groups by the same
+    key the data is already partitioned on; bytes moved = (conv, turn,
+    token-count) longs, payloads pruned before the exchange. Skew:
+    bounded by max turns per conversation, same envelope as every
+    conv-keyed window in the engine."""
+    from .text_stats import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    per_turn = df.select(
+        F.col(conv_col).alias("_c"),
+        F.col(turn_col).alias("_t"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("_n"),
+    ).filter(F.col("_c").isNotNull() & F.col("_t").isNotNull())
+    w = (
+        Window.partitionBy("_c")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = per_turn.withColumn("_pref", F.sum("_n").over(w))
+    agg = pref.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_n").cast("long").alias("total_tokens"),
+        F.sum("_pref").cast("long").alias("context_tokens"),
+    )
+    return agg.select(
+        F.col("_c").alias(conv_col),
+        "n_turns",
+        "total_tokens",
+        "context_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.expr(
+                "(2 * 10000 * context_tokens + total_tokens)"
+                " div (2 * total_tokens)"
+            ),
+        ).cast("long").alias("cost_ratio_bp"),
+    )

@@ -388,3 +388,61 @@ def ndcg_at_k(
             ),
         ).alias("ndcg_ppm"),
     )
+
+
+# --------------------------------------------------------- hard_negatives
+
+
+def hard_negatives(
+    scored: DataFrame,
+    positives: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 8,
+) -> DataFrame:
+    """Top-k hardest negatives per query for contrastive training:
+    from a scored candidate table, the k highest-scored documents that
+    are NOT labeled positive for that query — the mining step between
+    a retriever's candidate lists and a reranker/embedding trainer's
+    (query, positive, hard-negative) triples. Beside ndcg_at_k (does
+    the ranking rank?) this is what the ranking is FOR.
+
+    Semantics: ``positives`` rows are dropped per (query, id); ties on
+    score break by id asc (total order — the mined set is
+    engine-portable, like ndcg_at_k's permutation); output carries
+    ``neg_rank`` 1..k. Null query/id/score rows are dropped. A query
+    whose candidates are all positive emits nothing.
+
+    Scale shape: one anti-join on (query, id) — positives move as
+    (query, id) pairs only, never payloads — then the bm25_topk
+    two-phase top-k: a per-partition WindowGroupLimit prunes to ≤ k
+    rows per (query, partition) BEFORE the query exchange, so a
+    query with 10^6 candidates ships k per map partition, not 10^6.
+    The final window sorts ≤ k·n_partitions rows per query."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = scored.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("long").alias("_s"),
+    ).filter(
+        F.col("_q").isNotNull()
+        & F.col("_id").isNotNull()
+        & F.col("_s").isNotNull()
+    )
+    p = positives.select(
+        F.col(query_col).alias("_q"), F.col(id_col).alias("_id")
+    )
+    negs = s.join(p, ["_q", "_id"], "left_anti")
+    w = Window.partitionBy("_q").orderBy(F.desc("_s"), F.asc("_id"))
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_id").alias(id_col),
+            F.col("_s").alias(score_col),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )

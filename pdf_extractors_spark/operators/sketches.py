@@ -478,3 +478,207 @@ def cms_heavy_hitters_sql(
         from probe p join counters c using (d, b)
         group by p.tok, p.cnt
     """
+
+
+# ------------------------------------------------------------ hyperloglog
+
+
+def hll_constants(p: int) -> tuple[int, int, list[int]]:
+    """(m, alpha_ppm, ln_table) for a 2^p-register HyperLogLog
+    (Flajolet et al. 2007). ``alpha_ppm`` is the bias-correction
+    constant in parts-per-million; ``ln_table[V]`` (1-indexed) is
+    ``round(m · ln(m / V))`` — the linear-counting estimate for V
+    empty registers. Like ndcg_discounts, ALL float math lives in
+    these driver-side constants, computed once from the same formula
+    in every engine; per-row and per-group math is exact integers."""
+    import math
+
+    if not 4 <= p <= 9:
+        raise ValueError(f"p must be in [4, 9], got {p}")
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    ln_table = [int(round(m * math.log(m / v))) for v in range(1, m + 1)]
+    return m, int(round(alpha * 10**6)), ln_table
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog register table: one row per (group,
+    register) with the register's max leading-zero rank — the
+    MERGEABLE form of the sketch. Registers merge under plain ``max``,
+    so unioning two corpora's register tables and re-aggregating gives
+    EXACTLY the sketch of the union (pytest pins this as an equality,
+    not a tolerance) — the property KMV's k-minima share but
+    count_distinct fundamentally lacks; at 10^12 rows it is what lets
+    per-shard / per-day profiles roll up without rescanning anything.
+
+    Hash layout (32-bit md5 prefix, the portable oracle hash): the top
+    ``p`` bits pick the register, the remaining ``32-p`` bits feed the
+    rank = leading-zeros + 1 ∈ [1, 33-p]; rank of an all-zero
+    remainder is the max, 33-p. ``bit_length`` is the same
+    ``length(bin(x)) - 1`` floor-log2 used by char_entropy, exact in
+    both engines.
+
+    Plan shape: one groupBy(group, register) with map-side-combined
+    ``max`` — the corpus collapses to ≤ m rows per group per map
+    partition before the exchange; bytes moved = registers, never
+    values. Null values are ignored (as COUNT(DISTINCT)); a group
+    whose values are all null emits no rows.
+    """
+    hll_constants(p)  # validates p
+    rem_bits = 32 - p
+    group_cols = list(group_cols)
+    h = md5_bigint(value_col)
+    reg = F.shiftright(h, rem_bits).cast("long")
+    rest = h % F.lit(1 << rem_bits)
+    rank = F.when(rest == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - (F.length(F.bin(rest)) - 1)
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, reg.alias("register"), rank.alias("rank"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").cast("long").alias("m_rank"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Collapse a :func:`hll_registers` table to one estimate row per
+    group: ``(group..., v_zero, est_distinct)``.
+
+    Exact-integer estimator: each register contributes
+    ``2^(40 - m_rank)`` (m_rank ≤ 33, so every term is an exact
+    bigint; 2^40 is the fixed-point scale of 2^-m_rank) and each of
+    the ``v_zero`` never-hit registers contributes ``2^40``; then
+
+        est_raw = (alpha_ppm · m² · 2^40) div (10^6 · S)   [decimal 38]
+
+    with the HLL small-range correction: when ``est_raw ≤ 5m/2`` and
+    ``v_zero > 0``, linear counting ``ln_table[v_zero]`` is the
+    estimate.  The large-range (hash-collision) correction is
+    DELIBERATELY omitted: with a 32-bit hash it matters past ~1.4·10^8
+    distincts, where the portable-hash oracle contract itself breaks
+    down — at that scale swap ``hashing.md5_bigint(fast=True)``
+    (xxhash64, 64-bit) into hll_registers and the correction stays
+    irrelevant; the tradeoff is engine-private hashing, same as every
+    other ``fast=True`` site.  Relative error ≈ 1.04/√m (~6.5% at
+    p=8) — pinned by a tolerance test against exact counts, while the
+    DuckDB oracle replays the estimator bit-for-bit.
+
+    Plan: ONE map-side-combined groupBy on the group key (≤ m rows in,
+    2 longs out per group)."""
+    m, alpha_ppm, ln_table = hll_constants(p)
+    group_cols = list(group_cols)
+    ln_arr = F.array(*[F.lit(v) for v in ln_table])
+    agg = registers.groupBy(*group_cols).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        F.sum(
+            F.expr("cast(shiftleft(cast(1 as bigint), "
+                   "cast(40 - m_rank as int)) as bigint)")
+        ).cast("long").alias("_s_hit"),
+    )
+    s = F.col("_s_hit") + F.col("v_zero") * F.lit(1 << 40)
+    est_raw = F.expr(
+        f"cast((cast({alpha_ppm} as decimal(38,0)) * {m} * {m} * "
+        f"cast({1 << 40} as decimal(38,0))) div "
+        f"(cast(1000000 as decimal(38,0)) * "
+        f"(_s_hit + v_zero * cast({1 << 40} as bigint))) as long)"
+    )
+    return agg.select(
+        *group_cols,
+        "v_zero",
+        F.when(
+            (est_raw <= F.lit(5 * m // 2)) & (F.col("v_zero") > 0),
+            F.element_at(ln_arr, F.col("v_zero").cast("int")),
+        )
+        .otherwise(est_raw)
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate — see
+    :func:`hll_registers` (the mergeable sketch) and
+    :func:`hll_estimate` (the exact-integer estimator) for the two
+    halves this composes. Beside :func:`kmv_distinct`: KMV gives
+    exact counts below k and supports set-overlap (kmv_overlap); HLL
+    registers are 8× smaller per group, merge under max, and hold a
+    single accuracy regime at any cardinality — profile-and-roll-up
+    workloads want HLL, overlap/containment wants KMV."""
+    return hll_estimate(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
+    )
+
+
+def hll_distinct_sql(
+    table_expr: str,
+    value_expr: str,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> str:
+    """DuckDB SQL replaying :func:`hll_distinct` bit-for-bit (the
+    value oracle), constants inlined from the same
+    :func:`hll_constants`."""
+    m, alpha_ppm, ln_table = hll_constants(p)
+    rem = 32 - p
+    g = ", ".join(group_cols)
+    h = md5_bigint_sql(value_expr)
+    ln_arr = "[" + ", ".join(str(v) for v in ln_table) + "]"
+    return f"""
+        with hashed as (
+            select {g}, ({h}) as h
+            from {table_expr}
+            where ({value_expr}) is not null
+        ),
+        ranked as (
+            select {g},
+                   h // {1 << rem} as register,
+                   case when h % {1 << rem} = 0 then {rem + 1}
+                        else {rem} - (length(bin(h % {1 << rem})) - 1)
+                   end as rank
+            from hashed
+        ),
+        regs as (
+            select {g}, register, cast(max(rank) as bigint) as m_rank
+            from ranked group by {g}, register
+        ),
+        agg as (
+            select {g},
+                   cast({m} - count(*) as bigint) as v_zero,
+                   cast(sum(cast(1 as bigint) << cast(40 - m_rank as int))
+                        as bigint) as s_hit
+            from regs group by {g}
+        )
+        select {g}, v_zero,
+               cast(case when (cast({alpha_ppm} as hugeint) * {m} * {m}
+                               * cast({1 << 40} as hugeint))
+                              // (cast(1000000 as hugeint)
+                                  * (s_hit + v_zero
+                                     * cast({1 << 40} as bigint)))
+                              <= {5 * m // 2}
+                          and v_zero > 0
+                    then ({ln_arr})[cast(v_zero as int)]
+                    else (cast({alpha_ppm} as hugeint) * {m} * {m}
+                          * cast({1 << 40} as hugeint))
+                         // (cast(1000000 as hugeint)
+                             * (s_hit + v_zero
+                                * cast({1 << 40} as bigint)))
+               end as bigint) as est_distinct
+        from agg
+    """

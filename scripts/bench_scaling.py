@@ -33,6 +33,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 # 64× replication ≈ 3.3M turns ≈ 3 min at N=2: long enough that Spark's
+# fixed costs mostly vanish; sessions from attempt 75 on pass 128× via
+# the env var — the 4N side's ~10 s fixed share of a ~47 s job was the
+# largest remaining SYSTEMATIC (always-downward) term in measured
+# efficiency, and doubling the job halves it again at the price of
+# ~35-minute attempts. Each attempt's turns count records its
+# replication factor in the log.
 # fixed per-job costs (planning, stage scheduling, final collect) vanish
 # from the ratio AT BOTH LEVELS — the wide level finishes 4× sooner, so
 # it is the one whose overhead share sets the floor (at 8× replication,

@@ -1459,3 +1459,37 @@ def test_warc_records_no_exchange(spark):
     plan = _plan(warc.warc_records(df))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hard_negatives_two_phase_topk(spark):
+    """Anti-join on (query, id) + per-partition WindowGroupLimit
+    before the query exchange — one query's candidate flood ships k
+    per map partition, never its whole list; no Python."""
+    from pdf_extractors_spark.operators import retrieval
+
+    scored = spark.createDataFrame(
+        [("q", "a", 3), ("q", "b", 2)],
+        "query_id string, doc_id string, score long",
+    )
+    pos = spark.createDataFrame(
+        [("q", "a")], "query_id string, doc_id string"
+    )
+    plan = _plan(retrieval.hard_negatives(scored, pos, k=2))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_context_cost_single_conv_exchange(spark):
+    """Prefix-sum window and rollup share one conv-keyed exchange;
+    token counts (longs) cross it, payloads are pruned first."""
+    from pdf_extractors_spark.operators import chat
+
+    df = spark.createDataFrame(
+        [("c", 0, "a b"), ("c", 1, "x")],
+        "conv_id string, turn_idx int, text string",
+    )
+    plan = _plan(chat.context_cost(df))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan

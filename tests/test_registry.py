@@ -40,6 +40,9 @@ CARRYOVER = {
     "ndcg_eval",
     "response_rouge",
     "warc_parse",
+    "hll_distinct",
+    "hard_negatives",
+    "context_cost",
     "dehyphenate",
     "strip_repeated_lines",
     "bag_dedup",

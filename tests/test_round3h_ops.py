@@ -226,3 +226,90 @@ def test_warc_missing_header_is_null(spark):
     r = warc.warc_records(df).collect()[0]
     assert r["target_uri"] is None and r["record_id"] is None
     assert r["warc_type"] == "response" and r["length_ok"]
+
+
+# ---------------------------------------------------------- hard_negatives
+
+
+def test_hard_negatives_hand_computed(spark):
+    from pdf_extractors_spark.operators.retrieval import hard_negatives
+
+    scored = spark.createDataFrame(
+        [
+            ("q1", "a", 90),  # positive — never mined
+            ("q1", "b", 80),
+            ("q1", "c", 80),  # positive — its tie with b vanishes
+            ("q1", "d", 70),
+            ("q1", "e", 60),  # rank 3, outside k=2
+        ],
+        "query_id string, doc_id string, score long",
+    )
+    pos = spark.createDataFrame(
+        [("q1", "a"), ("q1", "c")], "query_id string, doc_id string"
+    )
+    out = hard_negatives(scored, pos, k=2).collect()
+    assert [(r["doc_id"], r["score"], r["neg_rank"]) for r in
+            sorted(out, key=lambda r: r["neg_rank"])] == [
+        ("b", 80, 1), ("d", 70, 2)
+    ]
+
+
+def test_hard_negatives_tie_and_all_positive(spark):
+    from pdf_extractors_spark.operators.retrieval import hard_negatives
+
+    scored = spark.createDataFrame(
+        [("q", "y", 50), ("q", "x", 50), ("p", "a", 1)],
+        "query_id string, doc_id string, score long",
+    )
+    pos = spark.createDataFrame(
+        [("p", "a")], "query_id string, doc_id string"
+    )
+    out = hard_negatives(scored, pos, k=5).collect()
+    # tie breaks by id asc; query p (all positive) emits nothing
+    assert [(r["query_id"], r["doc_id"], r["neg_rank"]) for r in
+            sorted(out, key=lambda r: r["neg_rank"])] == [
+        ("q", "x", 1), ("q", "y", 2)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hard_negatives(scored, pos, k=0)
+
+
+# ------------------------------------------------------------ context_cost
+
+
+def test_context_cost_hand_computed(spark):
+    from pdf_extractors_spark.operators.chat import context_cost
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "a b"),      # prefix 2
+            ("c", 1, "x"),        # prefix 3
+            ("c", 2, None),       # 0 tokens, still a turn; prefix 3
+            ("c", 3, "y z w"),    # prefix 6
+            ("d", 0, ""),         # empty conv: 0 tokens total
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r["conv_id"]: r.asDict() for r in context_cost(df).collect()}
+    c = out["c"]
+    assert (c["n_turns"], c["total_tokens"], c["context_tokens"]) == (4, 6, 14)
+    assert c["cost_ratio_bp"] == (2 * 10000 * 14 + 6) // 12  # 14/6 in bp
+    d = out["d"]
+    assert (d["n_turns"], d["total_tokens"], d["context_tokens"]) == (1, 0, 0)
+    assert d["cost_ratio_bp"] is None
+
+
+def test_context_cost_partition_invariant(spark):
+    # the prefix sum orders by turn_idx inside the window — physical
+    # row order / partitioning must not matter
+    from pdf_extractors_spark.operators.chat import context_cost
+
+    rows = [("c", i, "t " * (i % 5)) for i in range(40, -1, -1)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    a = sorted(context_cost(df.coalesce(1)).collect())
+    b = sorted(context_cost(df.repartition(16)).collect())
+    assert a == b

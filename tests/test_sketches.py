@@ -262,3 +262,132 @@ def test_cms_duckdb_bit_parity(spark):
     sql = cms_heavy_hitters_sql("docs", "text", min_count=100, depth=3, width=256)
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+# ----------------------------------------------------------- hyperloglog
+
+
+def _hll_mod():
+    from pdf_extractors_spark.operators import sketches
+
+    return sketches
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 40 distinct << 5m/2: the linear-counting branch fires and is
+    # near-exact at this occupancy (40 of 256 registers)
+    sk = _hll_mod()
+    rows = [("a", f"tok{i}") for i in range(40) for _ in (0, 1)]
+    (est,) = sk.hll_distinct(_docs(spark, rows), "v", ["g"], p=8).collect()
+    assert est["v_zero"] > 0
+    assert abs(est["est_distinct"] - 40) / 40 < 0.15, est
+
+
+def test_hll_estimator_accuracy(spark):
+    # 5000 distinct at p=8: standard error 1.04/sqrt(256) ≈ 6.5%; the
+    # fixed md5 hash makes the estimate deterministic so a 3-sigma
+    # bound is stable
+    sk = _hll_mod()
+    rows = [("a", f"tok{i}") for i in range(5000)]
+    (est,) = sk.hll_distinct(_docs(spark, rows), "v", ["g"], p=8).collect()
+    assert abs(est["est_distinct"] - 5000) / 5000 < 0.2, est
+
+
+def test_hll_nulls_ignored(spark):
+    sk = _hll_mod()
+    rows = [("a", "x"), ("a", None), ("b", None)]
+    out = {
+        r["g"]: r["est_distinct"]
+        for r in sk.hll_distinct(_docs(spark, rows), "v", ["g"], p=8).collect()
+    }
+    assert out == {"a": 1}
+
+
+def test_hll_partition_invariant(spark):
+    # register max is order- and partitioning-independent
+    sk = _hll_mod()
+    rows = [("a", f"tok{i % 700}") for i in range(3000)] + [
+        ("b", f"w{i}") for i in range(30)
+    ]
+    df = _docs(spark, rows)
+    one = sorted(sk.hll_distinct(df.coalesce(1), "v", ["g"], p=8).collect())
+    many = sorted(
+        sk.hll_distinct(df.repartition(16), "v", ["g"], p=8).collect()
+    )
+    assert one == many
+
+
+def test_hll_merge_is_exact_union(spark):
+    # THE mergeability contract: max-merging two corpora's register
+    # tables gives exactly the union's sketch — equality, not tolerance
+    sk = _hll_mod()
+    df_a = _docs(spark, [("g", f"a{i}") for i in range(300)])
+    df_b = _docs(
+        spark, [("g", f"a{i}") for i in range(100, 400)]  # overlaps a
+    )
+    direct = sorted(
+        sk.hll_distinct(df_a.unionByName(df_b), "v", ["g"], p=8).collect()
+    )
+    merged_regs = (
+        sk.hll_registers(df_a, "v", ["g"], p=8)
+        .unionByName(sk.hll_registers(df_b, "v", ["g"], p=8))
+        .groupBy("g", "register")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    merged = sorted(sk.hll_estimate(merged_regs, ["g"], p=8).collect())
+    assert direct == merged
+
+
+def test_hll_duckdb_bit_parity(spark, tmp_path):
+    sk = _hll_mod()
+    rows = [("a", f"tok{i}") for i in range(2000)] + [
+        ("b", f"b{i}" if i % 3 else None) for i in range(90)
+    ]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    path = str(tmp_path / "h.parquet")
+    pdf.to_parquet(path)
+    spark_out = {
+        (r["g"]): (r["v_zero"], r["est_distinct"])
+        for r in sk.hll_distinct(
+            spark.read.parquet(path).repartition(8), "v", ["g"], p=8
+        ).collect()
+    }
+    duck_out = {
+        g: (v, e)
+        for g, v, e in duckdb.sql(
+            sk.hll_distinct_sql(f"'{path}'", "v", ["g"], p=8)
+        ).fetchall()
+    }
+    assert spark_out == duck_out
+
+
+def test_hll_plan_two_bounded_exchanges_no_python(spark, tmp_path):
+    # pure column math (vs KMV's Arrow map side): two map-side-combined
+    # groupBys — (group, register) then (group) — and nothing else
+    sk = _hll_mod()
+    pd.DataFrame(
+        [("a", f"t{i}") for i in range(100)], columns=["g", "v"]
+    ).to_parquet(str(tmp_path / "h.parquet"))
+    df = sk.hll_distinct(
+        spark.read.parquet(str(tmp_path / "h.parquet")), "v", ["g"], p=8
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("- Exchange") == 2, plan
+    assert "partial_max" in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_hll_p_bounds():
+    import pytest as _pytest
+
+    sk = _hll_mod()
+    with _pytest.raises(ValueError):
+        sk.hll_constants(3)
+    with _pytest.raises(ValueError):
+        sk.hll_constants(10)
