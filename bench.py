@@ -33,7 +33,10 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "ngram_jaccard",
     "simhash",
-    "cosine_topk",
+    # round 4: the brute-force cosine baseline left the registry (it
+    # stays as the pytest recall-truth for ann_recall); the benched
+    # top-k similarity query is now the scale path itself
+    "ivf_ann_topk",
     "token_count",
     "quality_score",
     "lang_id",
@@ -101,9 +104,10 @@ BENCH_QUERIES = [
     "html_tables",
     # round-3h: graded ranking eval (one query-keyed exchange) and the
     # WARC container round-trip (render agg + zero-exchange parse);
-    # response_rouge is excluded — it reads the PINNED sf0.01
-    # transcripts fixture (oracle-tier contract), so its timing would
-    # not scale with sf_dir
+    # response_rouge AND context_cost are both excluded for the same
+    # reason — each reads the PINNED sf0.01 transcripts fixture (the
+    # oracle-tier contract), so their timings would not scale with
+    # sf_dir and would pollute the per-query budget below
     "ndcg_eval",
     "warc_parse",
     # mergeable-register distinct sketch over the exploded token frame
@@ -111,7 +115,74 @@ BENCH_QUERIES = [
     "hll_distinct",
     # contrastive-mining anti-join + WindowGroupLimit top-k over events
     "hard_negatives",
+    # round 4: greedy BPE application over documents (Arrow-batched
+    # word-memoized encoder — the tokenizer-inference kernel)
+    "bpe_encode",
 ]
+
+# ---- per-query regression budget (round-4 judge item: "pin per-query
+# bench regressions now that the methodology is stable"). Baseline =
+# BENCH_r03.json medians (sf0.1, local[32], full-evaluation checksum
+# harness — the first round whose numbers are cross-round comparable,
+# see BENCH/BASELINE.md). Tolerance = ±40%, the measured host noise
+# floor on this shared VM (single-process micro-benchmarks drift ±40%
+# within minutes). A query whose CURRENT median exceeds its budget is
+# flagged in the output JSON's "budget" block — a real regression can
+# no longer hide behind "the suite grew". Queries without a row here
+# are new since r3 (no baseline yet); they enter the budget next round.
+BUDGET_TOLERANCE = 0.40
+R3_MEDIANS = {
+    "extract_transcripts": 2.659,
+    "exact_dedup": 0.409,
+    "dedup_keep": 0.557,
+    "minhash_signatures": 1.964,
+    "ngram_jaccard": 5.641,
+    "simhash": 0.468,
+    "token_count": 0.378,
+    "quality_score": 0.654,
+    "lang_id": 0.451,
+    "fingerprint": 0.47,
+    "repetition_score": 0.792,
+    "pii_scrub": 0.548,
+    "train_split_counts": 0.266,
+    "decontaminate": 0.67,
+    "pricing_summary": 0.37,
+    "broadcast_join": 0.366,
+    "forward_fill": 0.367,
+    "sessionize": 0.34,
+    "explode_lines": 0.227,
+    "dedup_clusters": 4.157,
+    "global_line_dedup": 1.041,
+    "bm25_topk": 1.306,
+    "hits_scores": 8.953,
+    "triangle_stats": 0.795,
+    "corpus_clean": 2.322,
+    "cdc_chunks": 1.22,
+    "postings": 1.552,
+    "bigram_lift": 1.524,
+    "markdown_tables": 0.479,
+    "domain_quality": 0.652,
+    "dsir_weights": 1.994,
+    "linear_score": 0.608,
+    "jsonl_parse": 0.306,
+    "quantize_int8": 2.363,
+    "sn_pairs": 0.637,
+    "rank_auc": 0.308,
+    "score_label_bins": 0.289,
+    "url_frontier": 0.266,
+    "preference_bias": 0.432,
+    "invisible_chars": 0.605,
+    "license_scan": 0.27,
+    "bigram_lm_score": 3.09,
+    "char_entropy": 1.436,
+    "tokenizer_fertility": 0.488,
+    "dates_extract": 0.619,
+    "html_tables": 0.37,
+    "ndcg_eval": 0.982,
+    "warc_parse": 0.533,
+    "hll_distinct": 1.796,
+    "hard_negatives": 1.178,
+}
 
 _BENCH_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}
 
@@ -276,6 +347,28 @@ def main() -> int:
 
     spark.stop()
 
+    # ---- budget check: flag per-query regressions vs the checked-in r3
+    # medians (only meaningful at the r3 reference point: sf0.1 input,
+    # full suite). min-of-3 rides along in each breach row so a reader
+    # can separate "the plan got slower" (min also over budget) from
+    # "one slow rep dragged the median" (min back under budget).
+    budget_breaches: dict[str, dict] = {}
+    budget_applicable = not extract_only and abs(_sf_of(sf_dir) - 0.1) < 1e-9
+    if budget_applicable:
+        for qname, med in timings.items():
+            base = R3_MEDIANS.get(qname)
+            if base is None:
+                continue
+            limit = round(base * (1 + BUDGET_TOLERANCE), 3)
+            if med > limit:
+                budget_breaches[qname] = {
+                    "r3_median": base,
+                    "budget": limit,
+                    "median": med,
+                    "min": timings_min.get(qname),
+                    "ratio": round(med / base, 2),
+                }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -291,6 +384,15 @@ def main() -> int:
                 "total_min": round(sum(timings_min.values()), 3),
                 "sf": _sf_of(sf_dir),
                 "cpus": cpus,
+                # per-query regression budget vs BENCH_r03 medians
+                # (±40% host-noise tolerance; see R3_MEDIANS above)
+                "budget": {
+                    "baseline": "BENCH_r03 medians, sf0.1 local[32]",
+                    "tolerance_frac": BUDGET_TOLERANCE,
+                    "applicable": budget_applicable,
+                    "breaches": budget_breaches,
+                    "pass": not budget_breaches,
+                },
                 "extraction": {
                     "turns": int(n_turns),
                     "rows": int(agg["rows"]),

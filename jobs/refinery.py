@@ -123,6 +123,17 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(args.output, exist_ok=True)
     report: dict = {"stages": {}}
 
+    def _maybe_kill(stage: str) -> None:
+        """Fault-injection hook for the kill-resume equivalence check
+        (scripts/refinery_resume_check.py): when the env var names this
+        stage, die HARD right after its commit — no spark.stop(), no
+        atexit, exit 137 like an OOM-killed or preempted driver. The
+        resumed submission must then skip every committed stage and
+        produce byte-identical downstream output."""
+        if os.environ.get("SPARK_GRAFT_KILL_AFTER_STAGE") == stage:
+            print(json.dumps({"killed_after": stage}), flush=True)
+            os._exit(137)
+
     # -- stage 1: extraction (bucket-resumable inside the stage) --------
     ext_dir = _stage_dir(args.output, "extracted")
     transcripts = spark.read.parquet(args.input)
@@ -137,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         "processed_buckets": len(res["processed"]),
         "skipped_buckets": len(res["skipped"]),
     }
+    _maybe_kill("extracted")
     # plain-directory read: partition discovery adds the bucket column and
     # skips the underscore-prefixed _manifests dir (no glob-probe WARN)
     extracted = spark.read.parquet(ext_dir)
@@ -152,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         report["stages"]["docs"] = _commit_stage(args.output, "docs", docs)
+    _maybe_kill("docs")
     docs = spark.read.parquet(_stage_dir(args.output, "docs"))
 
     # -- stage 3: text repair BEFORE any hash-keyed stage -----------------
@@ -181,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
         report["stages"]["repaired"] = _commit_stage(
             args.output, "repaired", nfc
         )
+    _maybe_kill("repaired")
     repaired = spark.read.parquet(_stage_dir(args.output, "repaired"))
 
     # -- stage 4: exact dedup of repaired documents -----------------------
@@ -191,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
             repaired, text_col="stitched_text", id_col="conv_id"
         )
         report["stages"]["dedup"] = _commit_stage(args.output, "dedup", deduped)
+    _maybe_kill("dedup")
     deduped = spark.read.parquet(_stage_dir(args.output, "dedup"))
 
     # -- stage 5: quality gate -------------------------------------------
@@ -204,6 +219,7 @@ def main(argv: list[str] | None = None) -> int:
             F.col("n_tokens") >= args.min_tokens
         )
         report["stages"]["kept"] = _commit_stage(args.output, "kept", kept)
+    _maybe_kill("kept")
     kept = spark.read.parquet(_stage_dir(args.output, "kept"))
 
     # -- stage 6: budget-aligned packing ----------------------------------

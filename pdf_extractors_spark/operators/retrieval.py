@@ -321,18 +321,28 @@ def ndcg_at_k(
     if not 0 <= max_rel <= 20:
         raise ValueError(f"max_rel must be in [0, 20], got {max_rel}")
     w_arr = F.array(*[F.lit(w) for w in ndcg_discounts(k)])
-    s = df.select(
-        F.col(query_col).alias("query"),
-        F.col(id_col).alias("_id"),
-        F.col(score_col).cast("long").alias("_s"),
-        F.greatest(
-            F.lit(0), F.least(F.lit(max_rel), F.col(rel_col).cast("long"))
-        ).alias("_r"),
-    ).filter(
-        F.col("query").isNotNull()
-        & F.col("_id").isNotNull()
-        & F.col("_s").isNotNull()
-        & F.col(rel_col).isNotNull()
+    # null filters run on the INPUT df, before the projection renames
+    # anything: filtering post-projection on F.col(rel_col) relied on
+    # Spark's missing-attribute resolution and would silently bind to
+    # the wrong column if rel_col collided with an output name (e.g. a
+    # rel column literally named 'query'). The clamp can't stand in for
+    # the filter because least/greatest skip nulls (a null rel would
+    # clamp to max_rel, turning "unjudged" into "perfect").
+    s = (
+        df.filter(
+            F.col(query_col).isNotNull()
+            & F.col(id_col).isNotNull()
+            & F.col(rel_col).isNotNull()
+        )
+        .select(
+            F.col(query_col).alias("query"),
+            F.col(id_col).alias("_id"),
+            F.col(score_col).cast("long").alias("_s"),
+            F.greatest(
+                F.lit(0), F.least(F.lit(max_rel), F.col(rel_col).cast("long"))
+            ).alias("_r"),
+        )
+        .filter(F.col("_s").isNotNull())
     )
     w_rank = Window.partitionBy("query").orderBy(
         F.desc("_s"), F.asc("_id")

@@ -32,20 +32,18 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-# 64× replication ≈ 3.3M turns ≈ 3 min at N=2: long enough that Spark's
-# fixed costs mostly vanish; sessions from attempt 75 on pass 128× via
-# the env var — the 4N side's ~10 s fixed share of a ~47 s job was the
-# largest remaining SYSTEMATIC (always-downward) term in measured
-# efficiency, and doubling the job halves it again at the price of
-# ~35-minute attempts. Each attempt's turns count records its
-# replication factor in the log.
-# fixed per-job costs (planning, stage scheduling, final collect) vanish
-# from the ratio AT BOTH LEVELS — the wide level finishes 4× sooner, so
-# it is the one whose overhead share sets the floor (at 8× replication,
-# ≈20 s at N and ≈5 s at 4N, those constants deflated measured
-# efficiency to 0.70-0.75 on this host; at 32× the 4N job was still only
-# ~35 s). Real cluster jobs run minutes-to-hours, so the longer job is
-# the faithful regime.
+# Replication length rationale: Spark's fixed per-job costs (planning,
+# stage scheduling, final collect) are constants at both levels, and the
+# wide level finishes 4× sooner, so ITS overhead share sets the floor —
+# at 8× replication (≈20 s at N, ≈5 s at 4N) those constants deflated
+# measured efficiency to 0.70-0.75 on this host, and at 32× the 4N job
+# was still only ~35 s. 64× ≈ 3.3M turns ≈ 3 min at N=2 makes them
+# mostly vanish; sessions from attempt 75 on pass 128× via the env var,
+# because the 4N side's ~10 s fixed share of a ~47 s job was the largest
+# remaining SYSTEMATIC (always-downward) term and doubling the job
+# halves it again, at the price of ~35-minute attempts. Real cluster
+# jobs run minutes-to-hours, so the longer job is the faithful regime.
+# Each attempt's turns count records its replication factor in the log.
 REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "64")
 
 

@@ -1493,3 +1493,20 @@ def test_context_cost_single_conv_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bpe_encode_no_exchange(spark):
+    """Greedy BPE application is a single Arrow-batched mapInPandas over
+    the scan — zero shuffles, no row-at-a-time Python (ArrowEvalPython /
+    MapInPandas, never BatchEvalPython). Parallelism comes from input
+    splits; the word memo keeps Python work ~ distinct words, so the
+    stage scales like the extraction kernel it sits beside."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the thin band"), (2, "on and on")],
+        "doc_id long, text string",
+    )
+    plan = _plan(text_stats.bpe_encode(df, [("t", "h"), ("a", "n")]))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan

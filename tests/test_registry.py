@@ -25,159 +25,112 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Oracled queries knowingly awaiting a driver row in a FUTURE round's
 # window (slots are finite; these are pytest + local-replay green).
 # Adding a new oracled query mid-round REQUIRES either a window slot or
-# an entry here — that's the point.
+# an entry here — that's the point. Round 4 moved 50 former members
+# into the gate window (the full-tilt rotation); this is the exact
+# remaining queue — 101 names — for round 5's window (and the round
+# after: 101 > 50, so full union coverage takes two more rounds).
 CARRYOVER = {
-    "jsonl_export",
-    "ngram_counts",
-    "blocklist_filter",
-    "response_grounding",
-    "refusal_scan",
-    "dsir_weights",
-    "mojibake_scan",
-    "mojibake_repair",
-    "cooccurrence",
-    # added after this round's window was pinned; rotate in next round
-    "ndcg_eval",
-    "response_rouge",
-    "warc_parse",
-    "hll_distinct",
-    "hard_negatives",
-    "context_cost",
-    "dehyphenate",
-    "strip_repeated_lines",
-    "bag_dedup",
-    "sparse_cosine_pairs",
-    "collapse_repeats",
-    "merge_spans",
-    "span_coverage",
-    "lang_segments",
-    "minhash_jaccard_est",
-    "bloom_decontaminate",
-    "template_turns",
-    "turn_latency_stats",
-    "prefix_dedup",
-    "corpus_diff",
-    "ngram_novelty",
-    "stream_neardup",
-    "quality_ensemble",
-    "conv_truncate",
-    "length_buckets",
-    "token_diversity",
-    "corpus_tvd",
-    "bigram_coverage",
-    "group_sample",
-    "stream_conv_state",
-    "simhash_hamming_pairs",
-    "k_anonymity",
-    "session_rollup",
-    "conv_stitch_arrow",
-    "watermark_lateness",
-    "retry_runs",
-    "tool_args_keys",
-    "lsh_degree_hist",
-    "cdc_savings",
-    "rank_agreement",
-    "parrot_rate",
-    "centroid_shift",
-    "pii_echo",
-    "conv_forks",
-    "retry_similarity",
-    "pii_linkage",
-    "injection_scan",
-    "truncation_scan",
-    "homoglyph_fold",
-    "dialogue_acts",
-    "reading_level",
-    "response_length_drift",
-    "tool_chain_topk",
-    "ts_audit",
-    "watermark_scan",
     "amounts_extract",
-    "kv_spans",
-    "linear_score",
+    "bigram_coverage",
+    "bigram_lift",
+    "bigram_lm_score",
+    "boundary_stitch",
+    "bpe_pairs",
+    "cdc_chunks",
+    "cdc_savings",
+    "centroid_shift",
+    "chunk_overlap_pairs",
+    "cluster_keep_best",
+    "cluster_size_hist",
+    "code_detect",
+    "collapse_repeats",
+    "compact_changelog",
+    "context_cost",
+    "conv_forks",
+    "conv_stitch_arrow",
+    "conv_truncate",
+    "cooccurrence",
+    "corpus_diff",
+    "corpus_health",
+    "corpus_tvd",
+    "dates_extract",
+    "dialogue_acts",
+    "domain_cap",
+    "domain_quality",
+    "ece_ppm",
+    "event_pivot",
+    "filter_attrition",
+    "fingerprint_pairs",
+    "fk_violations",
+    "global_index",
+    "group_sample",
+    "group_topk",
+    "homoglyph_fold",
+    "html_tables",
+    "injection_scan",
+    "interpolate_gaps",
+    "json_props_extract",
     "jsonl_parse",
     "jsonl_stats",
-    "quantize_int8",
-    "sn_pairs",
-    "seeded_shuffle",
-    "rank_auc",
-    "url_frontier",
-    "preference_bias",
-    "score_label_bins",
-    "ece_ppm",
-    "invisible_chars",
-    "license_scan",
-    "mixture_plan",
-    "render_chat",
-    "loss_mask_spans",
-    "bigram_lm_score",
-    "char_entropy",
-    "tokenizer_fertility",
-    "dates_extract",
-    "html_tables",
-    "prompt_dedup",
-    "code_detect",
-    "markdown_strip",
-    "special_token_leaks",
-    "domain_quality",
-    "markdown_tables",
-    "render_chatml",
-    "corpus_health",
-    "stream_response_join",
-    "stream_enrich",
-    "filter_attrition",
-    "windowed_dedup",
-    "embedding_stats",
-    "ann_recall",
-    "source_mirror_pairs",
-    "tool_latency_percentiles",
-    "conv_neardup",
-    "role_token_share",
-    "vocab_coverage",
-    "domain_cap",
-    "skew_report",
-    "bpe_pairs",
-    "nfc_repair",
-    "tool_call_stats",
-    "partitioned_export",
-    "triangle_stats",
-    "corpus_clean",
-    "tokenize_ids",
-    "conv_sessions",
-    "tool_bigrams",
-    "fingerprint_pairs",
+    "k_anonymity",
+    "kv_spans",
     "lang_confusion",
-    "cluster_size_hist",
-    "random_projection",
-    "snapshot_merge",
-    "json_props_extract",
-    "group_topk",
+    "lang_segments",
+    "length_buckets",
+    "license_scan",
+    "markdown_tables",
+    "merge_spans",
+    "mixture_plan",
+    "mojibake_scan",
+    "nfc_repair",
     "parity_report",
-    "skew_join",
-    "bigram_lift",
-    "cdc_chunks",
-    "winsorize",
-    "postings",
-    "trailing_counts",
-    "event_pivot",
+    "parrot_rate",
+    "partitioned_export",
     "percent_rank",
-    "zorder_key",
-    "fk_violations",
-    "chunk_overlap_pairs",
-    "compact_changelog",
-    "scd2_intervals",
-    "cluster_keep_best",
-    "containment_pairs",
-    "global_index",
-    "boundary_stitch",
-    "interpolate_gaps",
-    "sft_pack",
-    "split_leakage",
+    "pii_linkage",
     "pii_spans",
-    "lsh_eval",
-    "kmv_distinct",
-    "kmv_overlap",
-    "cms_heavy_hitters",
+    "preference_bias",
+    "quality_ensemble",
+    "random_projection",
+    "rank_agreement",
+    "reading_level",
+    "refusal_scan",
+    "render_chatml",
+    "response_grounding",
+    "response_length_drift",
+    "retry_runs",
+    "retry_similarity",
+    "role_token_share",
+    "score_label_bins",
+    "seeded_shuffle",
+    "session_rollup",
+    "skew_join",
+    "skew_report",
+    "sn_pairs",
+    "source_mirror_pairs",
+    "span_coverage",
+    "special_token_leaks",
+    "split_leakage",
+    "stream_conv_state",
+    "stream_response_join",
+    "strip_repeated_lines",
+    "token_diversity",
+    "tokenize_ids",
+    "tokenizer_fertility",
+    "tool_args_keys",
+    "tool_bigrams",
+    "tool_chain_topk",
+    "tool_latency_percentiles",
+    "trailing_counts",
+    "triangle_stats",
+    "truncation_scan",
+    "ts_audit",
+    "url_frontier",
+    "vocab_coverage",
+    "watermark_lateness",
+    "watermark_scan",
+    "winsorize",
+    "zorder_key",
 }
 
 
