@@ -43,6 +43,12 @@ N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 # remaining SYSTEMATIC (always-downward) term and doubling the job
 # halves it again, at the price of ~35-minute attempts. Real cluster
 # jobs run minutes-to-hours, so the longer job is the faithful regime.
+# Round-4 sessions pass 256× for the same reason applied once more: at
+# 128× the 4N timed job is ~36 s with a ~3 s fixed share (~8%, still
+# the largest systematic always-downward term), and doubling the job
+# halves it again at the price of ~25-minute attempts. The step is
+# outcome-blind (decided from the cost decomposition before seeing any
+# 256× result) and the pool mixes generations as before.
 # Each attempt's turns count records its replication factor in the log.
 REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "64")
 
@@ -517,9 +523,13 @@ shared-core contention).
 * input: cached 256-file synthetic transcripts parquet (one file = one
   split; files hash-balanced at turn granularity so power-law conversation
   lengths cannot skew splits), replicated to {report["turns"]} turns via a narrow
-  explode — ~90 s of work at N so Spark's fixed per-job costs (planning,
-  scheduling, final collect) vanish from the ratio; at 8× (~20 s jobs)
-  those constants alone deflated measured efficiency to 0.70-0.75;
+  explode — minutes of timed work at N so Spark's fixed per-job costs
+  (planning, scheduling, final collect) vanish from the ratio; at 8×
+  (~20 s jobs) those constants alone deflated measured efficiency to
+  0.70-0.75. The replication factor stepped 8×→64×→128×→256× across
+  sessions as the 4N side's fixed share kept being the largest
+  remaining always-downward term; each attempt's ``turns`` field
+  records its own factor;
 * Python worker pool warmed (one task per core) before timing;
 * wall-clock: one JVM per timed run. Attempts tagged
   `protocol=interleaved3` alternate the levels N,4N,N,4N,N,4N (one
