@@ -89,3 +89,16 @@ def test_bpe_encode_greedy_rank_order(spark):
     assert out[0]["bpe_tokens"] == ["abc"]
     out2 = text_stats.bpe_encode(df, [("b", "c"), ("a", "bc")]).collect()
     assert out2[0]["bpe_tokens"] == ["abc"]
+
+
+def test_bpe_merges_table_well_formed():
+    """Import-time invariant guard (round-4 advisor item): the checked-in
+    table passes, and an ill-formed table (multi-char component with no
+    earlier-ranked producer) is rejected loudly."""
+    import pytest
+
+    import __spark_entry__ as entrymod
+
+    entrymod._assert_bpe_merges_well_formed(entrymod._BPE_MERGES)
+    with pytest.raises(AssertionError, match="not produced"):
+        entrymod._assert_bpe_merges_well_formed([("t", "h"), ("xy", "e")])

@@ -46,28 +46,38 @@ def test_divergence_is_real_spark_splits_duckdb_does_not(spark):
     assert toks2 == ["a", "b"], toks2
 
 
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
-def test_testdata_documents_have_no_vertical_tab(sf):
-    path = f"/root/testdata/{sf}/documents.parquet"
-    if not os.path.exists(path):  # pragma: no cover - driver layout guard
-        pytest.skip(f"{path} absent")
-    for batch in pq.ParquetFile(path).iter_batches(columns=["text"]):
-        for txt in batch.column(0).to_pylist():
-            assert txt is None or VT not in txt
+# Every oracle-visible table at the driver-gate scale tiers. Round-4
+# advisor item (test_vtab_guard.py:52): the guard previously hardcoded
+# documents.text and events.props, so any OTHER string column a
+# \s-tokenizing oracle reads was unguarded — iterate every string
+# column of every testdata parquet instead.
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
-def test_testdata_events_props_have_no_vertical_tab(sf):
-    path = f"/root/testdata/{sf}/events.parquet"
+@pytest.mark.parametrize("table", _TABLES)
+def test_testdata_string_columns_have_no_vertical_tab(sf, table):
+    import pyarrow as pa
+
+    path = f"/root/testdata/{sf}/{table}.parquet"
     if not os.path.exists(path):  # pragma: no cover - driver layout guard
         pytest.skip(f"{path} absent")
     pf = pq.ParquetFile(path)
-    cols = [c for c in ("props",) if c in pf.schema_arrow.names]
+    schema = pf.schema_arrow
+    cols = [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ)
+    ]
     if not cols:
-        pytest.skip("events has no props column")
+        pytest.skip(f"{table} has no string columns")
     for batch in pf.iter_batches(columns=cols):
-        for v in batch.column(0).to_pylist():
-            assert v is None or VT not in str(v)
+        for name, col in zip(batch.schema.names, batch.columns):
+            for v in col.to_pylist():
+                assert v is None or VT not in v, (table, name)
 
 
 def test_transcript_generator_never_emits_vertical_tab():
