@@ -2729,7 +2729,9 @@ def vocab_coverage(
     total = counts.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total")
     )
-    joined = covered.crossJoin(total)
+    # both sides are 1-row aggregates; the explicit hint pins the
+    # broadcast-nested-loop plan rather than relying on AQE to pick it
+    joined = covered.crossJoin(F.broadcast(total))
     return joined.select(
         F.lit(k).cast("long").alias("k_requested"),
         "k_effective",

@@ -408,8 +408,10 @@ def triangle_stats(
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges")
     )
     return (
-        nodes.crossJoin(counts)
-        .crossJoin(nwedge)
+        # all four sides are 1-row aggregates; explicit hints pin the
+        # broadcast-nested-loop plan instead of relying on AQE
+        nodes.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(nwedge))
         .crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",

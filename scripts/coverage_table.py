@@ -5,6 +5,7 @@ pulled from the query's docstring. Run after adding queries."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from datetime import datetime, timezone
@@ -12,6 +13,20 @@ from datetime import datetime, timezone
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+
+
+def driver_gated_ever(repo: str, live: set[str]) -> tuple[set[str], set[str]]:
+    """Names with a driver row in any round's CORRECTNESS file, split
+    into (still registered, banked-but-demoted). Round-4 verdict item 5:
+    the headline count must be against the LIVE registry — a demoted
+    query's banked row is evidence for code that may no longer be on
+    the driver surface, so it is reported separately, never summed in.
+    """
+    ever: set[str] = set()
+    for fn in sorted(os.listdir(repo)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            ever |= set(json.load(open(os.path.join(repo, fn))))
+    return ever & live, ever - live
 
 
 # descriptions for the lambda-defined queries (no docstring to pull)
@@ -48,6 +63,8 @@ def main() -> int:
         gated = "driver-gated" if i < window else "local replay"
         rows.append((name, check, gated, doc))
     n_oracle = sum(1 for _, c, _, _ in rows if c.startswith("DuckDB"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gated_live, gated_demoted = driver_gated_ever(repo, set(queries))
     lines = [
         "# COVERAGE — driver-contract queries and how each is checked",
         "",
@@ -56,6 +73,17 @@ def main() -> int:
         "independent DuckDB SQL value-hash oracles; the rest are rows-only in",
         "the driver gate and exactly parity-tested in pytest (per-document",
         "state machines / iterative algorithms).",
+        "",
+        f"Driver-gated ever (green row in some CORRECTNESS_r*.json AND still",
+        f"in the live registry): **{len(gated_live)} of {len(rows)}**"
+        + (
+            f"; plus {len(gated_demoted)} banked-but-demoted "
+            f"({', '.join(f'`{n}`' for n in sorted(gated_demoted))}) — "
+            "rows banked in a prior round for queries since removed from "
+            "the registry, counted separately by design."
+            if gated_demoted
+            else "."
+        ),
         "",
         f"The driver's correctness gate records the first {window} registry",
         "entries (the `_GATE_ORDER` contract in `__spark_entry__.py`); queries",
@@ -68,7 +96,6 @@ def main() -> int:
     ]
     for name, check, gated, doc in rows:
         lines.append(f"| `{name}` | {check} | {gated} | {doc} |")
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "docs", "COVERAGE.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

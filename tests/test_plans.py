@@ -1510,3 +1510,30 @@ def test_bpe_encode_no_exchange(spark):
     plan = _plan(text_stats.bpe_encode(df, [("t", "h"), ("a", "n")]))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_onerow_join_is_broadcast(spark):
+    """Round-4 verdict item 6: the covered⋈total 1-row crossJoin carries
+    an explicit F.broadcast hint, so the plan shape (broadcast nested
+    loop, never CartesianProduct) holds with or without AQE."""
+    from pdf_extractors_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a d e")], "doc_id long, text string"
+    )
+    plan = _plan(text_stats.vocab_coverage(df, k=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_triangle_stats_onerow_joins_are_broadcast(spark):
+    """Same pin for the four-way 1-row aggregate join in the triangle
+    census (nodes × edges × wedges × triangles)."""
+    from pdf_extractors_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    plan = _plan(webgraph.triangle_stats(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
