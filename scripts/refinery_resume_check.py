@@ -8,12 +8,16 @@ same sf0.1-tier synthetic transcripts input (1500 conversations, the
 oracle tier's sf0.1 sizing):
 
   A. uninterrupted run → ``<work>/refined_a``
-  B. run with ``SPARK_GRAFT_KILL_AFTER_STAGE=dedup`` → the driver
-     ``os._exit(137)``s immediately after the dedup stage commits
+  B. run with ``SPARK_GRAFT_KILL_AFTER_STAGE=<stage>`` → the driver
+     ``os._exit(137)``s immediately after that stage commits
      (no spark.stop, no atexit — a faithful OOM-kill/preemption)
   C. plain re-submission of B's command → must skip every committed
-     stage (extracted buckets, docs, repaired, dedup) and run only
-     kept + packed
+     stage and run only the stages after the kill point
+
+The kill stage is selectable (``--kill-after``, default ``dedup``;
+round-4 verdict item 7 asks for a second recorded artifact with a
+DIFFERENT kill point, e.g. ``kept``, so resume correctness isn't
+single-point evidence).
 
 Then the check: ``packed/`` from A and from B+C are compared with the
 driver-gate comparator semantics — row count, sorted column names, and
@@ -21,7 +25,7 @@ an order-insensitive value hash over every cell (columns sorted by
 name, rows sorted) — and the verdict is appended to
 ``docs/REPLAY.jsonl`` as a ``kind=refinery_resume`` row.
 
-Usage: python3 scripts/refinery_resume_check.py [workdir]
+Usage: python3 scripts/refinery_resume_check.py [workdir] [--kill-after STAGE]
 (workdir defaults to a fresh /tmp directory; pass one to inspect the
 intermediate stages afterwards).
 """
@@ -98,8 +102,22 @@ def _packed_digest(path: str) -> tuple[int, list[str], str]:
     return len(rows), sorted(cols), h
 
 
+# ordered post-extraction stages of jobs/refinery.py; extraction itself
+# resumes at bucket granularity and is asserted separately
+_STAGES = ["docs", "repaired", "dedup", "kept", "packed"]
+
+
 def main() -> int:
-    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
+    argv = list(sys.argv[1:])
+    kill_after = "dedup"
+    if "--kill-after" in argv:
+        i = argv.index("--kill-after")
+        kill_after = argv[i + 1]
+        del argv[i:i + 2]
+    assert kill_after in _STAGES[:-1], kill_after
+    committed = _STAGES[: _STAGES.index(kill_after) + 1]
+    remaining = _STAGES[_STAGES.index(kill_after) + 1 :]
+    work = argv[0] if argv else tempfile.mkdtemp(
         prefix="refinery_resume_"
     )
     os.makedirs(work, exist_ok=True)
@@ -122,21 +140,21 @@ def main() -> int:
     )
     rep_a = _last_json(out_a)["stages"]
 
-    # B: killed hard right after the dedup stage commits (rc 137)
+    # B: killed hard right after the selected stage commits (rc 137)
     rc_b, out_b = _run(
         [*base, "--output", os.path.join(work, "refined_b")], cwd=work,
-        extra_env={"SPARK_GRAFT_KILL_AFTER_STAGE": "dedup"},
+        extra_env={"SPARK_GRAFT_KILL_AFTER_STAGE": kill_after},
         expect_rc=137,
     )
-    assert _last_json(out_b).get("killed_after") == "dedup", out_b[-500:]
-    # the kill must land AFTER dedup committed and BEFORE kept ran
-    for st in ("docs", "repaired", "dedup"):
+    assert _last_json(out_b).get("killed_after") == kill_after, out_b[-500:]
+    # the kill must land AFTER the stage committed and BEFORE the next ran
+    for st in committed:
         assert os.path.exists(
             os.path.join(work, "refined_b", st, "_stage.json")
         ), f"stage {st} not committed before kill"
-    assert not os.path.exists(os.path.join(work, "refined_b", "kept")), (
-        "kept ran before the kill — the injection point moved"
-    )
+    assert not os.path.exists(
+        os.path.join(work, "refined_b", remaining[0])
+    ), f"{remaining[0]} ran before the kill — the injection point moved"
 
     # C: plain re-submission resumes — committed stages must be skipped
     _, out_c = _run(
@@ -146,12 +164,11 @@ def main() -> int:
     assert rep_c["extracted"]["processed_buckets"] == 0
     assert rep_c["extracted"]["skipped_buckets"] == 8
     resumed_skipped = [
-        st for st in ("docs", "repaired", "dedup")
-        if rep_c[st].get("skipped") is True
+        st for st in committed if rep_c[st].get("skipped") is True
     ]
-    assert resumed_skipped == ["docs", "repaired", "dedup"], rep_c
-    assert rep_c["kept"].get("skipped") is None  # kept genuinely ran
-    assert rep_c["packed"].get("skipped") is None
+    assert resumed_skipped == committed, rep_c
+    for st in remaining:  # everything after the kill genuinely ran
+        assert rep_c[st].get("skipped") is None, (st, rep_c)
 
     # the value check: packed/ equality, uninterrupted vs kill+resume
     rows_a, cols_a, hash_a = _packed_digest(
@@ -166,7 +183,7 @@ def main() -> int:
         "kind": "refinery_resume",
         "sf_tier": "sf0.1",
         "n_convs": N_CONVS,
-        "killed_after": "dedup",
+        "killed_after": kill_after,
         "kill_rc": rc_b,
         "resume_skipped": resumed_skipped,
         "resume_skipped_buckets": rep_c["extracted"]["skipped_buckets"],
